@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all Spark-native (no Python in the hot path):
+
+- exact:      hash-groupBy on normalized content (one shuffle).
+- MinHash+LSH: shingle → k minhashes → b bands → bucket join →
+  candidate pairs → exact-Jaccard verify. The standard near-dup
+  pipeline (Broder 1997); at 100 TB the band-bucket join replaces the
+  quadratic all-pairs comparison with a shuffle on band keys.
+- SimHash:    64-bit sign-of-weighted-sum fingerprint (Charikar 2002);
+  near-dups share the fingerprint (or differ in few bits).
+- n-gram Jaccard: exact similarity join via shared-shingle inverted
+  index — the verify step of LSH usable standalone at moderate scale.
+- embedding near-dup: cosine ≥ threshold pairs (see similarity.py).
+
+All hashing uses xxhash64/crc32 (deterministic across runs/executors —
+NEVER Python ``hash()``, which is salted per process).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators.text import fingerprint_md5, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per normalized-content fingerprint.
+
+    One hash-aggregation; map-side partial aggregation makes the
+    shuffle carry (fingerprint, min_id, count) not full rows.
+    """
+    return (
+        df.select(
+            F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Word n-gram shingle array (native expression).
+
+    slice() is 1-indexed; sequence(1, len-n+1) enumerates start
+    positions; short docs (< n tokens) get a single whole-doc shingle.
+    """
+    toks = tokens(F.lower(col))
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity join via an inverted shingle index.
+
+    Docs sharing ≥1 shingle become candidates (equi-join on shingle —
+    a shuffle keyed by shingle, NOT an all-pairs cross join); Jaccard
+    = |∩| / (|A|+|B|-|∩|) computed from intersection counts + per-doc
+    shingle counts. Returns (id_a < id_b, jaccard) pairs ≥ threshold.
+
+    Skew note: a stop-shingle appearing in every doc re-quadratizes
+    the join; at scale drop shingles with document frequency above a
+    cap (df_cap) — standard practice and semantically safe for
+    near-dup detection because ubiquitous shingles carry no signal.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc as one array column.
+
+    Each permutation i is xxhash64(shingle, seed=i); the signature
+    element is the min over the doc's shingles — computed with
+    transform+array_min entirely JVM-side, no shuffle at all (the
+    signature is a narrow map over each row).
+    """
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs agreeing on ALL rows
+    of any band become candidate pairs.
+
+    The classic LSH S-curve: P(candidate) = 1-(1-j^r)^b. Banding is an
+    explode (narrow); the only shuffle is the groupBy on
+    (band_idx, band_hash) — linear in corpus size, never quadratic.
+    Self-join within buckets is quadratic only in bucket size, which
+    the hash bounds for non-duplicate content.
+    """
+    banded = signatures.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                # split signature into `bands` contiguous slices
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    ).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, bands)
+    verified = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
+    # Verify = semi-join of exact pairs onto LSH candidates (candidates
+    # that fail the exact check drop out; pairs LSH missed stay missed —
+    # that's the approximation contract).
+    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def simhash64(col, shingle_n: int = 2):
+    """64-bit SimHash as a native expression: sum ±1 per bit over
+    shingle hashes, take signs. Bit i of xxhash64(shingle) votes
+    +1/-1; the fingerprint packs the 64 sign bits into a long."""
+    shingles = F.array_distinct(word_shingles(col, shingle_n))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    # For each bit position, count votes; build the long via aggregate.
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda votes, h: votes
+                + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                ),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), bit),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """Group docs by identical SimHash fingerprint (strictest form;
+    hamming-ball variants bucket on fingerprint chunks like LSH)."""
+    return (
+        df.select(
+            F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("simhash")
+        )
+        .groupBy("simhash")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

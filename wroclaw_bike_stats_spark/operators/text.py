@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as
+native column expressions so they run inside whole-stage codegen on
+JVM executors (no Python in the hot path; at 100 TB a row-at-a-time
+Python UDF here would dominate the job).
+
+Every function returns a Column usable in select/filter; the
+``queries()`` entries in __spark_entry__.py expose them with DuckDB
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace-token regex shared with the oracle SQL (keep in sync with
+# __spark_entry__.py oracles).
+WS = r"\s+"
+
+# BPE-ish token regex: words OR single non-word-non-space symbols —
+# approximates subword-tokenizer token counts well enough for corpus
+# budgeting, while staying a pure JVM regexp.
+BPE_ISH = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Minimal per-language stopword marker sets for the n-gram heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), WS)
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """Symbol-aware token count (words + punctuation symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n_punct = F.length(F.regexp_replace(col, r"[^.!?,;:\"'()\[\]-]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    toks = tokens(F.lower(col))
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n = F.size(toks)
+    return F.when(n > 0, n_sw / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean token length — a cheap gibberish signal."""
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    noise + plausible word lengths + some stopwords. Deterministic,
+    JVM-native; weights are pipeline policy, not reference parity."""
+    n = F.length(col)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when(
+        (mean_word_len(col) >= 2.0) & (mean_word_len(col) <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(col) > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok * 0.3 + punct_ok * 0.2 + word_ok * 0.3 + sw_ok * 0.2).alias(
+        "quality_score"
+    )
+
+
+def lang_marker_counts(col: Column) -> dict[str, Column]:
+    """Per-language stopword-marker hit counts (n-gram heuristic base)."""
+    toks = tokens(F.lower(col))
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language guess across marker sets; 'und' when no markers
+    hit. Deterministic tie-break: language code ascending."""
+    counts = lang_marker_counts(col)
+    pairs = F.array(
+        *[
+            F.struct(cnt.alias("hits"), F.lit(lang).alias("lang"))
+            for lang, cnt in sorted(counts.items())
+        ]
+    )
+    # Left fold keeps the FIRST max (languages pre-sorted ascending),
+    # giving the ascending-code tie-break without a comparator.
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, p: F.when(
+            (p["hits"] > acc["hits"]),
+            F.struct(p["hits"].alias("hits"), p["lang"].alias("lang")),
+        ).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Portable across engines (used by the
+    DuckDB oracle verbatim)."""
+    norm = F.regexp_replace(F.trim(F.lower(col)), WS, " ")
+    return F.md5(norm)
+
+
+def fingerprint_rolling(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over whitespace tokens (order-sensitive):
+    h = (h*base + token_hash) % mod. Native ``aggregate`` expression —
+    no UDF. token_hash uses crc32 for cross-run determinism."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.pmod(F.crc32(t), F.lit(mod))) % mod,
+    )
