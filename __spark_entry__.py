@@ -27,6 +27,24 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    The driver's ``events.parquet`` stores ``ts`` as INT64
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL). ``nanosAsLong`` makes Spark surface the
+    raw nanos as a long; we convert to a proper TimestampType via
+    microseconds so ``to_date``/``hour`` behave normally. The conf is
+    settable at runtime on any session (including the driver-owned
+    one), so this works regardless of who built the session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -533,8 +551,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_events,
                    round(sum(value), 3) AS total_value,
                    round(avg(value), 3) AS avg_value,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS purchases,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors,
                    count(DISTINCT user_id) AS active_users
             FROM events
             GROUP BY 1
@@ -615,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY n_events DESC, user_id ASC) AS rn
                 FROM per_day
             )
-            SELECT user_id, sum(n_events) AS total_events
+            SELECT user_id, CAST(sum(n_events) AS BIGINT) AS total_events
             FROM ranked WHERE rn <= 5
             GROUP BY user_id
             ORDER BY total_events DESC, user_id ASC
@@ -708,11 +728,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
         "embedding_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+            -- embeddings are FLOAT[]; cast to DOUBLE[] so the cosine is
+            -- computed in the same (double) precision as the Spark side —
+            -- DuckDB's float32 round() keeps representation noise that
+            -- survives round(x, 6) and breaks the value hash.
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS q_vec
                        FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
-                       round(list_cosine_similarity(q.q_vec, e.embedding), 6)
+                       round(list_cosine_similarity(
+                           q.q_vec, CAST(e.embedding AS DOUBLE[])), 6)
                            AS cosine_sim
                 FROM embeddings e CROSS JOIN q
                 WHERE e.vec_id <> q.query_id
@@ -724,11 +750,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "embedding_neardup": """
+            -- DOUBLE[] cast: same precision rationale as embedding_topk.
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6)
                        AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.8
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
         """,
         "multimodal_bytes": """
             SELECT doc_id,

@@ -203,30 +203,36 @@ def minhash_dedup_pairs(
     return verified.join(cands, ["id_a", "id_b"], "left_semi")
 
 
+def _bit_vote(bit: int):
+    """Closure factory: +1/-1 vote for a static bit position.
+
+    ``bit`` must be a Python int both for ``F.shiftright`` (its
+    ``numBits`` rejects Columns) and to keep the lambda single-purpose
+    — a default-arg lambda would change PySpark's arity dispatch.
+    """
+    return lambda votes, h: votes + F.when(
+        F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+
+
 def simhash64(col, shingle_n: int = 2):
     """64-bit SimHash as a native expression: sum ±1 per bit over
     shingle hashes, take signs. Bit i of xxhash64(shingle) votes
-    +1/-1; the fingerprint packs the 64 sign bits into a long."""
+    +1/-1; the fingerprint packs the 64 sign bits into a long.
+
+    Bit positions are static, so the fingerprint is built with a
+    Python loop over ``range(64)`` — 64 independent JVM aggregate
+    expressions per row (narrow, no shuffle), summed into one long.
+    """
     shingles = F.array_distinct(word_shingles(col, shingle_n))
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    # For each bit position, count votes; build the long via aggregate.
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda votes, h: votes
-                + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                    -1
-                ),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), bit),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    fingerprint = F.lit(0).cast("long")
+    for bit in range(64):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(bit))
+        fingerprint = fingerprint + F.when(
+            votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(F.lit(0).cast("long"))
+    return fingerprint
 
 
 def simhash_dedup_groups(

@@ -89,11 +89,22 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def _marker_pred(markers: list[str]):
+    """Closure factory for the marker-membership lambda.
+
+    Must stay single-parameter: PySpark dispatches higher-order-
+    function lambdas by arity, and a default argument (``m=markers``)
+    would make it the two-arg ``(value, index)`` form, binding the
+    index Column over the default.
+    """
+    return lambda t: t.isin(*markers)
+
+
 def lang_marker_counts(col: Column) -> dict[str, Column]:
     """Per-language stopword-marker hit counts (n-gram heuristic base)."""
     toks = tokens(F.lower(col))
     return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        lang: F.size(F.filter(toks, _marker_pred(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 

@@ -43,6 +43,10 @@ def get_spark(
         # Parquet vectorized reader + pushdown are on by default; keep
         # explicit so a misconfigured deployment can't silently regress.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Some producers write INT64 TIMESTAMP(NANOS), which Spark
+        # otherwise rejects (PARQUET_TYPE_ILLEGAL); surface as long
+        # and convert with timestamp_micros at read time.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
