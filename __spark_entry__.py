@@ -360,8 +360,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df_cap=100 is the stop-shingle guard: shingles in >100 docs are
+    dropped from index AND size counts (mirrored in the oracle CTE) —
+    without it one ubiquitous shingle re-quadratizes the join."""
     docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,13 +390,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidates (key-equi join on band hash)
+    + exact cosine verify — never an all-pairs cross join. Recall for
+    near-identical pairs ~0.99 (tests/test_dedup_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_pairs(emb, threshold=0.8)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.8, method="lsh")
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k (no SQL oracle; recall vs brute
-    force asserted in tests)."""
+    force asserted in tests/test_dedup_similarity.py::
+    test_ivf_recall_vs_bruteforce — measured 0.83 at sf0.001)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_ivf(emb, queries, k=10, num_centroids=16, nprobe=4)
@@ -477,12 +484,16 @@ tok AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
     FROM documents
 ),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id,
            array_to_string(toks[i : i + 2], ' ') AS shingle
     FROM tok,
          LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
 ),
+-- stop-shingle guard (df_cap=100): mirrors the Spark side — drop
+-- shingles in >100 docs from both the index and the size counts.
+stop AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > 100),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM stop)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 

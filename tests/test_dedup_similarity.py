@@ -1,0 +1,117 @@
+"""Dedup + similarity operator contracts that the DuckDB oracle can't
+express (xxhash64 / probe-order dependent): MinHash-LSH vs exact
+Jaccard, SimHash grouping, IVF and hyperplane-LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import dedup as D
+from wroclaw_bike_stats_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_subset_of_exact_jaccard(docs):
+    """LSH-verified pairs must be a subset of the exact Jaccard join
+    (verification is exact, so no false positives), with high recall
+    (32 hashes / 8 bands keeps P(miss) tiny at jaccard ≥ 0.5)."""
+    exact = _pairs(D.ngram_jaccard_pairs(docs, n=3, threshold=0.5))
+    lsh = _pairs(D.minhash_dedup_pairs(docs, shingle_n=3, threshold=0.5))
+    assert exact, "fixture corpus should contain near-dup pairs"
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_minhash_jaccard_values_match_exact(docs):
+    """Where LSH and exact agree on a pair, the verified jaccard value
+    must be identical — the verify step IS the exact computation,
+    restricted to candidates."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    for r in D.minhash_dedup_pairs(docs, shingle_n=3, threshold=0.5).collect():
+        assert exact[(r["id_a"], r["id_b"])] == r["jaccard"]
+
+
+def test_df_cap_drops_stop_shingles(spark):
+    """A shingle present in every doc must not connect otherwise-
+    dissimilar docs when df_cap is on."""
+    rows = [(i, f"common filler prefix unique{i} word{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = D.ngram_jaccard_pairs(df, n=3, threshold=0.01)
+    capped = D.ngram_jaccard_pairs(df, n=3, threshold=0.01, df_cap=10)
+    # 'common filler prefix' appears in all 20 docs → links every pair
+    assert uncapped.count() == 20 * 19 / 2
+    # with the guard, the ubiquitous shingle is dropped and no pair
+    # shares any remaining shingle
+    assert capped.count() == 0
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark execution"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = {
+        tuple(r["ids"]): r["simhash"]
+        for r in D.simhash_dedup_groups(df).collect()
+    }
+    assert (1, 2) in groups
+    assert (3,) in groups
+    assert groups[(1, 2)] != groups[(3,)]
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    """IVF with nprobe=4 of 16 centroids on the synthetic corpus:
+    measured recall ~0.83; assert a margin below to keep the test
+    stable while still catching probe-path regressions."""
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = SIM.cosine_topk_bruteforce(emb, q, k=10)
+    ivf = SIM.cosine_topk_ivf(emb, q, k=10, num_centroids=16, nprobe=4)
+    bfp = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivfp = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert len(bfp & ivfp) / len(bfp) >= 0.6
+
+
+def test_hyperplane_lsh_finds_near_identical_vectors(spark, emb):
+    """The dedup contract: near-identical vectors (the actual near-dup
+    use case) must survive banded hyperplane LSH + exact verify."""
+    base = emb.limit(20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant exact duplicates with shifted ids
+    dupes = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dupes)
+    found = SIM.embedding_neardup_pairs(corpus, threshold=0.99, method="lsh")
+    got = _pairs(found)
+    expected = {(r["vec_id"], r["vec_id"] + 100000) for r in base.collect()}
+    assert expected <= got
+
+
+def test_lsh_neardup_subset_of_bruteforce(emb):
+    """LSH path verifies exactly, so it can only miss pairs, never
+    invent them."""
+    lsh = _pairs(SIM.embedding_neardup_pairs(emb, threshold=0.4, method="lsh"))
+    bf = _pairs(SIM.embedding_neardup_pairs(emb, threshold=0.4, method="bruteforce"))
+    assert lsh <= bf

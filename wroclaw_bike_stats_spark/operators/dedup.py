@@ -79,6 +79,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted shingle index.
 
@@ -87,22 +89,57 @@ def ngram_jaccard_pairs(
     = |∩| / (|A|+|B|-|∩|) computed from intersection counts + per-doc
     shingle counts. Returns (id_a < id_b, jaccard) pairs ≥ threshold.
 
-    Skew note: a stop-shingle appearing in every doc re-quadratizes
-    the join; at scale drop shingles with document frequency above a
-    cap (df_cap) — standard practice and semantically safe for
-    near-dup detection because ubiquitous shingles carry no signal.
+    ``df_cap`` — stop-shingle guard: a shingle appearing in more than
+    ``df_cap`` docs is dropped from the index AND the size counts (so
+    the Jaccard denominator stays consistent). Without it, one
+    ubiquitous shingle re-quadratizes the join at scale; ubiquitous
+    shingles carry no near-dup signal, so dropping them is standard
+    practice. The stop set is tiny by construction → broadcast
+    anti-join, no extra shuffle of the index.
+
+    ``candidates`` — optional (id_a, id_b) pair set: when given (the
+    LSH verify path), intersection counts are computed ONLY for those
+    pairs — the shingle table is first semi-joined down to candidate
+    docs, then each pair is expanded by doc-a's shingles and matched
+    against doc-b's on (id_b, shingle). Cost is O(|candidates| × doc
+    shingles), never corpus-quadratic.
     """
     sh = _shingle_table(df, text_col, id_col, n)
+    if df_cap is not None:
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_id"))
+            .union(candidates.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "_id", "left_semi")
+
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is not None:
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -193,14 +230,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → exact-Jaccard verification of candidates only."""
+    candidates → exact-Jaccard verification of CANDIDATES ONLY.
+
+    The exact-Jaccard pass receives the LSH candidate pairs and
+    touches nothing else (``ngram_jaccard_pairs(candidates=...)``) —
+    the corpus-wide shingle self-join never runs. Candidates that fail
+    the exact check drop out; pairs LSH missed stay missed — that's
+    the approximation contract.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(sigs, bands)
-    verified = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
-    # Verify = semi-join of exact pairs onto LSH candidates (candidates
-    # that fail the exact check drop out; pairs LSH missed stay missed —
-    # that's the approximation contract).
-    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, candidates=cands
+    )
 
 
 def _bit_vote(bit: int):

@@ -178,24 +178,96 @@ def cosine_topk_ivf(
     )
 
 
+def _hyperplane_bits(vec, num_planes: int):
+    """array<int> of sign bits, one per deterministic pseudo-random
+    hyperplane (components derived from xxhash64(plane, dim) — no RNG
+    state, reproducible across runs/executors)."""
+    dim = F.size(vec)
+    v_d = F.transform(vec, lambda x: x.cast("double"))
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            # hash → [-1, 1) pseudo-random component
+            lambda d: (F.pmod(F.xxhash64(p, d), F.lit(2000)) - 1000.0) / 1000.0,
+        ),
+    )
+    return F.transform(
+        planes, lambda plane: F.when(_dot(v_d, plane) > 0, 1).otherwise(0)
+    )
+
+
+def hyperplane_band_candidates(
+    corpus: DataFrame,
+    num_planes: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (a<b) pairs via banded random-hyperplane LSH.
+
+    Bits are split into ``bands`` contiguous slices; vectors agreeing
+    on ALL bits of any band become candidates — the same S-curve as
+    MinHash banding, tuned for cosine. The only shuffle is the
+    equi-join on (band_idx, band_hash); never an all-pairs cross join.
+
+    Defaults (64 planes, 8 bands of 8): P(candidate) for a pair at
+    cosine θ-similarity s, with p = 1 - acos(s)/π:
+      s=0.95 → ~0.99 recall; s=0.8 → ~0.75; random (s≈0) → ~3% —
+    i.e., uncorrelated vectors are pruned ~30×, near-identical ones
+    are kept with high probability. Raise bands for recall, planes
+    per band for pruning.
+    """
+    r = num_planes // bands
+    bits = _hyperplane_bits(F.col(vec_col), num_planes)
+    band_hashes = F.array(
+        *[F.xxhash64(F.slice(bits, b * r + 1, r).cast("string")) for b in range(bands)]
+    )
+    banded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+    left = banded.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
+    right = banded.select("band_idx", "band_hash", F.col("_id").alias("id_b"))
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    num_planes: int = 64,
+    bands: int = 8,
 ) -> DataFrame:
     """All (a<b) pairs with cosine ≥ threshold.
 
-    Local/small-corpus form is a self cross join (fine at test scale);
-    the scale path buckets by random-hyperplane signs first — see
-    ``hyperplane_buckets`` — making the join key-equi on bucket.
+    ``method='lsh'`` (default, the scale path): banded random-
+    hyperplane candidates (key-equi join on band hash) → exact cosine
+    verification of candidates only. Recall < 1 for moderately-similar
+    pairs (see ``hyperplane_band_candidates``); near-identical pairs —
+    the dedup use case — are found with ~0.99 probability.
+
+    ``method='bruteforce'``: exact all-pairs self cross join — only
+    for small corpora / recall measurement.
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if method == "bruteforce":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cands = hyperplane_band_candidates(
+            corpus, num_planes, bands, id_col, vec_col
+        )
+        pairs = cands.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
