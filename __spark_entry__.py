@@ -319,6 +319,90 @@ def q_range_reagg_busiest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_START, RANGE_END = "2024-01-05", "2024-01-20"
+
+
+def q_range_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 analog: per-day (date, value) line series over a date range
+    — the UI's range metric series (reference web/js/app.js:151–153,
+    211–212), value coalesced to 0."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"))
+        .agg(F.coalesce(F.round(F.sum("value"), 3), F.lit(0.0)).alias("value"))
+        .filter(
+            (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
+        )
+        .orderBy("event_date")
+    )
+
+
+def q_range_hist_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 analog: hourly histogram averaged over the range's days —
+    sum per hour ÷ number of days with data, half-up rounded, all 24
+    hours zero-filled (reference web/js/app.js:155–163)."""
+    ev = _t(spark, sf_dir, "events")
+    in_range = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").alias("h"),
+    ).filter(
+        (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
+    )
+    per_hour = in_range.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
+    n_days = in_range.select(
+        F.countDistinct("event_date").alias("n")
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    return (
+        hours.join(per_hour, "h", "left")
+        .crossJoin(F.broadcast(n_days))  # 1-row scalar, not a data join
+        .select(
+            F.col("h").cast("string").alias("hour"),
+            F.round(
+                F.coalesce(F.col("total"), F.lit(0)) / F.greatest("n", F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_events"),
+        )
+        .orderBy(F.col("hour").cast("int"))
+    )
+
+
+def q_range_reagg_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 + F8 analog: re-aggregate per-day top-5 transition lists
+    keyed by the "prev → curr" label (reference web/js/app.js:183–194;
+    label app.js:185) — approximate by design: transitions outside a
+    day's top-5 are invisible."""
+    from pyspark.sql import Window
+
+    changes = q_status_change_events(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date")
+    )
+    per_day = (
+        changes.join(ev, "event_id")
+        .filter(
+            (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
+        )
+        .groupBy("event_date", "prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_date").orderBy(
+        F.desc("n"), F.asc("prev_type"), F.asc("curr_type")
+    )
+    daily_top5 = per_day.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    return (
+        daily_top5.groupBy(
+            F.concat_ws(" → ", "prev_type", "curr_type").alias("route")
+        )
+        .agg(F.sum("n").cast("long").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), F.asc("route"))
+        .limit(5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings.
 
@@ -447,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_event_dates": q_distinct_event_dates,
         "latest_event_date": q_latest_event_date,
         "range_reagg_busiest": q_range_reagg_busiest,
+        "range_series_daily": q_range_series_daily,
+        "range_hist_avg": q_range_hist_avg,
+        "range_reagg_routes": q_range_reagg_routes,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -650,6 +737,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 5
             GROUP BY user_id
             ORDER BY total_events DESC, user_id ASC
+            LIMIT 5
+        """,
+        "range_series_daily": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+                   COALESCE(round(sum(value), 3), 0.0) AS value
+            FROM events
+            GROUP BY 1
+            HAVING event_date >= '2024-01-05' AND event_date <= '2024-01-20'
+            ORDER BY event_date
+        """,
+        "range_hist_avg": """
+            WITH in_range AS (
+                SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+                       extract(hour FROM ts) AS h
+                FROM events
+                WHERE strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                      BETWEEN '2024-01-05' AND '2024-01-20'
+            ),
+            per_hour AS (SELECT h, count(*) AS total FROM in_range GROUP BY h),
+            n AS (SELECT greatest(count(DISTINCT event_date), 1) AS n_days
+                  FROM in_range)
+            SELECT CAST(hours.h AS VARCHAR) AS hour,
+                   CAST(round(COALESCE(per_hour.total, 0) * 1.0 / n.n_days)
+                        AS BIGINT) AS avg_events
+            FROM range(24) AS hours(h)
+            LEFT JOIN per_hour ON per_hour.h = hours.h
+            CROSS JOIN n
+            ORDER BY hours.h
+        """,
+        "range_reagg_routes": """
+            WITH changes AS (
+                SELECT event_id, prev_type, curr_type FROM (
+                    SELECT event_id,
+                           event_type AS curr_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev_type
+                    FROM events
+                ) WHERE prev_type IS NOT NULL AND prev_type <> curr_type
+            ),
+            dated AS (
+                SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
+                       c.prev_type, c.curr_type
+                FROM changes c JOIN events e ON c.event_id = e.event_id
+                WHERE strftime(CAST(e.ts AS DATE), '%Y-%m-%d')
+                      BETWEEN '2024-01-05' AND '2024-01-20'
+            ),
+            per_day AS (
+                SELECT event_date, prev_type, curr_type, count(*) AS n
+                FROM dated GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_date
+                    ORDER BY n DESC, prev_type ASC, curr_type ASC) AS rn
+                FROM per_day
+            )
+            SELECT prev_type || ' → ' || curr_type AS route,
+                   CAST(sum(n) AS BIGINT) AS n_transitions
+            FROM ranked WHERE rn <= 5
+            GROUP BY 1
+            ORDER BY n_transitions DESC, route ASC
             LIMIT 5
         """,
         "dedup_exact": f"""

@@ -1,0 +1,77 @@
+"""Streaming/batch equivalence: the Structured Streaming snapshot
+differ must emit the same event multiset as the batch series diff over
+the reference's real snapA/snapB (SURVEY.md §2.9; reference cadence
+src/pipeline.py:13–33)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators.snapshot_diff import diff_snapshot_series
+from wroclaw_bike_stats_spark.sources.snapshots import (
+    flatten_snapshots,
+    read_snapshots,
+)
+from wroclaw_bike_stats_spark.streaming.status_stream import run_available_now
+
+SNAP_A = "/root/reference/data/sample/snapA.json"
+SNAP_B = "/root/reference/data/sample/snapB.json"
+
+EVENT_KEY = ["timestamp", "bike_id", "event_type", "station_name", "station_id"]
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.select(*EVENT_KEY).collect())
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "landing": str(tmp_path / "landing"),
+        "events": str(tmp_path / "events"),
+        "state": str(tmp_path / "state"),
+        "checkpoint": str(tmp_path / "checkpoint"),
+    }
+    (tmp_path / "landing").mkdir()
+    return d
+
+
+def test_streaming_matches_batch_diff(spark, dirs):
+    """Both snapshots land before the first run: the stream (one file
+    per micro-batch, state carried between batches) must emit exactly
+    the batch series-diff events."""
+    shutil.copy2(SNAP_A, f"{dirs['landing']}/bike_rides_a.json")
+    shutil.copy2(SNAP_B, f"{dirs['landing']}/bike_rides_b.json")
+    got = run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    expected = diff_snapshot_series(
+        flatten_snapshots(read_snapshots(spark, [SNAP_A, SNAP_B]))
+    )
+    assert _multiset(got) == _multiset(expected)
+    assert got.count() == 24
+
+
+def test_streaming_incremental_runs(spark, dirs):
+    """Cron parity: snapA processed in run 1, snapB lands later and is
+    processed by run 2 against the durable state — the union of both
+    runs' events equals the batch diff; run 2 reprocesses nothing."""
+    shutil.copy2(SNAP_A, f"{dirs['landing']}/bike_rides_a.json")
+    first = run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    assert first.count() == 0  # single snapshot → no pairs → no events
+
+    shutil.copy2(SNAP_B, f"{dirs['landing']}/bike_rides_b.json")
+    got = run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    expected = diff_snapshot_series(
+        flatten_snapshots(read_snapshots(spark, [SNAP_A, SNAP_B]))
+    )
+    assert _multiset(got) == _multiset(expected)
+    ev590066 = got.filter(F.col("bike_id") == "590066")
+    assert {r["event_type"] for r in ev590066.collect()} == {"departed", "arrived"}

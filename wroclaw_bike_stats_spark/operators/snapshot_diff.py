@@ -80,49 +80,94 @@ def diff_snapshot_series(bike_snapshots: DataFrame) -> DataFrame:
 
     ``bike_snapshots`` is the flattened per-bike table across N
     snapshots (sources.snapshots.flatten_snapshots over a directory).
-    Absence handling: a bike missing from a snapshot has no row, so
-    plain ``lag()`` would bridge the gap and miss the departed/arrived
-    pair. We therefore build, per bike, the dense grid of snapshot
-    timestamps it could appear in (bike × all snapshot ts), left-join
-    its actual rows, and lag over that — null rows then represent
-    absence exactly as in the reference's dict diff.
 
-    Scale note: the dense grid is |bikes| × |snapshots| rows — for the
-    reference's domain (thousands of bikes × 1440 snapshots/day) this
-    is millions of tiny rows per day, one shuffle on bike_id, then a
-    single window pass; still far cheaper than the per-pair rescan.
-    For sparse fleets, the streaming formulation keeps only per-bike
-    last-seen state instead.
+    Sparse formulation — no dense bike×snapshot grid, no cross join:
+
+    1. Index the distinct snapshot timestamps 0..max (one row per
+       snapshot file — tiny, broadcast everywhere).
+    2. One window per bike over its OBSERVED rows only, carrying
+       lag(snap_idx)/lead(snap_idx) plus the lagged station info.
+    3. Absence is detected by index arithmetic, not by null grid rows:
+       - arrived  @ this row's ts: first-ever observation after the
+         series start, reappearance after a gap (prev_idx < idx-1),
+         or a consecutive move (station changed).
+       - departed @ snapshot[idx+1].ts with THIS row's info: the bike
+         is absent from the next snapshot (next_idx > idx+1, or no
+         next observation while idx < max) — the reference stamps a
+         disappearance with the *current* (post-gap) snapshot's ts.
+       - departed @ this row's ts with the LAGGED info: consecutive
+         move.
+
+    Cost: one shuffle on bike_id for the window + two broadcast joins
+    against the snapshot index. Work is O(|observations|), which is
+    ≤ the dense grid's |bikes|×|snapshots| by exactly the absence
+    sparsity — at 100× snapshot retention the grid dominated; this
+    doesn't. The streaming form (streaming/status_stream.py) carries
+    the same per-bike last-seen state incrementally.
     """
-    snaps_ts = bike_snapshots.select("snapshot_ts").distinct()
-    bikes = bike_snapshots.select("bike_id").distinct()
-    grid = bikes.crossJoin(snaps_ts)
+    # Snapshot index: tiny (one row per snapshot); the single-partition
+    # windows below only ever run on this table, never on bike rows.
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy("snapshot_ts")
+    snap_idx = (
+        bike_snapshots.select("snapshot_ts")
+        .distinct()
+        .select(
+            "snapshot_ts",
+            (F.row_number().over(w_ord) - 1).alias("snap_idx"),
+        )
+        .withColumn("max_idx", F.max("snap_idx").over(w_all))
+    )
 
-    dense = grid.join(bike_snapshots, ["bike_id", "snapshot_ts"], "left")
-
-    w = Window.partitionBy("bike_id").orderBy("snapshot_ts")
-    lagged = dense.select(
+    obs = bike_snapshots.join(F.broadcast(snap_idx), "snapshot_ts")
+    w = Window.partitionBy("bike_id").orderBy("snap_idx")
+    seq = obs.select(
         "bike_id",
         "snapshot_ts",
+        "snap_idx",
+        "max_idx",
         *_INFO_COLS,
+        F.lag("snap_idx").over(w).alias("p_idx"),
+        F.lead("snap_idx").over(w).alias("n_idx"),
         *[F.lag(c).over(w).alias(f"p_{c}") for c in _INFO_COLS],
-        F.lag("snapshot_ts").over(w).alias("p_snapshot_ts"),
-    ).filter(F.col("p_snapshot_ts").isNotNull())
-
-    in_prev = F.col("p_station_id").isNotNull()
-    in_curr = F.col("station_id").isNotNull()
-    moved = in_prev & in_curr & (F.col("p_station_id") != F.col("station_id"))
-
-    departed = lagged.filter((in_prev & ~in_curr) | moved).select(
-        F.col("snapshot_ts").alias("timestamp"),
-        "bike_id",
-        F.lit("departed").alias("event_type"),
-        *[F.col(f"p_{c}").alias(c) for c in _INFO_COLS],
     )
-    arrived = lagged.filter((~in_prev & in_curr) | moved).select(
+
+    consecutive = F.col("p_idx") == F.col("snap_idx") - 1
+    moved = consecutive & (F.col("p_station_id") != F.col("station_id"))
+    appeared = (
+        (F.col("p_idx").isNull() & (F.col("snap_idx") > 0))
+        | (F.col("p_idx") < F.col("snap_idx") - 1)
+    )
+    absent_next = (
+        F.col("n_idx").isNull() & (F.col("snap_idx") < F.col("max_idx"))
+    ) | (F.col("n_idx") > F.col("snap_idx") + 1)
+
+    arrived = seq.filter(appeared | moved).select(
         F.col("snapshot_ts").alias("timestamp"),
         "bike_id",
         F.lit("arrived").alias("event_type"),
         *_INFO_COLS,
     )
-    return departed.unionByName(arrived)
+    departed_moved = seq.filter(moved).select(
+        F.col("snapshot_ts").alias("timestamp"),
+        "bike_id",
+        F.lit("departed").alias("event_type"),
+        *[F.col(f"p_{c}").alias(c) for c in _INFO_COLS],
+    )
+    # Disappearances are stamped with the ts of the snapshot the bike
+    # went missing from — join (snap_idx + 1) back to the index.
+    next_ts = snap_idx.select(
+        F.col("snap_idx").alias("_next_idx"), F.col("snapshot_ts").alias("_next_ts")
+    )
+    departed_absent = (
+        seq.filter(absent_next)
+        .withColumn("_next_idx", F.col("snap_idx") + 1)
+        .join(F.broadcast(next_ts), "_next_idx")
+        .select(
+            F.col("_next_ts").alias("timestamp"),
+            "bike_id",
+            F.lit("departed").alias("event_type"),
+            *_INFO_COLS,
+        )
+    )
+    return departed_moved.unionByName(departed_absent).unionByName(arrived)

@@ -1,0 +1,141 @@
+"""Date-range serving queries (SURVEY.md §2.4 A15–A18, F8).
+
+The reference ships these as client-side JS re-aggregations over the
+materialized per-day metrics document (reference: web/js/app.js:
+151–163 metric series + histogram, 165–181 busiest stations, 183–194
+top routes). Engine-side they become queries over the per-day metrics
+table (``plans.daily_metrics.compute_all_days`` output) so the UI
+layer stays dumb.
+
+Faithfulness notes:
+- A17/A18 re-aggregate the stored per-day TOP-5 lists, not base data —
+  an *approximation by design* (stations/routes outside a day's top-5
+  are invisible); reproduced exactly. Exact variants from base rides
+  are trivial compositions of the daily plans and deliberately not
+  substituted.
+- The reference's JS sort leaves ties in Map-insertion order; the
+  engine uses deterministic tie-breaks (total/rides DESC, then name
+  ASC) — documented deviation, only visible on exact ties.
+- A16 divides by the number of days WITH DATA in range (max 1) and
+  rounds half-up; hours are zero-filled 0..23 (the one range view the
+  UI zero-fills, reference app.js:155–163).
+
+Scale: the metrics table is one row per day — these queries are
+driver-cheap by construction; the heavy lifting happened once in
+``compute_all_days``. The explode of a top-5 array is ≤ 5 rows/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# The per-day metric keys the UI charts as line series (app.js:141–149).
+SERIES_METRICS = [
+    "total_rides",
+    "avg_distance_km",
+    "avg_duration_min",
+    "total_distance_km",
+    "total_duration_min",
+    "round_trips",
+    "left_outside_station",
+]
+
+
+def _in_range(daily: DataFrame, start: str, end: str) -> DataFrame:
+    """A15's date predicate: days with data in [start, end] (string
+    compare on yyyy-MM-dd keys, exactly like app.js:151–153)."""
+    return daily.filter(
+        (F.col("ride_date") >= start) & (F.col("ride_date") <= end)
+    )
+
+
+def range_metric_series(
+    daily: DataFrame, start: str, end: str, metric: str
+) -> DataFrame:
+    """A15: (date, value) line series for one metric over the range;
+    missing values → 0 (app.js:211: ``days[ds][m.key] || 0``)."""
+    if metric not in SERIES_METRICS:
+        raise ValueError(f"unknown series metric {metric!r}")
+    return (
+        _in_range(daily, start, end)
+        .select(
+            "ride_date",
+            F.coalesce(F.col(metric), F.lit(0)).alias("value"),
+        )
+        .orderBy("ride_date")
+    )
+
+
+def range_histogram_avg(daily: DataFrame, start: str, end: str) -> DataFrame:
+    """A16: per-hour rental counts summed across the range's days,
+    divided by the day count, half-up rounded; all 24 hours present
+    (zero-filled), keys unpadded strings (app.js:155–163)."""
+    days = _in_range(daily, start, end)
+    per_hour = days.select(
+        F.explode("bike_rentals_histogram").alias("hour", "cnt")
+    ).groupBy("hour").agg(F.sum("cnt").alias("total"))
+    n_days = days.select(F.count(F.lit(1)).alias("n"))
+
+    hours = days.sparkSession.range(24).select(
+        F.col("id").cast("string").alias("hour")
+    )
+    return (
+        hours.join(per_hour, "hour", "left")
+        .crossJoin(F.broadcast(n_days))  # 1-row literal, not a data join
+        .select(
+            "hour",
+            F.round(
+                F.coalesce(F.col("total"), F.lit(0))
+                / F.greatest(F.col("n"), F.lit(1))
+            )
+            .cast("long")
+            .alias("avg_rentals"),
+        )
+        .orderBy(F.col("hour").cast("int"))
+    )
+
+
+def range_busiest_stations(
+    daily: DataFrame, start: str, end: str, top_n: int = 5
+) -> DataFrame:
+    """A17: re-aggregate the stored per-day top-5 station lists —
+    sum arrivals/departures/total per station, top-N by total
+    (app.js:165–181). Approximate by design; see module docstring."""
+    exploded = _in_range(daily, start, end).select(
+        F.explode("busiest_stations_top5").alias("s")
+    )
+    return (
+        exploded.groupBy(F.col("s.station").alias("station"))
+        .agg(
+            F.sum("s.arrivals").alias("arrivals"),
+            F.sum("s.departures").alias("departures"),
+            F.sum("s.total").alias("total"),
+        )
+        .orderBy(F.desc("total"), F.asc("station"))
+        .limit(top_n)
+    )
+
+
+def route_label(start_col, end_col):
+    """F8: the UI's route key ``"A → B"`` (app.js:185)."""
+    return F.concat_ws(" → ", start_col, end_col)
+
+
+def range_top_routes(
+    daily: DataFrame, start: str, end: str, top_n: int = 5
+) -> DataFrame:
+    """A18: re-aggregate the stored per-day top-5 route lists keyed by
+    the F8 label, sum rides, top-N (app.js:183–194)."""
+    exploded = _in_range(daily, start, end).select(
+        F.explode("top_routes_top5").alias("r")
+    )
+    return (
+        exploded.groupBy(
+            route_label(F.col("r.start_station"), F.col("r.end_station")).alias(
+                "route"
+            )
+        )
+        .agg(F.sum("r.rides").alias("rides"))
+        .orderBy(F.desc("rides"), F.asc("route"))
+        .limit(top_n)
+    )
