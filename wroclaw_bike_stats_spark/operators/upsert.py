@@ -22,7 +22,7 @@ equivalent is ``MERGE ... WHEN MATCHED THEN UPDATE SET distance``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wroclaw_bike_stats_spark.functions.distance import haversine_km
@@ -34,13 +34,24 @@ def dedupe_batch_by_uid(batch: DataFrame) -> DataFrame:
 
     SQLite's INSERT OR IGNORE keeps the first row in file order; Spark
     has no inherent row order after a shuffle, so "first" is realized
-    deterministically as the min over the full row tuple — any
-    deterministic pick satisfies the reference's contract (its daily
-    files never actually contain duplicate uids; the index exists to
-    make *re-runs* idempotent).
+    deterministically as the minimum over the remaining row tuple
+    (row_number over a full-column ordering) — stable across runs and
+    partitionings, unlike ``dropDuplicates``, which keeps an arbitrary
+    row. Any deterministic pick satisfies the reference's contract
+    (its daily files never actually contain duplicate uids; the index
+    exists to make *re-runs* idempotent).
     """
     nulls = batch.filter(F.col("uid").isNull())
-    deduped = batch.filter(F.col("uid").isNotNull()).dropDuplicates(["uid"])
+    others = [c for c in batch.columns if c != "uid"]
+    w = Window.partitionBy("uid").orderBy(
+        *[F.col(c).asc_nulls_first() for c in others]
+    )
+    deduped = (
+        batch.filter(F.col("uid").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return deduped.unionByName(nulls)
 
 
