@@ -1,0 +1,72 @@
+"""Benchmark harness: run every ``queries()`` entry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan build + execution + collect).
+A warmup query first absorbs one-time JVM/session startup so the
+numbers reflect steady-state query latency, which is what a resident
+cluster sees. Per-query failures are recorded, not fatal — the bench
+must always emit its JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as entry_mod
+from wroclaw_bike_stats_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(
+        app_name="wbs-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+
+    # Warmup: first touch of each parquet footer + codegen warm paths.
+    try:
+        queries["pricing_summary"](spark, sf_dir).collect()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in queries.items():
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as e:  # noqa: BLE001 - bench must not die
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,6 +19,7 @@ NEVER Python ``hash()``, which is salted per process).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,17 +60,27 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def _make_shingle_udf(n: int):
+    """Arrow-batched distinct word-shingle arrays. Semantically equal
+    to ``array_distinct(word_shingles(...))`` but vectorized — the
+    native form pays the interpreted higher-order-function evaluator
+    ~|shingles| expression evals per row (see _make_minhash_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        return pd.Series([sorted(_py_shingles(t, n)) for t in texts])
+
+    return shingles
+
+
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc."""
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
-                "shingle"
-            ),
-        )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_make_shingle_udf(n)(F.col(text_col))).alias("shingle"),
     )
 
 
@@ -122,6 +133,10 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(cand_ids, "_id", "left_semi")
 
+    # The shingle table feeds sizes + both join sides (3 consumers);
+    # persist (memory-and-disk) so the explode runs once, not 3×.
+    sh = sh.persist()
+
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
@@ -154,6 +169,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def _py_shingles(text: str | None, n: int) -> set[str]:
+    """Python mirror of ``word_shingles`` semantics (lowercase,
+    whitespace tokens, n-grams joined by space, distinct, short docs →
+    one whole-doc shingle). Consistency is only required WITHIN the
+    LSH operator — exact verification always re-shingles JVM-side."""
+    import re as _re
+
+    toks = _re.split(r"\s+", (text or "").strip().lower())
+    n_sh = max(len(toks) - (n - 1), 1)
+    return {" ".join(toks[i : i + n]) for i in range(n_sh)}
+
+
+def _base_hash64(shingles) -> "object":
+    """Deterministic 64-bit base hash per shingle (blake2b-8; NEVER
+    Python ``hash()``, which is salted per process)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+            )
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
+    """Arrow-batched MinHash signatures.
+
+    One base hash per shingle + ``num_hashes`` affine permutations
+    h_i = a_i·h + b_i (mod 2⁶⁴, a_i odd → bijective), min over
+    shingles — all vectorized in numpy. A native-expression version
+    (transform + array_min over xxhash64) is semantically identical
+    but runs in Spark's INTERPRETED higher-order-function evaluator:
+    num_hashes × |shingles| expression evals per row vs one matrix op
+    per Arrow batch here. Narrow map either way — no shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def signatures(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+        out = []
+        for t in texts:
+            base = _base_hash64(_py_shingles(t, shingle_n))
+            with np.errstate(over="ignore"):
+                perms = a[:, None] * base[None, :] + b[:, None]
+            out.append(perms.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return signatures
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -161,20 +239,9 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc as one array column.
-
-    Each permutation i is xxhash64(shingle, seed=i); the signature
-    element is the min over the doc's shingles — computed with
-    transform+array_min entirely JVM-side, no shuffle at all (the
-    signature is a narrow map over each row).
-    """
-    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i))
-        ),
-    )
+    """k-permutation MinHash signature per doc as one array column
+    (see ``_make_minhash_udf`` for the vectorization rationale)."""
+    sig = _make_minhash_udf(num_hashes, shingle_n)(F.col(text_col))
     return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
 
 
@@ -239,42 +306,50 @@ def minhash_dedup_pairs(
     the approximation contract.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = minhash_lsh_candidates(sigs, bands)
+    # The candidate set feeds three downstream consumers (the two id
+    # projections and the pair join); without persistence the whole
+    # signature+banding pipeline would re-execute for each. Candidate
+    # pairs are tiny relative to the corpus (that's the point of LSH),
+    # so caching them is bounded and saves two full recomputations.
+    cands = minhash_lsh_candidates(sigs, bands).cache()
     return ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, threshold, candidates=cands
     )
 
 
-def _bit_vote(bit: int):
-    """Closure factory: +1/-1 vote for a static bit position.
+def _make_simhash_udf(shingle_n: int):
+    """Arrow-batched 64-bit SimHash (Charikar 2002): bit b of the
+    fingerprint is the sign of the sum of ±1 votes from bit b of each
+    shingle's base hash. Vectorized: unpack the (|shingles| × 64) bit
+    matrix with one shift-and-mask, column-sum, threshold at strict
+    majority (votes > 0 ⟺ 2·ones > n), repack. Same
+    interpreted-HOF-vs-numpy rationale as ``_make_minhash_udf``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    ``bit`` must be a Python int both for ``F.shiftright`` (its
-    ``numBits`` rejects Columns) and to keep the lambda single-purpose
-    — a default-arg lambda would change PySpark's arity dispatch.
-    """
-    return lambda votes, h: votes + F.when(
-        F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-    ).otherwise(-1)
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            base = _base_hash64(_py_shingles(t, shingle_n))
+            bits = (base[:, None] >> shifts[None, :]) & np.uint64(1)
+            ones = bits.sum(axis=0)
+            fp_bits = (2 * ones > len(base)).astype(np.uint64)
+            fp = np.uint64(0)
+            with np.errstate(over="ignore"):
+                fp = (fp_bits << shifts).sum(dtype=np.uint64)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
 
 
 def simhash64(col, shingle_n: int = 2):
-    """64-bit SimHash as a native expression: sum ±1 per bit over
-    shingle hashes, take signs. Bit i of xxhash64(shingle) votes
-    +1/-1; the fingerprint packs the 64 sign bits into a long.
-
-    Bit positions are static, so the fingerprint is built with a
-    Python loop over ``range(64)`` — 64 independent JVM aggregate
-    expressions per row (narrow, no shuffle), summed into one long.
-    """
-    shingles = F.array_distinct(word_shingles(col, shingle_n))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    fingerprint = F.lit(0).cast("long")
-    for bit in range(64):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(bit))
-        fingerprint = fingerprint + F.when(
-            votes > 0, F.shiftleft(F.lit(1).cast("long"), bit)
-        ).otherwise(F.lit(0).cast("long"))
-    return fingerprint
+    """64-bit SimHash fingerprint column (see ``_make_simhash_udf``)."""
+    return _make_simhash_udf(shingle_n)(col)
 
 
 def simhash_dedup_groups(
