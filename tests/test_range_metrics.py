@@ -12,9 +12,11 @@ import pytest
 from wroclaw_bike_stats_spark.plans.daily_metrics import compute_all_days
 from wroclaw_bike_stats_spark.plans.range_metrics import (
     range_busiest_stations,
+    range_busiest_stations_exact,
     range_histogram_avg,
     range_metric_series,
     range_top_routes,
+    range_top_routes_exact,
 )
 from wroclaw_bike_stats_spark.schemas import RIDES_SCHEMA
 
@@ -34,8 +36,12 @@ FIXTURE = [
 
 
 @pytest.fixture(scope="module")
-def daily(spark):
-    rides = spark.createDataFrame(FIXTURE, RIDES_SCHEMA)
+def rides(spark):
+    return spark.createDataFrame(FIXTURE, RIDES_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def daily(rides):
     return compute_all_days(rides).cache()
 
 
@@ -92,3 +98,29 @@ def test_range_top_routes_f8_label(daily):
     assert got == {"A → B": 1, "B → A": 1, "C → D": 1}
     # equal rides → route-label ascending
     assert [r["route"] for r in rows] == ["A → B", "B → A", "C → D"]
+
+
+def test_exact_variants_agree_when_top5_covers_everything(rides, daily):
+    """With ≤5 stations/routes per day the approximate re-aggregation
+    loses nothing — exact and approximate must agree on this fixture."""
+    approx_s = {
+        (r["station"], r["arrivals"], r["departures"], r["total"])
+        for r in range_busiest_stations(daily, "2025-04-01", "2025-04-30").collect()
+    }
+    exact_s = {
+        (r["station"], r["arrivals"], r["departures"], r["total"])
+        for r in range_busiest_stations_exact(
+            rides, "2025-04-01", "2025-04-30"
+        ).collect()
+    }
+    assert approx_s == exact_s
+
+    approx_r = {
+        (r["route"], r["rides"])
+        for r in range_top_routes(daily, "2025-04-01", "2025-04-30").collect()
+    }
+    exact_r = {
+        (r["route"], r["rides"])
+        for r in range_top_routes_exact(rides, "2025-04-01", "2025-04-30").collect()
+    }
+    assert approx_r == exact_r

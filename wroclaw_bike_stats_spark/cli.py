@@ -76,6 +76,7 @@ def _load_csvs(
     table_dir: str,
     transform: bool,
     load: bool,
+    interim_dir: str | None = None,
 ) -> None:
     from wroclaw_bike_stats_spark.operators.transform import transform_rides
     from wroclaw_bike_stats_spark.operators.upsert import idempotent_append
@@ -87,6 +88,13 @@ def _load_csvs(
         if transform:
             stations = read_stations(spark, stations_csv)
             df = transform_rides(df, stations)
+        if interim_dir:
+            # S7: cleaned-CSV debug sink (reference writes one cleaned
+            # CSV per input to data/interim/, src/data_load_sqlite.py:275)
+            out = os.path.join(
+                interim_dir, os.path.splitext(os.path.basename(p))[0]
+            )
+            df.write.mode("overwrite").option("header", True).csv(out)
         if load:
             existing = read_table(spark, table_dir)
             merged = df if existing is None else idempotent_append(existing, df)
@@ -109,7 +117,7 @@ def cmd_rides(args: argparse.Namespace) -> None:
             raise SystemExit(f"No CSV files in {folder}")
         _load_csvs(
             spark, paths, args.stations_csv, args.table_dir,
-            args.transform, args.load,
+            args.transform, args.load, args.interim_dir,
         )
         return
 
@@ -131,7 +139,8 @@ def cmd_rides(args: argparse.Namespace) -> None:
         raise SystemExit("No matching CSV files found on the portal")
     paths = [ingest.download_file(u, args.raw_dir) for u in targets]
     _load_csvs(
-        spark, paths, args.stations_csv, args.table_dir, args.transform, args.load
+        spark, paths, args.stations_csv, args.table_dir,
+        args.transform, args.load, args.interim_dir,
     )
 
 
@@ -230,6 +239,10 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--stations-csv", default="data/bike_stations_coords.csv")
     common.add_argument("--raw-dir", default="data/raw")
     common.add_argument("--portal-url", default=PORTAL_URL)
+    common.add_argument(
+        "--interim-dir", default=None,
+        help="Also write cleaned CSVs here (reference: data/interim/)",
+    )
     common.add_argument(
         "--no-transform", dest="transform", action="store_false",
         help="Skip data transformation",

@@ -139,3 +139,82 @@ def range_top_routes(
         .orderBy(F.desc("rides"), F.asc("route"))
         .limit(top_n)
     )
+
+
+# --- exact variants -----------------------------------------------------------
+#
+# The reference's A17/A18 are approximations forced by its architecture
+# (the UI only has the materialized per-day top-5s). The engine also
+# offers the EXACT range aggregations over base rides — same filters and
+# tie-breaks as the daily plans, date-range predicate pushed to the scan
+# (prunes partitions on a ride_date-partitioned layout). SURVEY §2.4
+# A17 note: keep both; the approximate one is the parity surface.
+
+
+def _rides_in_range(rides: DataFrame, start: str, end: str) -> DataFrame:
+    return rides.filter(
+        (F.to_date("start_time") >= F.lit(start).cast("date"))
+        & (F.to_date("start_time") <= F.lit(end).cast("date"))
+    )
+
+
+def range_busiest_stations_exact(
+    rides: DataFrame, start: str, end: str, top_n: int = 5
+) -> DataFrame:
+    """Exact A17: arrivals+departures per station over base rides in
+    the range — stations never in a daily top-5 are visible here."""
+    from wroclaw_bike_stats_spark.schemas import OUTSIDE_STATION
+
+    base = _rides_in_range(rides, start, end).filter(F.col("duration") > 2)
+    dep = (
+        base.filter(
+            F.col("start_station").isNotNull()
+            & (F.col("start_station") != OUTSIDE_STATION)
+        )
+        .groupBy(F.col("start_station").alias("station"))
+        .agg(F.count(F.lit(1)).alias("departures"))
+    )
+    arr = (
+        base.filter(
+            F.col("end_station").isNotNull()
+            & (F.col("end_station") != OUTSIDE_STATION)
+        )
+        .groupBy(F.col("end_station").alias("station"))
+        .agg(F.count(F.lit(1)).alias("arrivals"))
+    )
+    return (
+        dep.join(arr, "station", "full_outer")
+        .select(
+            "station",
+            F.coalesce("arrivals", F.lit(0)).alias("arrivals"),
+            F.coalesce("departures", F.lit(0)).alias("departures"),
+        )
+        .withColumn("total", (F.col("arrivals") + F.col("departures")).cast("long"))
+        .orderBy(F.desc("total"), F.asc("station"))
+        .limit(top_n)
+    )
+
+
+def range_top_routes_exact(
+    rides: DataFrame, start: str, end: str, top_n: int = 5
+) -> DataFrame:
+    """Exact A18: route counts over base rides in the range under the
+    F8 label, same exclusions as the daily plan (nulls, round trips,
+    'Poza stacją')."""
+    from wroclaw_bike_stats_spark.schemas import OUTSIDE_STATION
+
+    s, e = F.col("start_station"), F.col("end_station")
+    base = _rides_in_range(rides, start, end).filter(
+        (F.col("duration") > 2)
+        & s.isNotNull()
+        & e.isNotNull()
+        & (s != e)
+        & (s != OUTSIDE_STATION)
+        & (e != OUTSIDE_STATION)
+    )
+    return (
+        base.groupBy(route_label(s, e).alias("route"))
+        .agg(F.count(F.lit(1)).alias("rides"))
+        .orderBy(F.desc("rides"), F.asc("route"))
+        .limit(top_n)
+    )
