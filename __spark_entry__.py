@@ -320,19 +320,46 @@ def q_range_reagg_busiest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RANGE_START, RANGE_END = "2024-01-05", "2024-01-20"
+# Same range as raw-timestamp bounds: date(ts) ∈ [START, END] ⟺
+# ts ∈ [START 00:00, END+1day 00:00). Filtering on RAW ts (not the
+# derived date string) lets the predicate push to the parquet scan —
+# at scale the range query reads only the range, not all history.
+RANGE_TS_LO, RANGE_TS_HI = "2024-01-05 00:00:00", "2024-01-21 00:00:00"
+
+
+def _events_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bounded events scan. The ts conversion in ``_t`` (nanos
+    long → timestamp) would block pushdown — a predicate on a derived
+    column never reaches the scan — so the bounds are applied to the
+    RAW nanos column first (plain long comparisons, pushed to parquet
+    row-group pruning), then converted."""
+    import calendar
+    import datetime as _dt
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        ev = _t(spark, sf_dir, "events")
+        return ev.filter((F.col("ts") >= RANGE_TS_LO) & (F.col("ts") < RANGE_TS_HI))
+
+    def _ns(s: str) -> int:
+        t = _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+        return calendar.timegm(t.timetuple()) * 1_000_000_000
+
+    return raw.filter(
+        (F.col("ts") >= _ns(RANGE_TS_LO)) & (F.col("ts") < _ns(RANGE_TS_HI))
+    ).withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
 def q_range_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 analog: per-day (date, value) line series over a date range
     — the UI's range metric series (reference web/js/app.js:151–153,
-    211–212), value coalesced to 0."""
-    ev = _t(spark, sf_dir, "events")
+    211–212), value coalesced to 0. Range predicate on raw ts →
+    pushed to the scan."""
     return (
-        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"))
+        _events_in_range(spark, sf_dir)
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"))
         .agg(F.coalesce(F.round(F.sum("value"), 3), F.lit(0.0)).alias("value"))
-        .filter(
-            (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
-        )
         .orderBy("event_date")
     )
 
@@ -341,12 +368,9 @@ def q_range_hist_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 analog: hourly histogram averaged over the range's days —
     sum per hour ÷ number of days with data, half-up rounded, all 24
     hours zero-filled (reference web/js/app.js:155–163)."""
-    ev = _t(spark, sf_dir, "events")
-    in_range = ev.select(
+    in_range = _events_in_range(spark, sf_dir).select(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
         F.hour("ts").alias("h"),
-    ).filter(
-        (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
     )
     per_hour = in_range.groupBy("h").agg(F.count(F.lit(1)).alias("total"))
     n_days = in_range.select(
@@ -376,14 +400,15 @@ def q_range_reagg_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     changes = q_status_change_events(spark, sf_dir)
-    ev = _t(spark, sf_dir, "events").select(
+    # The lag window must see FULL history (a change's prev event may
+    # precede the range), but the date-lookup side prunes to the range
+    # — raw-ts bounds push to this scan; the join then drops
+    # out-of-range changes.
+    ev = _events_in_range(spark, sf_dir).select(
         "event_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date")
     )
     per_day = (
         changes.join(ev, "event_id")
-        .filter(
-            (F.col("event_date") >= RANGE_START) & (F.col("event_date") <= RANGE_END)
-        )
         .groupBy("event_date", "prev_type", "curr_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
