@@ -115,6 +115,18 @@ def ngram_jaccard_pairs(
     against doc-b's on (id_b, shingle). Cost is O(|candidates| × doc
     shingles), never corpus-quadratic.
     """
+    if candidates is not None:
+        # Reduce the corpus to candidate docs BEFORE shingling — the
+        # (usually tiny) candidate set means the shingle generation,
+        # not just the join, skips non-candidates. Per-doc shingle
+        # sizes stay exact: the reduction is at doc granularity.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_ids, id_col, "left_semi")
+
     sh = _shingle_table(df, text_col, id_col, n)
     if df_cap is not None:
         stop = (
@@ -124,14 +136,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
-
-    if candidates is not None:
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("_id"))
-            .union(candidates.select(F.col("id_b").alias("_id")))
-            .distinct()
-        )
-        sh = sh.join(cand_ids, "_id", "left_semi")
 
     # The shingle table feeds sizes + both join sides (3 consumers);
     # persist (memory-and-disk) so the explode runs once, not 3×.
