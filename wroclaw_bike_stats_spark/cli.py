@@ -174,7 +174,11 @@ def cmd_metrics(args: argparse.Namespace) -> None:
     if day is None and args.latest:
         day = latest_ride_date(rides)
     if day is None:
-        raise SystemExit("Pass --date, --latest, or --year")
+        # reference fallback: today in UTC when neither flag is given
+        # (src/compute_daily_metrics.py:309–311)
+        import datetime as _dt
+
+        day = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d")
     metrics = compute_daily_metrics(rides, day)
     year = int(day[:4])
     out = args.out or os.path.join(args.metrics_dir, f"{year}.json")
