@@ -179,6 +179,84 @@ def test_series_plan_has_no_cross_join(flat):
     assert "CartesianProduct" not in plan
 
 
+def test_duplicate_bike_last_place_wins(spark, tmp_path):
+    """O17: a bike listed at two places in ONE snapshot resolves to the
+    LATER place (the reference's dict-overwrite order,
+    src/bike_status_changes.py:65,77)."""
+    payload = {
+        "_fetched_at": "2025-01-01T00:00:00",
+        "data": [
+            {
+                "cities": [
+                    {
+                        "places": [
+                            {
+                                "uid": "1",
+                                "name": "First station",
+                                "placeType": "STATION",
+                                "geoCoords": {"lat": 51.0, "lng": 17.0},
+                                "bikes": [
+                                    {"number": 42, "bikeType": "STANDARD", "battery": None}
+                                ],
+                            },
+                            {
+                                "uid": "2",
+                                "name": "Second station",
+                                "placeType": "STATION",
+                                "geoCoords": {"lat": 51.1, "lng": 17.1},
+                                "bikes": [
+                                    {"number": 42, "bikeType": "STANDARD", "battery": None}
+                                ],
+                            },
+                        ]
+                    }
+                ]
+            }
+        ],
+    }
+    f = tmp_path / "dup.json"
+    f.write_text(json.dumps(payload), encoding="utf-8")
+    rows = flatten_snapshots(read_snapshots(spark, str(f))).collect()
+    assert len(rows) == 1
+    assert rows[0]["station_name"] == "Second station"
+    assert rows[0]["station_id"] == "2"
+
+
+def test_bike_numbers_only_place_gets_null_type(spark, tmp_path):
+    """O16: bikes known only via bikeNumbers (empty bikes list) get
+    null bike_type/battery (reference :74–84)."""
+    payload = {
+        "_fetched_at": "2025-01-01T00:00:00",
+        "data": [
+            {
+                "cities": [
+                    {
+                        "places": [
+                            {
+                                "uid": "9",
+                                "name": "Numbers only",
+                                "placeType": "STATION",
+                                "geoCoords": {"lat": 51.0, "lng": 17.0},
+                                "bikes": [],
+                                "bikeNumbers": [77, 78],
+                            }
+                        ]
+                    }
+                ]
+            }
+        ],
+    }
+    f = tmp_path / "numbers.json"
+    f.write_text(json.dumps(payload), encoding="utf-8")
+    rows = {
+        r["bike_id"]: r
+        for r in flatten_snapshots(read_snapshots(spark, str(f))).collect()
+    }
+    assert set(rows) == {"77", "78"}
+    assert all(r["bike_type"] is None and r["battery"] is None for r in rows.values())
+    assert all(r["station_name"] == "Numbers only" for r in rows.values())
+
+
 def test_empty_place_emits_nothing(spark, tmp_path):
     """O14: a place with neither bikes nor bikeNumbers is skipped."""
     payload = {
