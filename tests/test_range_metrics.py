@@ -100,6 +100,28 @@ def test_range_top_routes_f8_label(daily):
     assert [r["route"] for r in rows] == ["A → B", "B → A", "C → D"]
 
 
+def test_nearest_available_date(spark, daily):
+    """As-of lookup parity with the reference's binary-search helpers
+    (web/js/app.js:79–110): exact hit, on-or-before/after with edge
+    fallbacks, nearest-any with tie to the earlier date."""
+    from wroclaw_bike_stats_spark.plans.range_metrics import (
+        nearest_available_date,
+    )
+
+    # available: 2025-04-06, 2025-04-07
+    f = nearest_available_date
+    assert f(daily, "2025-04-07", "before") == "2025-04-07"  # exact
+    assert f(daily, "2025-04-08", "before") == "2025-04-07"
+    assert f(daily, "2025-04-01", "before") == "2025-04-06"  # fallback first
+    assert f(daily, "2025-04-01", "after") == "2025-04-06"
+    assert f(daily, "2025-04-30", "after") == "2025-04-07"  # fallback last
+    assert f(daily, "2025-04-05", "any") == "2025-04-06"
+    assert f(daily, "2025-04-20", "any") == "2025-04-07"
+    # empty table → target passes through
+    empty = daily.filter("ride_date = 'never'")
+    assert f(empty, "2025-01-01", "any") == "2025-01-01"
+
+
 def test_exact_variants_agree_when_top5_covers_everything(rides, daily):
     """With ≤5 stations/routes per day the approximate re-aggregation
     loses nothing — exact and approximate must agree on this fixture."""

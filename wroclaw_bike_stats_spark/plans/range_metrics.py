@@ -218,3 +218,53 @@ def range_top_routes_exact(
         .orderBy(F.desc("rides"), F.asc("route"))
         .limit(top_n)
     )
+
+
+# --- as-of date lookup (SURVEY §2.5) -----------------------------------------
+#
+# The UI resolves a requested date to the nearest AVAILABLE date with a
+# binary search over the sorted date list (reference web/js/app.js:
+# 79–110: lowerBound / nearestOnOrBefore / nearestOnOrAfter /
+# nearestAvailableAny). Engine-side this is an as-of lookup over the
+# per-day metrics table — expressed as aggregations (max ≤ / min ≥),
+# which Catalyst executes as a pruned scan + partial agg, no sort of
+# the full table. Fallback semantics match the JS exactly: before →
+# earliest when nothing precedes; after → latest when nothing follows;
+# any → closer of the two, ties to the earlier date; empty table →
+# the target itself.
+
+
+def nearest_available_date(
+    daily: DataFrame, target: str, direction: str = "any"
+) -> str:
+    """Resolve ``target`` (yyyy-MM-dd) to the nearest date present in
+    ``daily`` per the reference's rules. Result sets are tiny (the
+    metrics table is one row per day), so the final pick is a
+    driver-side scalar."""
+    dates = daily.select(F.col("ride_date").alias("d"))
+    row = dates.agg(
+        F.max(F.when(F.col("d") <= target, F.col("d"))).alias("before"),
+        F.min(F.when(F.col("d") >= target, F.col("d"))).alias("after"),
+        F.min("d").alias("first"),
+        F.max("d").alias("last"),
+    ).collect()[0]
+    if row["first"] is None:  # empty table → target passes through
+        return target
+    before, after = row["before"], row["after"]
+    if after == target:
+        return target
+    if direction == "before":
+        return before if before is not None else row["first"]
+    if direction == "after":
+        return after if after is not None else row["last"]
+    if direction == "any":
+        if before is not None and after is not None:
+            import datetime as _dt
+
+            fmt = "%Y-%m-%d"
+            t = _dt.datetime.strptime(target, fmt)
+            db = abs((t - _dt.datetime.strptime(before, fmt)).total_seconds())
+            da = abs((_dt.datetime.strptime(after, fmt) - t).total_seconds())
+            return before if db <= da else after
+        return before or after
+    raise ValueError(f"unknown direction {direction!r}")
