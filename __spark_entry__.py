@@ -428,6 +428,58 @@ def q_range_reagg_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event gets the latest
+    purchase timestamp of the same user at-or-before its own ts —
+    union + keyed window, one shuffle, no inequality join. Oracle uses
+    DuckDB's native ASOF LEFT JOIN."""
+    from wroclaw_bike_stats_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+    )
+    joined = asof_join(ev, purchases, on="ts", by="user_id", right_cols=["ts"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+    )
+
+
+def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): for each error event,
+    count same-user events inside its 1-hour window [ts, ts+1h) —
+    bin-pruned equi-join, never a nested-loop inequality join."""
+    from wroclaw_bike_stats_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id"), "user_id", F.unix_timestamp("ts").alias("pt")
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            F.col("user_id").alias("w_user"),
+            F.unix_timestamp("ts").alias("w_start"),
+            (F.unix_timestamp("ts") + 3600).alias("w_end"),
+        )
+        .withColumnRenamed("w_user", "user_id")
+    )
+    matched = range_join(
+        points, windows, point_col="pt", start_col="w_start",
+        end_col="w_end", by="user_id", bin_width=3600,
+    )
+    return (
+        matched.groupBy("error_event_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("error_event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings.
 
@@ -559,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_series_daily": q_range_series_daily,
         "range_hist_avg": q_range_hist_avg,
         "range_reagg_routes": q_range_reagg_routes,
+        "asof_last_purchase": q_asof_last_purchase,
+        "range_join_error_window": q_range_join_error_window,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -824,6 +878,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_transitions DESC, route ASC
             LIMIT 5
+        """,
+        "asof_last_purchase": """
+            SELECT l.event_id, l.user_id,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_error_window": """
+            SELECT e.event_id AS error_event_id,
+                   count(*) AS n_events
+            FROM events e
+            JOIN events ev
+              ON ev.user_id = e.user_id
+             AND epoch(ev.ts) >= epoch(e.ts)
+             AND epoch(ev.ts) < epoch(e.ts) + 3600
+            WHERE e.event_type = 'error'
+            GROUP BY 1
+            ORDER BY error_event_id
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,
