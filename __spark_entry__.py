@@ -480,6 +480,26 @@ def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup shape: 6-hour tumbling-window aggregate via
+    Spark's native F.window (the same construct Structured Streaming
+    uses for windowed aggs — batch and streaming share it)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings.
 
@@ -613,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_reagg_routes": q_range_reagg_routes,
         "asof_last_purchase": q_asof_last_purchase,
         "range_join_error_window": q_range_join_error_window,
+        "tumbling_window_agg": q_tumbling_window_agg,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -898,6 +919,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'error'
             GROUP BY 1
             ORDER BY error_event_id
+        """,
+        "tumbling_window_agg": """
+            SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM events
+            GROUP BY 1
+            ORDER BY bucket_start
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,
