@@ -500,6 +500,22 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessionize.py): 30-min
+    inactivity closes a session; per-session rollup. One shuffle on
+    user_id for the windows + the rollup."""
+    from wroclaw_bike_stats_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(ev, on="ts", by="user_id", gap_seconds=1800).select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events"),
+        F.col("duration_s").cast("long").alias("duration_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings.
 
@@ -634,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "range_join_error_window": q_range_join_error_window,
         "tumbling_window_agg": q_tumbling_window_agg,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -928,6 +945,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
             ORDER BY bucket_start
+        """,
+        "sessionize": """
+            -- floor(epoch(...)) per timestamp: Spark's unix_timestamp
+            -- truncates to whole seconds BEFORE differencing; DuckDB's
+            -- epoch() keeps fractional seconds, which both shifts gap
+            -- decisions at the 1800s boundary and off-by-ones durations.
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, ts_s,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   max(ts_s) - min(ts_s) AS duration_s
+            FROM sess
+            GROUP BY user_id, session_id
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,
