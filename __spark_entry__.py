@@ -516,6 +516,51 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, day-of-week)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        # dow as STRING: a nullable int column round-trips as float
+        # through pandas on the oracle side and breaks value compare
+        ev.cube("event_type", F.dayofweek("ts").cast("string").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
+        )
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark percentile
+    ≡ DuckDB quantile_cont; both linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_user_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-family distinct-user sketch per event type —
+    approx_count_distinct (no SQL oracle: engines use different sketch
+    algorithms; the ≤5%-relative-error contract vs the exact count is
+    asserted in tests/test_sessionize_salting.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings.
 
@@ -651,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_error_window": q_range_join_error_window,
         "tumbling_window_agg": q_tumbling_window_agg,
         "sessionize": q_sessionize,
+        "cube_event_stats": q_cube_event_stats,
+        "value_quantiles": q_value_quantiles,
+        "user_count_hll": q_user_count_hll,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -975,6 +1023,24 @@ def oracle_sql() -> dict[str, str]:
                    max(ts_s) - min(ts_s) AS duration_s
             FROM sess
             GROUP BY user_id, session_id
+        """,
+        "cube_event_stats": """
+            SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, dow)
+            ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,

@@ -64,6 +64,27 @@ def test_count_distinct_skew_safe_matches_exact(spark):
     assert safe == exact
 
 
+def test_hll_sketch_error_bound(spark):
+    """The approx-distinct sketch query must stay within 5% relative
+    error of the exact count (rsd=0.02 configured; 5% leaves margin)."""
+    import __spark_entry__ as entry_mod
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in entry_mod.q_user_count_hll(spark, "/root/testdata/sf0.001").collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05
+
+
 def test_salted_join_matches_plain_join(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
         "event_id", "user_id"
