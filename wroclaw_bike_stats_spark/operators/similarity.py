@@ -44,10 +44,38 @@ def _norm(a):
 
 def cosine(a, b):
     """Cosine similarity of two array<numeric> columns — native
-    expression, computed in double precision."""
+    expression, computed in double precision with a sequential
+    left-fold sum (bit-compatible with the DuckDB oracle's
+    list_cosine_similarity over DOUBLE[])."""
     a_d = F.transform(a, lambda x: x.cast("double"))
     b_d = F.transform(b, lambda x: x.cast("double"))
     return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
+
+
+def _make_cosine_udf():
+    """Arrow-batched cosine for HIGH-VOLUME verification paths (LSH
+    candidate pairs): one matmul-shaped numpy op per batch instead of
+    interpreted per-element folds. numpy's pairwise summation can
+    differ from the sequential fold in the last ulp — use the native
+    ``cosine`` where bit-parity with an oracle matters (top-k); here
+    the value is rounded to 6 dp before thresholding either way."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return cos
 
 
 def cosine_topk_bruteforce(
@@ -287,11 +315,13 @@ def embedding_neardup_pairs(
             corpus, num_planes, bands, id_col, vec_col
         )
         pairs = cands.join(a, "id_a").join(b, "id_b")
+    # candidate volume is the hot dimension here → vectorized cosine
+    sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
