@@ -176,11 +176,16 @@ def ngram_jaccard_pairs(
 def _py_shingles(text: str | None, n: int) -> set[str]:
     """Python mirror of ``word_shingles`` semantics (lowercase,
     whitespace tokens, n-grams joined by space, distinct, short docs →
-    one whole-doc shingle). Consistency is only required WITHIN the
-    LSH operator — exact verification always re-shingles JVM-side."""
+    one whole-doc shingle).
+
+    re.ASCII keeps ``\\s`` ASCII-only, matching Java regex and
+    DuckDB/RE2 — Python's default unicode ``\\s`` also matches NBSP
+    and friends, which would silently shift shingle boundaries vs the
+    JVM expression and the oracle on non-ASCII whitespace."""
     import re as _re
 
-    toks = _re.split(r"\s+", (text or "").strip().lower())
+    # strip(" ") not strip(): JVM/DuckDB trim() removes spaces only
+    toks = _re.split(r"\s+", (text or "").strip(" ").lower(), flags=_re.ASCII)
     n_sh = max(len(toks) - (n - 1), 1)
     return {" ".join(toks[i : i + n]) for i in range(n_sh)}
 
