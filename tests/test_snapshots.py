@@ -138,7 +138,6 @@ def test_series_equals_pairwise_diffs_with_gaps(spark):
     diffs over EVERY consecutive pair — including bikes that vanish
     for one or more snapshots and reappear (the case a naive lag over
     observed rows would bridge)."""
-    from wroclaw_bike_stats_spark.schemas import BIKE_SNAPSHOT_SCHEMA
 
     # (ts, bike, station) — bike b1 moves, b2 vanishes at t2 and
     # reappears at t4, b3 appears at t3 only, b4 never moves.

@@ -4,7 +4,7 @@ tests/test_data_load_sqlite.py:31–112 golden behavior."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+
 
 from wroclaw_bike_stats_spark.operators.transform import transform_rides
 from wroclaw_bike_stats_spark.schemas import (

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-import pytest
 
 from wroclaw_bike_stats_spark.operators.upsert import (
     dedupe_batch_by_uid,
