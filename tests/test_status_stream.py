@@ -55,6 +55,47 @@ def test_streaming_matches_batch_diff(spark, dirs):
     assert got.count() == 24
 
 
+def test_streaming_three_snapshots_incremental(spark, dirs, tmp_path):
+    """Three snapshots across two runs: run 1 sees A+B, run 2 sees a
+    synthetic C where bike 590066 vanishes — the union of both runs'
+    events must equal the batch series diff over all three."""
+    import json
+
+    shutil.copy2(SNAP_A, f"{dirs['landing']}/bike_rides_a.json")
+    shutil.copy2(SNAP_B, f"{dirs['landing']}/bike_rides_b.json")
+    run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+
+    # snapC = snapB minus bike 590066's place, newer timestamp
+    doc = json.loads(open(SNAP_B, encoding="utf-8").read())
+    doc["_fetched_at"] = "2025-08-21T15:07:02+02:00"
+    for city in doc["data"][0]["cities"]:
+        city["places"] = [
+            p
+            for p in city.get("places", [])
+            if 590066 not in [b.get("number") for b in (p.get("bikes") or [])]
+        ]
+    snap_c = tmp_path / "snapC.json"
+    snap_c.write_text(json.dumps(doc), encoding="utf-8")
+    shutil.copy2(snap_c, f"{dirs['landing']}/bike_rides_c.json")
+
+    got = run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    expected = diff_snapshot_series(
+        flatten_snapshots(read_snapshots(spark, [SNAP_A, SNAP_B, str(snap_c)]))
+    )
+    assert _multiset(got) == _multiset(expected)
+    # the C-run must contain 590066's departure stamped with C's ts
+    dep = got.filter(
+        (F.col("bike_id") == "590066")
+        & (F.col("event_type") == "departed")
+        & (F.col("timestamp") == "2025-08-21T15:07:02+02:00")
+    )
+    assert dep.count() == 1
+
+
 def test_streaming_incremental_runs(spark, dirs):
     """Cron parity: snapA processed in run 1, snapB lands later and is
     processed by run 2 against the durable state — the union of both
