@@ -92,6 +92,27 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(bfp & ivfp) / len(bfp) >= 0.6
 
 
+def test_ivf_indexed_prunes_partitions_and_matches_inline(spark, emb, tmp_path):
+    """The materialized IVF index must (a) return the same results as
+    the inline IVF path and (b) prove probe pruning at the scan:
+    PartitionFilters on centroid_id, reading only nprobe partitions."""
+    centroids, assigned = SIM.ivf_assign(emb, num_centroids=16)
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_write_index(assigned, path)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = SIM.cosine_topk_ivf(emb, q, k=10, num_centroids=16, nprobe=4)
+    indexed = SIM.cosine_topk_ivf_indexed(
+        spark, path, centroids, q, k=10, nprobe=4
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+
 def test_hyperplane_lsh_finds_near_identical_vectors(spark, emb):
     """The dedup contract: near-identical vectors (the actual near-dup
     use case) must survive banded hyperplane LSH + exact verify."""

@@ -153,6 +153,79 @@ def ivf_assign(
     return centroids, assigned
 
 
+def ivf_write_index(
+    assigned: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize the IVF index partitioned by centroid — probing
+    ``nprobe`` clusters then prunes at the FILE level (PartitionFilters
+    on centroid_id), so a probe reads nprobe/num_centroids of the
+    corpus from disk instead of scanning it."""
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a MATERIALIZED IVF index: identical
+    semantics to ``cosine_topk_ivf`` but reading the
+    centroid-partitioned layout, where the probe filter becomes
+    partition pruning (verified in tests via PartitionFilters)."""
+    assigned = spark.read.parquet(index_path)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine(F.col("q_vec"), F.col("centroid_vec")).alias("_sim"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    # collect the (tiny: ≤ queries × nprobe) probe set so the centroid
+    # predicate is a LITERAL IN-list the scan can prune partitions with
+    probe_ids = sorted(
+        {r["centroid_id"] for r in q_probe.select("centroid_id").collect()}
+    )
+    pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
+
+    scored = (
+        pruned.join(F.broadcast(q_probe), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
