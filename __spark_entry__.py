@@ -618,11 +618,19 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint groups (xxhash64-based — no SQL oracle)."""
+    """SimHash fingerprint groups (hash-based — no SQL oracle)."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_dedup_groups(docs).select(
         "simhash", "n_docs", F.col("ids").cast("array<bigint>").alias("ids")
     )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball SimHash near-dup pairs (no SQL oracle — hash-
+    based; EXACT recall vs brute force is asserted in
+    tests/test_dedup_similarity.py via the pigeonhole guarantee)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
         "simhash_groups": q_simhash_groups,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_topk_ivf": q_embedding_topk_ivf,

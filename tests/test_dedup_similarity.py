@@ -64,6 +64,37 @@ def test_df_cap_drops_stop_shingles(spark):
     assert capped.count() == 0
 
 
+def test_simhash_neardup_exact_recall_vs_bruteforce(spark, docs):
+    """Pigeonhole guarantee: with 4 bands and max_hamming 3, banded
+    candidates + verify must equal the brute-force hamming join."""
+    from pyspark.sql import functions as SF
+
+    sims = docs.select(
+        "doc_id", D.simhash64(SF.col("text"), 2).alias("simhash")
+    ).cache()
+    a = sims.select(SF.col("doc_id").alias("id_a"), SF.col("simhash").alias("sa"))
+    b = sims.select(SF.col("doc_id").alias("id_b"), SF.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(SF.col("id_a") < SF.col("id_b"))
+        .withColumn("h", SF.bit_count(SF.col("sa").bitwiseXOR(SF.col("sb"))))
+        .filter(SF.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert banded == brute
+    assert brute, "fixture corpus should contain simhash near-dups"
+
+
+def test_simhash_neardup_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        D.simhash_neardup_pairs(docs, max_hamming=4, bands=4)
+
+
 def test_simhash_identical_docs_share_fingerprint(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),

@@ -361,11 +361,70 @@ def simhash64(col, shingle_n: int = 2):
     return _make_simhash_udf(shingle_n)(col)
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-ball SimHash near-dup: (a<b) pairs whose fingerprints
+    differ in ≤ ``max_hamming`` bits.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``bands``
+    chunks; two fingerprints within hamming distance ≤ bands-1 MUST
+    agree on at least one whole chunk — so with the defaults
+    (4 bands, max_hamming 3) the candidate join has EXACT recall, not
+    probabilistic (asserted against brute force in tests). Candidates
+    come from an equi-join on (band_idx, chunk value); verification is
+    ``bit_count(a XOR b)`` — one narrow expression.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"exact recall needs max_hamming <= bands-1 "
+            f"(got {max_hamming} vs {bands} bands)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sims = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(F.col(text_col), shingle_n).alias("simhash"),
+    )
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sims.select(
+        "_id", F.posexplode(chunks).alias("band_idx", "chunk")
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "chunk"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
 ) -> DataFrame:
     """Group docs by identical SimHash fingerprint (strictest form;
-    hamming-ball variants bucket on fingerprint chunks like LSH)."""
+    ``simhash_neardup_pairs`` is the hamming-ball relaxation)."""
     return (
         df.select(
             F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("simhash")
