@@ -279,6 +279,266 @@ def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wider TPC-H query-shape coverage: outer-join double aggregation (Q13),
+# HAVING on an aggregate (Q18), scalar-subquery filters (Q11/Q22), semi-join
+# with an inequality (Q4), dual-dimension-path join (Q7), conditional-share
+# aggregation (Q14), analytic windows (rank / cumulative / moving), pivot.
+# All shuffles are on high-cardinality keys; every dim-side join is an
+# explicit broadcast; scalar aggregates join via broadcast of a 1-row plan —
+# shapes that hold unchanged at 100 TB.
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    then a second aggregation over the per-customer counts. The first
+    agg shuffles on c_custkey (high cardinality); the second groups the
+    tiny (count → customers) distribution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum prunes the fact side
+    *before* the join back to orders/customer — at scale the join input
+    is the handful of large orders, not the whole lineitem table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+    )
+
+
+def q_suppliers_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11/Q15 shape: scalar aggregate (avg supplier revenue) as a
+    broadcast 1-row join — no driver collect, no correlated re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    sr = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_raw")
+    )
+    avg_rev = sr.agg(F.avg("rev_raw").alias("avg_rev"))
+    return (
+        sr.join(F.broadcast(avg_rev))
+        .filter(F.col("rev_raw") > F.col("avg_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .select("s_name", F.round("rev_raw", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("s_name"))
+    )
+
+
+def q_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (loosened: the testdata has no order-less rich
+    customers, so the anti-join leg — covered by
+    ``customers_without_orders`` — is dropped): scalar subquery over
+    positive balances gates the rows, then a per-nation rollup."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation share per ship month.
+    Only (p_partkey, p_type) is broadcast, not the whole part table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join with an inequality
+    across both sides (shipped >60 days after ordering)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_shipping_volume_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact row reaches one nation dim through
+    supplier and another through orders→customer; both dim chains are
+    broadcast so the only shuffle is the lineitem⋈orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ["NATION_1", "NATION_2"]
+    return (
+        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            F.col("supp_nation").isin(pair)
+            & F.col("cust_nation").isin(pair)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_revenue_rank_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank: top-3 customers by spend within each nation.
+    rank() over a 25-partition window AFTER the per-customer agg — the
+    window input is |customers| rows, not |orders|."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        spend.join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .select("n_name", "c_name", "c_custkey", "revenue")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "revenue", "rnk")
+        .orderBy("n_name", "rnk", "c_name")
+    )
+
+
+def q_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running/moving frames: cumulative spend and a 3-order
+    moving average per customer, deterministic (date, orderkey) order.
+    Sampled to custkey % 100 == 0 to keep the gate result small; the
+    window shape is unchanged at full cardinality.
+
+    Window sums run on exact integer CENTS, not doubles: windowed
+    double addition is association-order-dependent (Spark accumulates
+    sequentially, other engines use segment trees), and at sf0.1 three
+    rows landed within an ulp of a .005 round boundary. Integer sums
+    are exact, and the single fp division afterwards is IEEE-identical
+    across engines."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return (
+        orders.withColumn("cents", cents)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 2).alias("order_price"),
+            (F.sum("cents").over(cum).cast("double") / 100.0).alias(
+                "running_total"
+            ),
+            # Integer round-half-up of the mean cent value:
+            # floor((2s+n)/(2n)). No fp round() anywhere — engines
+            # disagree on round() of doubles one ulp from a boundary.
+            (
+                F.floor(
+                    (2 * F.sum("cents").over(mov) + F.count(F.lit(1)).over(mov))
+                    / (2 * F.count(F.lit(1)).over(mov))
+                ).cast("double")
+                / 100.0
+            ).alias("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    )
+
+
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as priority × status matrix. Explicit pivot
+    value list keeps the plan a single pass (no distinct-values
+    pre-query) — required at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
 def q_distinct_event_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: ordered distinct calendar dates."""
     ev = _t(spark, sf_dir, "events")
@@ -694,6 +954,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "customers_with_orders": q_customers_with_orders,
         "rollup_order_stats": q_rollup_order_stats,
+        "order_count_distribution": q_order_count_distribution,
+        "large_orders_having": q_large_orders_having,
+        "suppliers_above_avg": q_suppliers_above_avg,
+        "rich_customers_by_nation": q_rich_customers_by_nation,
+        "promo_revenue_share": q_promo_revenue_share,
+        "order_priority_late": q_order_priority_late,
+        "shipping_volume_nations": q_shipping_volume_nations,
+        "revenue_rank_by_nation": q_revenue_rank_by_nation,
+        "running_customer_revenue": q_running_customer_revenue,
+        "pivot_priority_status": q_pivot_priority_status,
         "distinct_event_dates": q_distinct_event_dates,
         "latest_event_date": q_latest_event_date,
         "range_reagg_busiest": q_range_reagg_busiest,
@@ -888,6 +1158,136 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST,
                      o_orderpriority ASC NULLS FIRST
+        """,
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "large_orders_having": """
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   round(o_totalprice, 2) AS total_price,
+                   sum_qty
+            FROM (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 300
+            ) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey ASC
+        """,
+        "suppliers_above_avg": """
+            WITH sr AS (
+                SELECT l_suppkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev_raw
+                FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT s_name, round(rev_raw, 2) AS revenue
+            FROM sr JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_raw > (SELECT avg(rev_raw) FROM sr)
+            ORDER BY revenue DESC, s_name ASC
+        """,
+        "rich_customers_by_nation": """
+            SELECT n_name,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "promo_revenue_share": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)),
+                         4) AS promo_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+            ORDER BY ship_month
+        """,
+        "order_priority_late": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "shipping_volume_nations": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "revenue_rank_by_nation": """
+            SELECT n_name, c_name, revenue, CAST(rnk AS INT) AS rnk FROM (
+                SELECT n_name, c_name, c_custkey, revenue,
+                       rank() OVER (PARTITION BY n_name
+                                    ORDER BY revenue DESC, c_custkey ASC) AS rnk
+                FROM (
+                    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                    FROM orders GROUP BY o_custkey
+                ) s
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            ) WHERE rnk <= 3
+            ORDER BY n_name, rnk, c_name
+        """,
+        "running_customer_revenue": """
+            -- window math on exact integer cents (see the Spark-side
+            -- docstring: windowed double addition is association-order
+            -- dependent across engines)
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   round(o_totalprice, 2) AS order_price,
+                   CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS running_total,
+                   -- integer half-up mean, no fp round() (see Spark side)
+                   CAST(floor((2 * sum(cents) OVER m + count(*) OVER m)
+                              / (2.0 * count(*) OVER m)) AS DOUBLE)
+                       / 100.0 AS moving_avg3
+            FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders WHERE o_custkey % 100 = 0)
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   m AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_date, o_orderkey
+        """,
+        "pivot_priority_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "distinct_event_dates": """
             SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
