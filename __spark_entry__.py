@@ -869,6 +869,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph
+    (operators/components.py): iterative hash-min label propagation,
+    one shuffle per round, lineage cut per round. component_id = min
+    doc_id in the component. Oracle: recursive CTE reachability."""
+    from wroclaw_bike_stats_spark.operators.components import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup closure: the corpus minus non-canonical near-dup cluster
+    members (keep = min doc_id per component + all singletons)."""
+    from wroclaw_bike_stats_spark.operators.components import keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    return keep_canonical(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (xxhash64-based — no SQL oracle;
     the jaccard-verified subset is cross-checked against
@@ -983,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_components": q_neardup_components,
+        "neardup_dedup_keep": q_neardup_dedup_keep,
         "minhash_neardup": q_minhash_neardup,
         "simhash_groups": q_simhash_groups,
         "simhash_neardup": q_simhash_neardup,
@@ -1027,6 +1054,39 @@ stop AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > 100),
 sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM stop)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
+
+# Near-dup pair graph → components via recursive-CTE reachability:
+# labels spread along edges; min reachable id per node == the hash-min
+# fixpoint the Spark operator computes. Shared by the two component
+# oracles. Needs WITH RECURSIVE at the head of the statement.
+_COMPONENTS_CTE = (
+    _SHINGLES_CTE
+    + """,
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+comps AS (SELECT node, min(comp) AS component_id FROM walk GROUP BY node)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1536,6 +1596,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "neardup_components": f"""
+            WITH RECURSIVE {_COMPONENTS_CTE}
+            SELECT node AS doc_id, component_id
+            FROM comps
+            ORDER BY doc_id
+        """,
+        "neardup_dedup_keep": f"""
+            WITH RECURSIVE {_COMPONENTS_CTE}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comps
+                                 WHERE node <> component_id)
+            ORDER BY doc_id
         """,
         "embedding_topk": """
             -- embeddings are FLOAT[]; cast to DOUBLE[] so the cosine is

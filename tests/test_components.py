@@ -1,0 +1,76 @@
+"""Connected components + canonical-keep dedup
+(operators/components.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def _comp_map(df):
+    return {r.node: r.component_id for r in df.collect()}
+
+
+def test_chain_and_island(spark):
+    """Chain 1-2-3 plus island {10,11}: min-id labeling, both shapes."""
+    got = _comp_map(connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11)])))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    """A 12-node path is the worst case for label propagation (max
+    diameter per edge count) — still converges within max_iter."""
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = _comp_map(connected_components(_pairs(spark, edges)))
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_max_iter_failure_is_loud(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, [(i, i + 1) for i in range(1, 12)]),
+                             max_iter=2)
+
+
+def test_orientation_and_duplicates_ignored(spark):
+    """Edge direction and repeated pairs don't change components."""
+    got = _comp_map(
+        connected_components(_pairs(spark, [(5, 4), (4, 5), (5, 4), (4, 3)]))
+    )
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    kept = keep_canonical(docs, _pairs(spark, [(1, 2), (2, 3), (5, 6)]))
+    # clusters {1,2,3} → keep 1; {5,6} → keep 5; singleton 4 kept
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5]
+
+
+def test_components_close_over_real_pairs(spark):
+    """Every near-dup pair's endpoints land in the same component on
+    the real documents table."""
+    import __spark_entry__ as e
+
+    pairs = e.q_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    comp = connected_components(pairs)
+    joined = (
+        pairs.join(
+            comp.select(F.col("node").alias("id_a"),
+                        F.col("component_id").alias("ca")), "id_a")
+        .join(
+            comp.select(F.col("node").alias("id_b"),
+                        F.col("component_id").alias("cb")), "id_b")
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+    assert pairs.count() > 0

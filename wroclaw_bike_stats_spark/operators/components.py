@@ -1,0 +1,113 @@
+"""Connected components over a similarity-pair graph, and the
+canonical-keep dedup built on it.
+
+The near-dup operators (``dedup.ngram_jaccard_pairs``,
+``minhash_dedup_pairs``, ``simhash_neardup_pairs``,
+``similarity.embedding_neardup_pairs``) emit PAIRS; a dedup pipeline
+needs CLUSTERS and one kept representative per cluster. That closure
+is a connected-components problem — this module solves it with
+iterative hash-min label propagation expressed as DataFrame ops:
+every round, each node's label becomes the minimum label in its
+closed neighborhood; at fixpoint, each node carries the minimum node
+id of its component (the deterministic canonical representative).
+
+Scale design (100 TB corpus → billions of nodes, but near-dup graphs
+are sparse and their components are quasi-cliques with tiny
+diameters):
+
+- one round = one shuffle (edges ⋈ labels, then groupBy-min keyed by
+  node) — no driver-side graph, no collect;
+- rounds needed = O(component diameter): 2–4 in practice for near-dup
+  clusters, ``max_iter`` bounds pathological chains;
+- ``localCheckpoint`` after every round truncates lineage — without
+  it the plan doubles per iteration and the optimizer, not the data,
+  becomes the bottleneck (the classic iterative-Spark failure);
+- the convergence probe is ``limit(1)`` over changed labels — it
+  short-circuits instead of counting every change.
+
+Not GraphX/GraphFrames: neither ships with a plain PySpark install,
+and the DataFrame formulation keeps the operator inside Catalyst/AQE
+like everything else in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve an undirected pair graph to ``(node, component_id)``
+    where ``component_id`` is the minimum node id in the component.
+
+    Only nodes that appear in ``pairs`` are returned — callers decide
+    whether absent nodes are singletons (see ``keep_canonical``).
+    Raises if ``max_iter`` rounds don't reach the fixpoint (a diameter
+    larger than ``max_iter`` means the input isn't a near-dup graph —
+    fail loudly rather than return wrong components).
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    # Duplicate edges are harmless under min-aggregation; skipping
+    # distinct() here saves a full shuffle of the edge list.
+    edges = edges.persist()
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("u"), "comp"), "u"
+        ).select(F.col("v").alias("node"), "comp")
+        new = (
+            labels.union(nbr)  # closed neighborhood: own label included
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("node", F.col("comp").alias("component_id"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter"
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup dedup closure: keep every row whose id is NOT a
+    non-canonical member of some component (the kept representative is
+    the min id; rows absent from ``pairs`` are singletons and kept).
+    Anti-join against the non-canonical set; AQE picks broadcast vs
+    shuffle by its actual size (it can be a large fraction of the
+    corpus when duplication is heavy — don't force a broadcast)."""
+    comps = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    dupes = comps.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")
