@@ -1,0 +1,127 @@
+"""Arbitrary keyed state in Structured Streaming:
+``applyInPandasWithState`` form of the per-key change detector
+(SURVEY.md §2.9 / §2.10 — the custom-stateful-operator pattern the
+built-in windowed aggs can't express).
+
+The batch engine detects status changes with a ``lag()`` window
+(``q_status_change_events``): emit a row when a key's value differs
+from its previous one. Streaming can't lag across micro-batches
+without state — here each key carries its last-seen (ts, value) as
+explicit GroupState, so a change that straddles a batch boundary is
+still detected, without re-reading history.
+
+Contrast with ``status_stream.py``: the snapshot differ keeps its
+state as a union-able DataFrame because its disappearance semantics
+need "snapshot happened, key absent" visibility. This operator's
+semantics are purely per-key, which is exactly what
+``applyInPandasWithState`` models — Arrow-batched pandas per key
+group, state read/write on the JVM state store, no driver
+involvement.
+
+Ordering contract: rows WITHIN a micro-batch are sorted by (ts,
+event_id) per key before diffing; ACROSS batches the operator trusts
+arrival order (state holds whatever was last processed), the same
+cadence assumption the reference's minute-tick pipeline makes
+(reference src/pipeline.py:13-33). Files must land oldest-first —
+guaranteed here by ``latestFirst=false`` + ``maxFilesPerTrigger=1``.
+
+Scale: state is O(distinct keys) × a few scalar columns, partitioned
+by key across executors by the state store; each micro-batch shuffles
+only its own rows on the key. This is the standard pattern for
+billion-key fleets — no global windows, no cross-batch reprocessing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHANGE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+        StructField("prev_type", StringType()),
+        StructField("curr_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# state: last seen (epoch micros, event_type) per key — scalars only,
+# so the state store rows stay tiny.
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _detect_changes(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    prev_us, prev_type = state.get if state.exists else (None, None)
+
+    frames = [b for b in batches if len(b)]
+    if not frames:  # only reachable via timeouts (not configured here)
+        yield pd.DataFrame(columns=[f.name for f in CHANGE_SCHEMA.fields])
+        return
+    rows = pd.concat(frames, ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+
+    out = []
+    for r in rows.itertuples(index=False):
+        curr = r.event_type
+        if prev_type is not None and curr != prev_type:
+            out.append((r.event_id, user_id, prev_type, curr, r.ts))
+        prev_type = curr
+        prev_us = int(pd.Timestamp(r.ts).value // 1000)
+    state.update((prev_us, prev_type))
+    yield pd.DataFrame(out, columns=[f.name for f in CHANGE_SCHEMA.fields])
+
+
+def stream_status_changes(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain ``source_dir`` (parquet files of events) through the
+    keyed-state change detector into an append-only parquet sink;
+    return the sink contents."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", False)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    changes = src.groupBy("user_id").applyInPandasWithState(
+        _detect_changes,
+        outputStructType=CHANGE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        changes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
