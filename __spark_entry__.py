@@ -869,6 +869,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
 
 
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by document frequency
+    (operators/text.py term_document_frequency). Per-doc distinct
+    before the explode shuffle; top-k, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.term_document_frequency(docs, top_n=20)
+
+
+def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (single-pass mergeable sketch) — the
+    scale path beside the exact ``value_quantiles`` gate: one narrow
+    pass + tiny merge instead of a full sort. No SQL oracle (sketch
+    internals are engine-specific); |approx − exact| ≤ 1% of range is
+    asserted in tests/test_sessionize_salting.py."""
+    ev = _t(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    agg = ev.agg(F.percentile_approx("value", qs, 10000).alias("q"))
+    return agg.select(
+        *[
+            F.round(F.col("q")[i], 3).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(qs)
+        ]
+    )
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph
     (operators/components.py): iterative hash-min label propagation,
@@ -1008,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "term_df": q_term_df,
+        "value_quantiles_approx": q_value_quantiles_approx,
         "neardup_components": q_neardup_components,
         "neardup_dedup_keep": q_neardup_dedup_keep,
         "minhash_neardup": q_minhash_neardup,
@@ -1596,6 +1623,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "term_df": """
+            SELECT term, count(*) AS n_docs FROM (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY n_docs DESC, term ASC
+            LIMIT 20
         """,
         "neardup_components": f"""
             WITH RECURSIVE {_COMPONENTS_CTE}

@@ -84,6 +84,24 @@ def test_hll_sketch_error_bound(spark):
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.05
 
 
+def test_approx_quantiles_error_bound(spark):
+    """percentile_approx (accuracy 10000) must land within 1% of the
+    value range of the exact interpolated percentiles."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    approx = entry_mod.q_value_quantiles_approx(spark, sf).collect()[0]
+    ev = entry_mod._t(spark, sf, "events")
+    exact = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    ).collect()[0]
+    for k in ("p50", "p90", "p99"):
+        assert abs(approx[k] - exact[k]) <= 0.01 * exact["rng"], k
+
+
 def test_salted_join_matches_plain_join(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
         "event_id", "user_id"

@@ -51,8 +51,11 @@ def connected_components(
     larger than ``max_iter`` means the input isn't a near-dup graph —
     fail loudly rather than return wrong components).
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Both union branches read `pairs` — persist it or the (possibly
+    # expensive) upstream pair join runs twice.
+    pairs = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     # Duplicate edges are harmless under min-aggregation; skipping
     # distinct() here saves a full shuffle of the edge list.
@@ -84,8 +87,10 @@ def connected_components(
         labels = new
         if changed == 0:
             edges.unpersist()
+            pairs.unpersist()
             return labels.select("node", F.col("comp").alias("component_id"))
     edges.unpersist()
+    pairs.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds max_iter"

@@ -132,6 +132,25 @@ def lang_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def term_document_frequency(df, text_col: str = "text", top_n: int = 20):
+    """Corpus vocabulary by document frequency: top ``top_n`` terms by
+    the number of documents containing them (df DESC, term ASC
+    tie-break). The per-doc distinct happens BEFORE the explode
+    shuffle (``array_distinct`` is a narrow transform), so the shuffle
+    carries each (doc, term) once — at corpus scale that's the
+    difference between |tokens| and |distinct doc-terms| rows moved.
+    Top-k via TakeOrderedAndProject, no global sort."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Portable across engines (used by the
