@@ -869,6 +869,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
 
 
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / stddev / variance / covariance)
+    per group — single grouped pass, all JVM-native."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 3).alias("qty_var"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf·idf characteristic terms (operators/text.py
+    tfidf_top_terms): tf/df aggs on their natural keys, shuffle join
+    on term (vocab not assumed broadcastable), per-doc top-3 window."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, top_n=3).orderBy("doc_id", "rn")
+
+
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-20 terms by document frequency
     (operators/text.py term_document_frequency). Per-doc distinct
@@ -1033,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "lineitem_stats": q_lineitem_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "term_df": q_term_df,
         "value_quantiles_approx": q_value_quantiles_approx,
         "neardup_components": q_neardup_components,
@@ -1623,6 +1653,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "lineitem_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS qty_price_corr,
+                   round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+                   round(var_samp(l_quantity), 3) AS qty_var,
+                   round(covar_samp(l_quantity, l_extendedprice), 2)
+                       AS qty_price_covar
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "tfidf_top_terms": """
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+                GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tfidf, rn FROM (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)),
+                             4) AS tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln((n.n_docs + 1.0)
+                                               / (dfq.df + 1.0)) DESC,
+                                    tf.term ASC) AS INT) AS rn
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ) WHERE rn <= 3
+            ORDER BY doc_id, rn
         """,
         "term_df": """
             SELECT term, count(*) AS n_docs FROM (

@@ -151,6 +151,49 @@ def term_document_frequency(df, text_col: str = "text", top_n: int = 20):
     )
 
 
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+):
+    """Top ``top_n`` characteristic terms per document by
+    tf·ln((N+1)/(df+1)). Three aggregations, each on its natural key:
+    (doc, term) for tf, term for df, plus a 1-row broadcast for N —
+    then one shuffle join of tf⋈df on term (the vocabulary is NOT
+    assumed broadcastable at corpus scale) and a per-doc window over
+    ≤|doc terms| rows. Deterministic: ties break by term ascending;
+    identical (tf, df) pairs produce bit-identical scores."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            id_col,
+            "term",
+            F.round("_score", 4).alias("tfidf"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Portable across engines (used by the
