@@ -1,0 +1,70 @@
+"""Physical-plan shape guards for the relational gate queries: the
+optimizer is free to pick strategies, but some shapes are outright
+bugs at scale — a CartesianProduct anywhere, or a nested-loop join
+that isn't one of the deliberate 1-row scalar-aggregate broadcasts."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+RELATIONAL = [
+    "pricing_summary",
+    "revenue_topk",
+    "region_nation_revenue",
+    "topk_customers",
+    "large_orders_having",
+    "order_count_distribution",
+    "promo_revenue_share",
+    "order_priority_late",
+    "shipping_volume_nations",
+    "revenue_rank_by_nation",
+    "running_customer_revenue",
+    "pivot_priority_status",
+    "lineitem_stats",
+    "term_df",
+]
+
+# scalar-aggregate broadcasts: a 1-row plan joined with no condition
+# compiles to BroadcastNestedLoopJoin BY DESIGN — allowed only here.
+SCALAR_BROADCAST = [
+    "suppliers_above_avg",
+    "rich_customers_by_nation",
+    "tfidf_top_terms",
+]
+
+
+def _plan(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", RELATIONAL + SCALAR_BROADCAST)
+def test_no_cartesian_product(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name), name
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_no_nested_loop_join(spark, name):
+    assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["revenue_topk", "region_nation_revenue", "shipping_volume_nations",
+     "promo_revenue_share", "revenue_rank_by_nation"],
+)
+def test_dim_joins_are_broadcast(spark, name):
+    """Queries with explicit broadcast() on dim sides must compile to
+    at least one BroadcastHashJoin (no silent fallback to SMJ for the
+    small dimensions)."""
+    assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_project_part")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(p_size)" in plan or "GreaterThan(p_size,20)" in plan
