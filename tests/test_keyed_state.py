@@ -86,6 +86,40 @@ def test_keyed_state_matches_batch_lag(spark, tmp_path):
     assert (5, "u1", "purchase", "view") in got_rows
 
 
+def test_inactivity_timer_emits_on_watermark(spark, tmp_path):
+    """EventTimeTimeout: a key with no events for gap=30min of EVENT
+    time emits (last_seen, inactive_at) once the watermark passes
+    last_seen+gap; keys that kept talking (or whose horizon the final
+    watermark never passed) stay silent."""
+    from wroclaw_bike_stats_spark.streaming.keyed_state import stream_inactivity
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    f1 = [(1, "u1", "view", _ts(0)), (2, "u2", "view", _ts(0))]
+    # u2 refreshes at 10:50; u9 pushes the watermark to 11:00
+    f2 = [(3, "u2", "view", _ts(50)), (4, "u9", "view", dt.datetime(2024, 3, 1, 12, 0))]
+    # 14:00 → watermark 13:00: u1 (10:30) and u2 (11:20) both overdue
+    f3 = [(5, "u9", "view", dt.datetime(2024, 3, 1, 14, 0))]
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    out = stream_inactivity(
+        spark, src, SCHEMA, sink, ckpt, gap_seconds=1800, watermark="1 hour"
+    )
+    got = sorted(
+        (r.user_id, r.last_seen.strftime("%H:%M"), r.inactive_at.strftime("%H:%M"))
+        for r in out.collect()
+    )
+    # u9's own horizon (14:30) is past the final 13:00 watermark → silent
+    assert got == [("u1", "10:00", "10:30"), ("u2", "10:50", "11:20")]
+
+
 def test_keyed_state_redrain_emits_nothing_new(spark, tmp_path):
     src, sink, ckpt = (
         str(tmp_path / "src"),

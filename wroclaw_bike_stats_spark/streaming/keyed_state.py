@@ -92,6 +92,100 @@ def _detect_changes(
     yield pd.DataFrame(out, columns=[f.name for f in CHANGE_SCHEMA.fields])
 
 
+INACTIVITY_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("last_seen", TimestampType()),
+        StructField("inactive_at", TimestampType()),
+    ]
+)
+
+INACTIVITY_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+
+def _make_inactivity_fn(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def _detect(key, batches, state: GroupState):
+        (user_id,) = key
+        cols = [f.name for f in INACTIVITY_SCHEMA.fields]
+        if state.hasTimedOut:
+            # Timer fired: the watermark passed last_seen + gap with no
+            # new data for this key → emit the inactivity event and
+            # drop the state (a later event simply starts a new run).
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        user_id,
+                        pd.Timestamp(last_us, unit="us"),
+                        pd.Timestamp(last_us + gap_us, unit="us"),
+                    )
+                ],
+                columns=cols,
+            )
+            return
+        frames = [b for b in batches if len(b)]
+        last_us = state.get[0] if state.exists else None
+        for f in frames:
+            m = int(pd.Timestamp(f["ts"].max()).value // 1000)
+            last_us = m if last_us is None else max(last_us, m)
+        state.update((last_us,))
+        # Timeout must be strictly beyond the current watermark or
+        # Spark rejects it; a key already overdue times out at the
+        # next watermark tick instead of silently never.
+        timeout_ms = max(
+            (last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame([], columns=cols)
+
+    return _detect
+
+
+def stream_inactivity(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Emit (user_id, last_seen, inactive_at) when a key goes quiet
+    for ``gap_seconds`` of EVENT time — the timer-based form of
+    disappearance detection (``GroupStateTimeout.EventTimeTimeout``):
+    absence can't be observed in arriving rows, only a timer firing
+    when the watermark passes last_seen + gap can see it. This is the
+    per-key-operator answer to the snapshot differ's disappearance
+    case (see status_stream.py's module docstring)."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", False)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _make_inactivity_fn(gap_seconds),
+        outputStructType=INACTIVITY_SCHEMA,
+        stateStructType=INACTIVITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 def stream_status_changes(
     spark: SparkSession,
     source_dir: str,
