@@ -869,6 +869,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table (operators/profile.py):
+    per-column nulls / exact distincts / native-typed min-max, ONE
+    scan for all columns."""
+    from wroclaw_bike_stats_spark.operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(orders)
+
+
 def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / stddev / variance / covariance)
     per group — single grouped pass, all JVM-native."""
@@ -1061,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "profile_orders": q_profile_orders,
         "lineitem_stats": q_lineitem_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "term_df": q_term_df,
@@ -1654,6 +1665,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
+        "profile_orders": "\nUNION ALL\n".join(
+            f"""
+            SELECT '{c}' AS "column",
+                   count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM orders
+            """
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ]
+        )
+        + ' ORDER BY "column"',
         "lineitem_stats": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 4)

@@ -1,0 +1,64 @@
+"""Table profiling — per-column data-quality statistics in one job.
+
+The profile every ingest step wants before trusting a feed: row
+count, null count, exact distinct count, min/max per column. One
+``agg`` computes every column's statistics in a single logical pass
+(Catalyst expands multi-distinct into one Expand + shared shuffle —
+still one scan of the data); the 1-row result is then unpivoted to
+the long (column, stats) form, so downstream checks can join/filter
+on column names.
+
+min/max are computed in each column's NATIVE type (numeric min, not
+lexicographic) and cast to string only for the unified output schema.
+
+Scale: one scan + one Expand-shuffle regardless of column count; no
+per-column jobs (profiling a 1000-column table is one job, not 1000).
+Exact distinct is the expensive part at 100 TB — swap
+``approx_count_distinct`` in via ``exact=False`` when a sketch
+suffices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Profile ``cols`` (default: all) → one row per column:
+    (column, n_rows, n_null, n_distinct, min_value, max_value)."""
+    cols = cols or df.columns
+    nd = F.countDistinct if exact else F.approx_count_distinct
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            nd(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+
+    # Unpivot the 1-row wide result into (column, stats) rows.
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            f"'{c}'",
+            "__n",
+            f"__n - {c}__nn",
+            f"{c}__nd",
+            f"{c}__min",
+            f"{c}__max",
+        ]
+    stacked = one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+            "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )
+    return stacked.orderBy("column")
