@@ -123,6 +123,32 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(bfp & ivfp) / len(bfp) >= 0.6
 
 
+def _within_cluster_objective(emb, centroids):
+    assigned = SIM.assign_to_centroids(emb, centroids)
+    return (
+        assigned.join(centroids, "centroid_id")
+        .select(
+            SIM.cosine(F.col("embedding"), F.col("centroid_vec")).alias("s")
+        )
+        .agg(F.avg("s"))
+        .collect()[0][0]
+    )
+
+
+def test_kmeans_refine_improves_objective(emb):
+    """Lloyd iterations must not regress the mean within-cluster
+    cosine vs the sampled IVF centroids, must preserve dimensionality,
+    and must keep at most k clusters."""
+    cent0, _ = SIM.ivf_assign(emb, num_centroids=8)
+    o0 = _within_cluster_objective(emb, cent0)
+    cent1 = SIM.kmeans_refine(emb, cent0, iters=3)
+    o1 = _within_cluster_objective(emb, cent1)
+    assert o1 >= o0 - 1e-9, (o0, o1)
+    rows = cent1.collect()
+    assert 0 < len(rows) <= 8
+    assert all(len(r.centroid_vec) == 64 for r in rows)
+
+
 def test_ivf_indexed_prunes_partitions_and_matches_inline(spark, emb, tmp_path):
     """The materialized IVF index must (a) return the same results as
     the inline IVF path and (b) prove probe pruning at the scan:

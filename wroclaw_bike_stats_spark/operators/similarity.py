@@ -118,6 +118,29 @@ def cosine_topk_bruteforce(
     )
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine. ``centroids`` (small, one
+    row per cluster) is broadcast; the corpus never shuffles — the
+    per-vector argmax is a narrow window over num_centroids rows."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -130,6 +153,8 @@ def ivf_assign(
 
     Returns (centroids, assigned corpus). At scale, write ``assigned``
     partitioned by ``centroid_id`` so probes prune at the file level.
+    Pass the centroids through ``kmeans_refine`` first when cluster
+    balance matters more than index-build time.
     """
     centroids = F.broadcast(
         corpus.orderBy(id_col)
@@ -138,19 +163,50 @@ def ivf_assign(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
         )
     )
-    scored = corpus.crossJoin(centroids).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("_sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
     return centroids, assigned
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of coarse centroids (spherical k-means):
+    assign → per-cluster mean → repeat. Improves on sampled centroids
+    when cluster balance drives IVF probe recall.
+
+    Each iteration is two passes, both scale-shaped: a broadcast
+    assignment (no corpus shuffle) and a mean keyed by (cluster, dim)
+    — ``posexplode`` moves |rows|·dim scalars through ONE shuffle with
+    map-side partial aggregation, never materializing per-cluster
+    vector lists. ``localCheckpoint`` cuts lineage per iteration
+    (iterative-plan-growth guard, same as operators/components.py).
+
+    Cosine assignment is scale-invariant, so the un-normalized mean is
+    a valid spherical-k-means centroid. Clusters that lose all members
+    drop out (standard Lloyd variant) — callers needing a fixed k
+    should re-seed from the dropped ids."""
+    for _ in range(iters):
+        assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
+            )
+            .localCheckpoint()
+        )
+    return centroids
 
 
 def ivf_write_index(
