@@ -245,6 +245,24 @@ def q_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 family: INTERSECT of two key sets (users who both purchased
+    and errored)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 family: EXCEPT (distinct) — users who viewed but never
+    purchased."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT (distinct semantics)
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (NOT EXISTS)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1039,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_change_events": q_status_change_events,
         "top_transitions": q_top_transitions,
         "union_distinct_users": q_union_distinct_users,
+        "intersect_users": q_intersect_users,
+        "except_users": q_except_users,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_orders": q_customers_with_orders,
         "rollup_order_stats": q_rollup_order_stats,
@@ -1269,6 +1289,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
             UNION
             SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "except_users": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
