@@ -82,6 +82,20 @@ def test_refresh_prunes_partitions(spark, paths):
     assert "PartitionFilters" in plan and "event_date" in plan
 
 
+def test_cli_metrics_refresh(spark, paths, capsys):
+    from wroclaw_bike_stats_spark.cli import main
+
+    events_path, metrics_path = paths
+    _write_events(spark, events_path, [(1, "u1", 1.0, D1)])
+    main(["metrics-refresh", "--events-dir", events_path,
+          "--metrics-dir", metrics_path])
+    main(["metrics-refresh", "--events-dir", events_path,
+          "--metrics-dir", metrics_path])
+    out = capsys.readouterr().out
+    assert "refreshed 1 date(s): 2024-05-01" in out
+    assert "refreshed 0 date(s)" in out
+
+
 def test_forced_recompute_overwrites_in_place(spark, paths):
     """Late rows in an already-done date: recompute_dates overwrites
     just that partition; other dates' aggregates are untouched."""

@@ -189,6 +189,21 @@ def cmd_metrics(args: argparse.Namespace) -> None:
 # --- backfill ---------------------------------------------------------------
 
 
+def cmd_metrics_refresh(args: argparse.Namespace) -> None:
+    import datetime as _dt
+
+    from wroclaw_bike_stats_spark.plans.incremental import refresh_daily_metrics
+
+    spark = get_spark(app_name="wbs-metrics-refresh-cli")
+    dates = None
+    if args.recompute_date:
+        dates = [_dt.date.fromisoformat(d) for d in args.recompute_date]
+    done = refresh_daily_metrics(
+        spark, args.events_dir, args.metrics_dir, recompute_dates=dates
+    )
+    print(f"refreshed {len(done)} date(s): {', '.join(done) or '(none)'}")
+
+
 def cmd_backfill(args: argparse.Namespace) -> None:
     from wroclaw_bike_stats_spark.operators.upsert import (
         backfill_distance,
@@ -272,6 +287,20 @@ def build_parser() -> argparse.ArgumentParser:
     metrics.add_argument("--metrics-dir", default="data/processed/metrics")
     metrics.add_argument("--out", default=None)
     metrics.set_defaults(func=cmd_metrics)
+
+    refresh = sub.add_parser(
+        "metrics-refresh",
+        help="Incrementally refresh the partitioned daily-metrics store "
+        "(only new event dates are read and written)",
+    )
+    refresh.add_argument("--events-dir", default="data/processed/status_events")
+    refresh.add_argument("--metrics-dir", default="data/processed/daily_agg")
+    refresh.add_argument(
+        "--recompute-date", action="append", default=None,
+        help="Force recompute of a specific date (repeatable) — "
+        "late-data backfill; overwrites just that partition",
+    )
+    refresh.set_defaults(func=cmd_metrics_refresh)
 
     backfill = sub.add_parser("backfill", help="Backfill NULL distances")
     backfill.add_argument("--table-dir", default="data/processed/bike_rides")
