@@ -245,6 +245,28 @@ def q_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/arg-max aggregates (min_by/max_by ≡ DuckDB arg_min/
+    arg_max): each user's first and last event type in ONE grouped
+    pass — no window, no self-join. The ordering key is a zero-padded
+    (epoch_us, event_id) string because composite arg-min keys aren't
+    portable; lexicographic == numeric for fixed-width non-negatives."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%020d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", key).alias("first_type"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 family: INTERSECT of two key sets (users who both purchased
     and errored)."""
@@ -1057,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_change_events": q_status_change_events,
         "top_transitions": q_top_transitions,
         "union_distinct_users": q_union_distinct_users,
+        "user_first_last": q_user_first_last,
         "intersect_users": q_intersect_users,
         "except_users": q_except_users,
         "customers_without_orders": q_customers_without_orders,
@@ -1289,6 +1312,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
             UNION
             SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "user_first_last": """
+            SELECT user_id,
+                   arg_min(event_type, printf('%020d-%020d',
+                       epoch_us(ts), event_id)) AS first_type,
+                   arg_max(event_type, printf('%020d-%020d',
+                       epoch_us(ts), event_id)) AS last_type,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "intersect_users": """
             SELECT user_id FROM events WHERE event_type = 'purchase'
