@@ -41,9 +41,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer `div`, not `/1000`: epoch-nanos exceed double's
+            # 53-bit mantissa, so float division can shift the value by
+            # ±1µs. `div` truncates exactly, matching how DuckDB (the
+            # oracle) narrows TIMESTAMP(NANOS) to micros.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -648,7 +650,7 @@ def _events_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return raw.filter(
         (F.col("ts") >= _ns(RANGE_TS_LO)) & (F.col("ts") < _ns(RANGE_TS_HI))
-    ).withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def q_range_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,6 +1060,187 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-surface breadth: semi-structured extraction, lateral explode,
+# unpivot, analytic window family (lead / ntile / percent_rank),
+# explicit GROUPING SETS, and the scalar string/date function library.
+# Each exercises a Catalyst feature class the other gates don't.
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction: ``events.props`` holds a JSON
+    document; extract a typed field and aggregate. ``get_json_object``
+    is a JVM-side expression — the parse stays in whole-stage codegen,
+    no Python round-trip. At 100 TB the props column is the only extra
+    column read (column pruning keeps the scan narrow)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 3).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_explode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (posexplode): leading tokens of
+    each document with their 0-based offset. Explode is a narrow
+    transform — no shuffle; the slice-before-explode keeps the blowup
+    bounded (≤5 rows per doc regardless of doc length)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.slice(toks, 1, 5).alias("head"))
+        .select("doc_id", F.posexplode("head").alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three lineitem measures become
+    (metric, value) rows, then a per-flag/per-metric profile. Unpivot
+    is expression-level (a generate of structs) — no shuffle beyond
+    the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() inter-arrival analysis: per-user gap between consecutive
+    events, aggregated to per-user cadence stats. One shuffle
+    (hash-partition by user_id serves both the window sort and the
+    final agg — Catalyst reuses the partitioning). Gap computed in
+    exact integer microseconds; only the final averages are floats."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.select("user_id", gap_us.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 3).alias("avg_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 3).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank: quartile customers within each market
+    segment by balance (deterministic tie-break on custkey), then
+    per-quartile profile. ntile's bucket-remainder rule (front-loaded)
+    is identical in Spark and DuckDB, so the oracle pins it."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.max("pr"), 4).alias("max_pr"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not the rollup/cube shorthands): order
+    totals at (status, priority), (status), and grand-total levels,
+    with grouping() flags disambiguating real NULLs from subtotal
+    rows. DataFrame API has no grouping-sets verb, so this goes
+    through spark.sql — same Catalyst Expand node as cube/rollup."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def q_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function library over part names: levenshtein,
+    translate, lpad, concat_ws, substring — all JVM expressions inside
+    one codegen stage (SURVEY §2.8 F7 generalization)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_code"),
+            F.translate(F.lower("p_name"), "aeiou", "_____").alias("devoweled"),
+            F.levenshtein(F.lower("p_name"), F.lit("steel")).alias("lev_steel"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic library: trunc-to-month, day diffs vs an epoch
+    date, ISO day-of-week, last-day-of-month — aggregated per month.
+    All of it folds into the scan projection (no shuffle before the
+    group-by)."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return (
+        orders.select(
+            F.date_format(F.trunc(od, "month"), "yyyy-MM-dd").alias("month"),
+            F.datediff(od, F.lit("1995-01-01")).alias("days_since"),
+            (F.weekday(od) + F.lit(1)).alias("isodow"),
+            F.datediff(F.last_day(od), od).alias("days_to_month_end"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("days_since").alias("min_days_since"),
+            F.max("days_since").alias("max_days_since"),
+            F.round(F.avg("isodow"), 3).alias("avg_isodow"),
+            F.round(F.avg("days_to_month_end"), 3).alias("avg_days_to_end"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract.
 
 
@@ -1128,6 +1311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_bytes": q_multimodal_bytes,
+        "json_props_stats": q_json_props_stats,
+        "explode_token_positions": q_explode_token_positions,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "user_event_gaps": q_user_event_gaps,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "string_funcs_part": q_string_funcs_part,
+        "date_arith_orders": q_date_arith_orders,
     }
 
 
@@ -1849,6 +2040,123 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS digest
             FROM documents
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                         3) AS avg_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "explode_token_positions": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+            FROM tok,
+                 LATERAL unnest(range(1, least(len(toks), 5) + 1)) AS t(i)
+            ORDER BY doc_id, pos
+        """,
+        "unpivot_lineitem_metrics": """
+            WITH long AS (
+                SELECT l_returnflag, 'l_quantity' AS metric,
+                       l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, metric,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(avg(val), 4) AS avg_val,
+                   round(max(val), 4) AS max_val
+            FROM long
+            GROUP BY l_returnflag, metric
+            ORDER BY l_returnflag, metric
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                       - epoch_us(ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   round(avg(gap_us) / 1e6, 3) AS avg_gap_s,
+                   round(max(gap_us) / 1e6, 3) AS max_gap_s
+            FROM g
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "acctbal_quartiles": """
+            WITH q AS (
+                SELECT c_mktsegment, c_acctbal,
+                       CAST(ntile(4) OVER w AS INT) AS quartile,
+                       percent_rank() OVER w AS pr
+                FROM customer
+                WINDOW w AS (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey)
+            )
+            SELECT c_mktsegment, quartile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal,
+                   round(max(pr), 4) AS max_pr
+            FROM q
+            GROUP BY c_mktsegment, quartile
+            ORDER BY c_mktsegment, quartile
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY g_status, g_priority,
+                     o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "string_funcs_part": """
+            SELECT p_partkey,
+                   concat_ws('/', p_brand, p_type) AS brand_type,
+                   lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_code,
+                   translate(lower(p_name), 'aeiou', '_____') AS devoweled,
+                   CAST(levenshtein(lower(p_name), 'steel') AS INT)
+                       AS lev_steel,
+                   substring(p_name, 1, 8) AS name_prefix
+            FROM part
+            WHERE p_partkey <= 100
+            ORDER BY p_partkey
+        """,
+        "date_arith_orders": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                       AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(min(date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE))) AS INT)
+                       AS min_days_since,
+                   CAST(max(date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE))) AS INT)
+                       AS max_days_since,
+                   round(avg(isodow(CAST(o_orderdate AS DATE))), 3)
+                       AS avg_isodow,
+                   round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+                                       last_day(CAST(o_orderdate AS DATE)))),
+                         3) AS avg_days_to_end
+            FROM orders
+            GROUP BY 1
+            ORDER BY 1
         """,
         # minhash_neardup / simhash_groups / embedding_topk_ivf:
         # xxhash64-based or probe-order-dependent — intentionally no SQL
