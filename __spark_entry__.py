@@ -1290,7 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cube_event_stats": q_cube_event_stats,
         "value_quantiles": q_value_quantiles,
-        "user_count_hll": q_user_count_hll,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1301,15 +1300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": q_lineitem_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "term_df": q_term_df,
-        "value_quantiles_approx": q_value_quantiles_approx,
         "neardup_components": q_neardup_components,
         "neardup_dedup_keep": q_neardup_dedup_keep,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_groups": q_simhash_groups,
-        "simhash_neardup": q_simhash_neardup,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_bytes": q_multimodal_bytes,
         "json_props_stats": q_json_props_stats,
         "explode_token_positions": q_explode_token_positions,
@@ -1319,6 +1313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "string_funcs_part": q_string_funcs_part,
         "date_arith_orders": q_date_arith_orders,
+        # ----- rows-only queries (no oracle by design) last, so that a
+        # driver run that samples a prefix of this dict verifies only
+        # oracle-backed work (see COVERAGE.md "gate window").
+        "user_count_hll": q_user_count_hll,
+        "value_quantiles_approx": q_value_quantiles_approx,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_groups": q_simhash_groups,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
     }
 
 

@@ -68,3 +68,17 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "filter_project_part")
     assert "PushedFilters: [" in plan
     assert "IsNotNull(p_size)" in plan or "GreaterThan(p_size,20)" in plan
+
+
+def test_centroid_assignment_is_narrow(spark):
+    """The IVF/k-means assignment must be shuffle-free: a scan plus an
+    Arrow-batched argmax against a literal centroid matrix. The r2
+    crossJoin+window formulation exchanged the corpus ×num_centroids
+    (VERDICT r2 #2) — this pins the fix."""
+    from wroclaw_bike_stats_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    _, assigned = SIM.ivf_assign(emb, num_centroids=8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
