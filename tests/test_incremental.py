@@ -116,3 +116,28 @@ def test_forced_recompute_overwrites_in_place(spark, paths):
     }
     assert got[str(D1)] == (2, 11.0)
     assert got[str(D2)] == (1, 2.0)
+
+
+def test_corrupt_store_fails_loudly(spark, paths):
+    """A metrics store that exists but can't be read must raise — NOT
+    silently return [] and re-append every date as duplicates."""
+    import pathlib
+
+    events_path, metrics_path = paths
+    _write_events(spark, events_path, [(1, "u1", 1.0, D1)])
+    p = pathlib.Path(metrics_path)
+    p.mkdir(parents=True)
+    (p / "garbage.txt").write_text("not parquet")
+    with pytest.raises(Exception):
+        refresh_daily_metrics(spark, events_path, metrics_path)
+
+
+def test_recompute_does_not_leak_session_conf(spark, paths):
+    """Dynamic partition-overwrite is a per-write option; the session
+    conf must keep its prior value after a forced recompute."""
+    events_path, metrics_path = paths
+    _write_events(spark, events_path, [(1, "u1", 1.0, D1)])
+    refresh_daily_metrics(spark, events_path, metrics_path)
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    refresh_daily_metrics(spark, events_path, metrics_path, recompute_dates=[D1])
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before

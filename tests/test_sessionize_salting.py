@@ -120,3 +120,22 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(ev, users, "user_id", n_salts=8).collect()
     }
     assert salted == plain
+
+
+def test_count_distinct_skew_safe_ignores_nulls(spark):
+    """countDistinct never counts NULL; the two-stage skew-safe form
+    must agree when the counted column contains nulls."""
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", "a"), ("k1", None), ("k2", None), ("k3", "x")],
+        ["k", "v"],
+    )
+    safe = {
+        r["k"]: r["n_distinct"]
+        for r in count_distinct_skew_safe(df, "k", "v").collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    # k2 has only NULL values → not present in either result with n>0
+    assert safe == {k: n for k, n in exact.items() if n > 0}

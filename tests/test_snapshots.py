@@ -281,3 +281,31 @@ def test_empty_place_emits_nothing(spark, tmp_path):
     f = tmp_path / "empty.json"
     f.write_text(json.dumps(payload), encoding="utf-8")
     assert flatten_snapshots(read_snapshots(spark, str(f))).count() == 0
+
+
+def test_null_station_id_pair_series_agree(spark):
+    """A present bike with NULL station_id (non-freestanding place with
+    null uid) must read as PRESENT, and a null↔non-null transition as a
+    move, identically in both diff formulations."""
+    cols = ["snapshot_ts", "bike_id", "station_name", "station_id",
+            "lat", "lon", "bike_type", "battery"]
+    rows = [
+        # b1: null station_id at t1 → s1 at t2 (a move, null-safely)
+        ("t1", "b1", "mystery", None, 51.0, 17.0, "standard", 50.0),
+        ("t2", "b1", "named", "s1", 51.0, 17.0, "standard", 50.0),
+        # b2: stays at a null station — no event
+        ("t1", "b2", "mystery", None, 51.1, 17.1, "standard", 40.0),
+        ("t2", "b2", "mystery", None, 51.1, 17.1, "standard", 40.0),
+    ]
+    flat = spark.createDataFrame(rows, cols)
+    pair = diff_snapshot_pair(
+        flat.filter(F.col("snapshot_ts") == "t1"),
+        flat.filter(F.col("snapshot_ts") == "t2"),
+        "t2",
+    )
+    series = diff_snapshot_series(flat)
+    pair_set = sorted(tuple(r) for r in pair.collect())
+    series_set = sorted(tuple(r) for r in series.collect())
+    assert pair_set == series_set
+    kinds = {(r["bike_id"], r["event_type"]) for r in pair.collect()}
+    assert kinds == {("b1", "departed"), ("b1", "arrived")}

@@ -116,3 +116,27 @@ def test_streaming_incremental_runs(spark, dirs):
     assert _multiset(got) == _multiset(expected)
     ev590066 = got.filter(F.col("bike_id") == "590066")
     assert {r["event_type"] for r in ev590066.collect()} == {"departed", "arrived"}
+
+
+def test_state_versions_are_pruned(spark, dirs, tmp_path):
+    """Long-running streams must not accumulate one state dir per
+    micro-batch: after N batches at most 2 versions remain (newest +
+    its predecessor for retry safety)."""
+    import json
+    import os
+
+    shutil.copy2(SNAP_A, f"{dirs['landing']}/bike_rides_a.json")
+    shutil.copy2(SNAP_B, f"{dirs['landing']}/bike_rides_b.json")
+    run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    # third batch: synthetic snapshot C (copy of B with a bumped ts)
+    snap = json.load(open(SNAP_B))
+    snap["_fetched_at"] = "2025-08-21T15:07:02+02:00"
+    with open(f"{dirs['landing']}/bike_rides_c.json", "w") as f:
+        json.dump(snap, f)
+    run_available_now(
+        spark, dirs["landing"], dirs["events"], dirs["state"], dirs["checkpoint"]
+    )
+    versions = [n for n in os.listdir(dirs["state"]) if n.startswith("v")]
+    assert len(versions) <= 2, versions

@@ -30,9 +30,14 @@ def count_distinct_skew_safe(
     resilience; Catalyst's Expand-based plan achieves a similar shape
     for single distinct aggregates, but this form stays flat when
     combined with other aggregates or extreme key skew.
+
+    NULL values are excluded, matching ``countDistinct`` (which never
+    counts NULL) — without the filter the first groupBy would keep a
+    null group and over-count by one.
     """
     return (
         df.select(key, col)
+        .filter(F.col(col).isNotNull())
         .groupBy(key, col)
         .agg(F.lit(1))
         .groupBy(key)

@@ -39,16 +39,29 @@ def diff_snapshot_pair(prev: DataFrame, curr: DataFrame, timestamp: str) -> Data
     """Events between exactly two flattened snapshots
     (BIKE_SNAPSHOT_SCHEMA rows, one row per bike each)."""
     p = prev.select(
-        F.col("bike_id"), *[F.col(c).alias(f"p_{c}") for c in _INFO_COLS]
+        F.col("bike_id"),
+        F.lit(True).alias("p_present"),
+        *[F.col(c).alias(f"p_{c}") for c in _INFO_COLS],
     )
     c = curr.select(
-        F.col("bike_id"), *[F.col(c).alias(f"c_{c}") for c in _INFO_COLS]
+        F.col("bike_id"),
+        F.lit(True).alias("c_present"),
+        *[F.col(c).alias(f"c_{c}") for c in _INFO_COLS],
     )
     joined = p.join(c, "bike_id", "full_outer")
 
-    in_prev = F.col("p_station_id").isNotNull()
-    in_curr = F.col("c_station_id").isNotNull()
-    moved = in_prev & in_curr & (F.col("p_station_id") != F.col("c_station_id"))
+    # Presence = the join side existed, NOT station_id non-nullness:
+    # flatten_snapshots can emit a present bike with null station_id
+    # (non-freestanding place with null uid), which must not read as
+    # absence. `moved` is null-safe for the same reason, so the pair
+    # and series formulations agree on such rows.
+    in_prev = F.col("p_present").isNotNull()
+    in_curr = F.col("c_present").isNotNull()
+    moved = (
+        in_prev
+        & in_curr
+        & ~F.col("p_station_id").eqNullSafe(F.col("c_station_id"))
+    )
 
     def _event(kind: str, prefix: str):
         return F.struct(
@@ -133,7 +146,9 @@ def diff_snapshot_series(bike_snapshots: DataFrame) -> DataFrame:
     )
 
     consecutive = F.col("p_idx") == F.col("snap_idx") - 1
-    moved = consecutive & (F.col("p_station_id") != F.col("station_id"))
+    # null-safe: a move involving a null station_id still counts
+    # (matches diff_snapshot_pair's null-safe `moved`)
+    moved = consecutive & ~F.col("p_station_id").eqNullSafe(F.col("station_id"))
     appeared = (
         (F.col("p_idx").isNull() & (F.col("snap_idx") > 0))
         | (F.col("p_idx") < F.col("snap_idx") - 1)

@@ -39,16 +39,19 @@ def daily_event_aggregate(events: DataFrame) -> DataFrame:
 
 
 def _materialized_dates(spark: SparkSession, metrics_path: str) -> list:
+    # Only a MISSING store means "first refresh". Any other read error
+    # (corrupt files, permissions) must propagate: returning [] there
+    # would silently re-materialize every date as duplicate appended
+    # rows.
+    from pyspark.errors import AnalysisException
+
     try:
-        return [
-            r.event_date
-            for r in spark.read.parquet(metrics_path)
-            .select("event_date")
-            .distinct()
-            .collect()
-        ]
-    except Exception:  # first refresh: store doesn't exist yet
-        return []
+        store = spark.read.parquet(metrics_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return []
+        raise
+    return [r.event_date for r in store.select("event_date").distinct().collect()]
 
 
 def refresh_daily_metrics(
@@ -80,6 +83,8 @@ def refresh_daily_metrics(
         return []
     writer = agg.write.mode(mode).partitionBy("event_date")
     if conf:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", conf)
+        # per-write option, not a session conf: overwrite semantics of
+        # unrelated writes later in the session must not change
+        writer = writer.option("partitionOverwriteMode", conf)
     writer.parquet(metrics_path)
     return sorted(str(d) for d in computed)

@@ -98,9 +98,23 @@ class StatusChangeStream:
 
     def _write_state(self, flat: DataFrame, batch_id: int) -> None:
         # Versioned dirs: never overwrite the path a lazy plan may
-        # still read from; old versions are pruned afterwards.
+        # still read from; _prune_state drops stale versions after the
+        # batch's write lands.
         path = os.path.join(self.state_dir, f"{_STATE_PREFIX}{batch_id}")
         flat.write.mode("overwrite").parquet(path)
+
+    def _prune_state(self, keep: int = 2) -> None:
+        # Keep the newest version plus its predecessor (crash safety:
+        # the predecessor is what a retried batch would re-read) and
+        # delete the rest, bounding state storage on long-running
+        # streams to O(fleet) instead of O(fleet × batches).
+        import shutil
+
+        for v in self._state_versions()[:-keep]:
+            shutil.rmtree(
+                os.path.join(self.state_dir, f"{_STATE_PREFIX}{v}"),
+                ignore_errors=True,
+            )
 
     # -- batch processing --------------------------------------------------
 
@@ -119,6 +133,7 @@ class StatusChangeStream:
         self._write_state(
             combined.filter(F.col("snapshot_ts") == latest_ts), batch_id
         )
+        self._prune_state()
 
     # -- driver ------------------------------------------------------------
 
