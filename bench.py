@@ -72,9 +72,37 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    anchor = _load_anchor(
+        os.environ.get("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_r02.json")
+    )
+    if anchor:
+        out["vs_r02"] = {
+            name: round(t / anchor[name], 2)
+            for name, t in timings.items()
+            if name in anchor and anchor[name] > 0
+        }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _load_anchor(path: str) -> dict[str, float] | None:
+    """Per-query timings from a recorded bench round, used as the
+    regression anchor (BENCH_r02 was the first real bench; the driver's
+    2x gate has no external baseline, so r02 IS the baseline). Driver
+    bench files wrap the JSON line in a 'tail' string — unwrap it."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if "queries" in doc:
+            return doc["queries"]
+        tail = doc.get("tail", "")
+        start = tail.find('{"metric"')
+        if start < 0:
+            return None
+        return json.loads(tail[start:])["queries"]
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

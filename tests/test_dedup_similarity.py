@@ -193,3 +193,19 @@ def test_lsh_neardup_subset_of_bruteforce(emb):
     lsh = _pairs(SIM.embedding_neardup_pairs(emb, threshold=0.4, method="lsh"))
     bf = _pairs(SIM.embedding_neardup_pairs(emb, threshold=0.4, method="bruteforce"))
     assert lsh <= bf
+
+
+def test_minhash_recall_at_bench_scale(spark):
+    """VERDICT r2 #5: candidate-pair recall vs the oracle-backed exact
+    path at the BENCH scale (sf0.1, ~5000 docs), not just the sf0.001
+    fixture — banding probabilities only bite with a real corpus.
+    Override the corpus with $SPARK_GRAFT_TEST_SF."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, n=3, threshold=0.5))
+    lsh = _pairs(D.minhash_dedup_pairs(docs, shingle_n=3, threshold=0.5))
+    assert exact, "bench corpus should contain near-dup pairs"
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9
