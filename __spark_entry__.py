@@ -1282,6 +1282,72 @@ def q_date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data curation gates (operators/pipeline.py) -----------------
+
+
+def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus minus documents whose
+    normalized-text md5 appears in the (deterministic stand-in) eval
+    set doc_id % 50 == 0. Broadcast anti-join — the corpus side never
+    shuffles (operators/pipeline.py decontaminate)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, eval_set).select("doc_id").orderBy("doc_id")
+
+
+def q_group_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: at most 5 orders per customer, kept
+    deterministically by (o_orderdate, o_orderkey)
+    (operators/pipeline.py cap_per_group)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import cap_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cap_per_group(orders, "o_custkey", ["o_orderdate", "o_orderkey"], 5)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by Knuth
+    multiplicative hash of doc_id — reproducible from the id alone,
+    zero shuffle (operators/pipeline.py hash_split_assign)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import hash_split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split_assign(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep 50% of 'web' docs and 25% of
+    'books' docs (sources derived from doc_id parity for determinism)
+    via the same bucket hash — a pure scan predicate at scale
+    (operators/pipeline.py weighted_mix_assign)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import weighted_mix_assign
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("web")).otherwise(F.lit("books")),
+    )
+    return (
+        weighted_mix_assign(docs, "source", {"web": 0.5, "books": 0.25})
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract.
 
@@ -1355,6 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "string_funcs_part": q_string_funcs_part,
         "date_arith_orders": q_date_arith_orders,
+        "decontam_docs": q_decontam_docs,
+        "group_quota_cap": q_group_quota_cap,
+        "hash_split": q_hash_split,
+        "weighted_mix": q_weighted_mix,
         # ----- rows-only queries (no oracle by design) last, so that a
         # driver run that samples a prefix of this dict verifies only
         # oracle-backed work (see COVERAGE.md "gate window").
@@ -2203,6 +2273,54 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1
             ORDER BY 1
+        """,
+        "decontam_docs": """
+            SELECT doc_id FROM documents
+            WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                  NOT IN (
+                SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            ORDER BY doc_id
+        """,
+        "group_quota_cap": """
+            SELECT o_orderkey, o_custkey FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                           AS rn
+                FROM orders
+            ) WHERE rn <= 5
+            ORDER BY o_orderkey
+        """,
+        "hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM b
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "weighted_mix": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'web'
+                            ELSE 'books' END AS source,
+                       ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source FROM s
+            WHERE (source = 'web' AND bucket < 50)
+               OR (source = 'books' AND bucket < 25)
+            ORDER BY doc_id
         """,
         # minhash_neardup / simhash_groups / embedding_topk_ivf:
         # xxhash64-based or probe-order-dependent — intentionally no SQL

@@ -209,3 +209,23 @@ def test_minhash_recall_at_bench_scale(spark):
     assert exact, "bench corpus should contain near-dup pairs"
     assert lsh <= exact
     assert len(lsh) / len(exact) >= 0.9
+
+
+def test_quantized_topk_recall(spark, emb):
+    """int8-quantized vectors (4x less IO) must keep high top-10
+    overlap with exact float search, and the quantized column must
+    actually be tinyint (the storage win is the point)."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    q = SIM.quantize_embeddings(emb)
+    assert q.schema["embedding_q"].dataType == ArrayType(ByteType())
+    quantized = emb.select("vec_id").join(q, "vec_id").withColumnRenamed(
+        "embedding_q", "embedding"
+    )
+    queries_f = emb.filter(F.col("vec_id") < 5)
+    queries_q = quantized.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk_bruteforce(emb, queries_f, k=10)
+    approx = SIM.cosine_topk_bruteforce(quantized, queries_q, k=10)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.8

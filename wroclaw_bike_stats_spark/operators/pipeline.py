@@ -1,0 +1,128 @@
+"""Training-data curation operators — the corpus-assembly steps a
+large-scale LLM data pipeline runs between raw ingestion and training:
+eval-set decontamination, per-source quota capping, deterministic
+train/val/test splitting, and weighted source mixing.
+
+Every operator here is deterministic (no RNG state — reruns, retries
+and executors agree) and expressible in ANSI SQL, so each has a DuckDB
+oracle in the driver gate. Scale shapes:
+
+- ``decontaminate`` — broadcast anti-join on a fingerprint: the eval
+  set is tiny next to the training corpus, so the corpus never
+  shuffles; each task streams its partition against a broadcast hash
+  set. O(|corpus|) with no wide exchange.
+- ``cap_per_group`` — one shuffle on the group key + a bounded
+  row_number; the cap means no reducer materializes more than the
+  quota per key beyond the sort.
+- ``hash_split_assign`` / ``weighted_mix_assign`` — pure map-side
+  column arithmetic (a Knuth multiplicative hash mod 100): zero
+  shuffle, splits are stable under re-partitioning, appends, and
+  engine changes, which is what makes them auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant (2^32 / phi). Public domain
+# arithmetic on int64 — bit-identical in Spark and DuckDB, unlike
+# xxhash64 which only Spark exposes.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def norm_text(col):
+    """Whitespace/case normalization shared with functions used by the
+    fingerprint gate (operators/text.py): lower, trim, collapse runs of
+    whitespace. Decontamination must not be defeated by formatting."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from an integer id column."""
+    return F.pmod(F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_MOD)), F.lit(buckets))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents whose normalized-text fingerprint appears
+    in the eval set (train/test leakage removal).
+
+    The eval fingerprints are broadcast — the corpus side never
+    shuffles. Matching is exact on md5(normalized text); for fuzzy
+    decontamination compose with the near-dup operators (dedup.py)
+    using eval docs as one side of the candidate join.
+    """
+    fp = F.md5(norm_text(F.col(text_col)))
+    eval_fps = eval_set.select(fp.alias("_fp")).distinct()
+    return corpus.withColumn("_fp", fp).join(
+        F.broadcast(eval_fps), "_fp", "left_anti"
+    ).drop("_fp")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, deterministically — the
+    domain-quota step that stops a single source/domain from dominating
+    a training mix. Ordering must be a total order (include a unique
+    tie-breaker column) so reruns keep the same rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def hash_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hashing the id into 100 buckets:
+    bucket < train_pct → train, < train_pct+val_pct → val, else test.
+
+    Hash-based (not modulo-on-raw-id) so sequential or strided id
+    assignment schemes don't bias a split; narrow (no shuffle, no
+    sample()) so membership is reproducible forever from the id alone.
+    """
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        out,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def weighted_mix_assign(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample each source to its mix weight (fraction kept in
+    [0, 1]) with the same deterministic bucket hash, keeping rows whose
+    bucket falls under weight×100. Sources absent from ``weights``
+    are dropped — an explicit mix is the whole point.
+
+    Map-side only: at 100 TB the mix is a predicate pushed to the
+    scan, not a sampled shuffle.
+    """
+    b = hash_bucket(F.col(id_col))
+    keep = F.lit(False)
+    for src, w in sorted(weights.items()):
+        keep = keep | ((F.col(source_col) == src) & (b < int(round(w * 100))))
+    return df.filter(keep)

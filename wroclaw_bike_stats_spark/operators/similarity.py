@@ -494,6 +494,46 @@ def embedding_neardup_pairs(
     )
 
 
+def _make_quantize_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<tinyint>")
+    def quantize(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        E = np.asarray(embs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Q = np.rint(E / norms * 127.0)
+        Q = np.nan_to_num(Q, nan=0.0).astype(np.int8)
+        return pd.Series(list(Q))
+
+    return quantize
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "embedding_q",
+) -> DataFrame:
+    """Scalar int8 quantization: unit-normalize each vector and round
+    components to [-127, 127] — 4× smaller than float32 on disk and in
+    shuffle, which at 100 TB of embeddings is the difference between
+    scanning 100 TB and 25 TB per ANN sweep.
+
+    Cosine is scale-invariant, so quantized vectors drop straight into
+    ``cosine_topk_bruteforce`` / the IVF path; recall loss at 64 dims
+    is small (top-10 overlap ≥ 0.8 pinned in tests). Arrow-batched
+    (one vectorized normalize+round per batch), zero shuffle.
+    """
+    q = _make_quantize_udf()(F.col(vec_col))
+    return corpus.select(F.col(id_col), q.alias(out))
+
+
 def hyperplane_buckets(
     corpus: DataFrame,
     num_planes: int = 16,
