@@ -1348,6 +1348,62 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction and
+    most-common-2-gram share, explode + keyed agg (linear, no per-row
+    quadratic HOF — operators/text.py repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_stats(docs).orderBy("doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pipeline.py scrub_pii):
+    deterministic synthetic PII is appended per doc so the regex chain
+    is exercised on every row; counts come from the original text, the
+    md5 proves the redacted output is byte-identical to the oracle's."""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 tel +48 600-700-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    return (
+        docs.select("doc_id", pii_text.alias("_t"))
+        .select(
+            "doc_id",
+            P.pii_count(F.col("_t"), "email").cast("long").alias("n_email"),
+            P.pii_count(F.col("_t"), "ipv4").cast("long").alias("n_ip"),
+            P.pii_count(F.col("_t"), "phone").cast("long").alias("n_phone"),
+            F.md5(P.scrub_pii(F.col("_t"))).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token packs, bucketed by a
+    deterministic doc_id hash (operators/pipeline.py pack_sequences —
+    applyInPandas per bucket; oracle is a per-bucket recursive CTE)."""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        P.hash_bucket(F.col("doc_id"), 32).alias("bucket"),
+        T.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        P.pack_sequences(docs, budget=512)
+        .select("doc_id", "bucket", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract.
 
@@ -1425,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quota_cap": q_group_quota_cap,
         "hash_split": q_hash_split,
         "weighted_mix": q_weighted_mix,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "seq_packing": q_seq_packing,
         # ----- rows-only queries (no oracle by design) last, so that a
         # driver run that samples a prefix of this dict verifies only
         # oracle-backed work (see COVERAGE.md "gate window").
@@ -2321,6 +2380,96 @@ def oracle_sql() -> dict[str, str]:
             WHERE (source = 'web' AND bucket < 50)
                OR (source = 'books' AND bucket < 25)
             ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH l AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM l
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (
+                SELECT doc_id,
+                       CAST(max(c) AS BIGINT) AS top2_count,
+                       CAST(sum(c) AS BIGINT) AS total_2grams
+                FROM gc GROUP BY 1
+            )
+            SELECT l.doc_id,
+                   round(CASE WHEN len(toks) > 0
+                         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                    / len(toks)
+                         ELSE 0.0 END, 4) AS dup_word_frac,
+                   coalesce(top.top2_count, 0) AS top2_count,
+                   coalesce(top.total_2grams, 0) AS total_2grams
+            FROM l LEFT JOIN top ON l.doc_id = top.doc_id
+            ORDER BY l.doc_id
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com or 10.0.' || (doc_id % 256)
+                            || '.1 tel +48 600-700-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           AS txt
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(txt,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(txt,
+                       '\+\d{2} \d{3}-\d{3}-\d{3}'))
+                       AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(txt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g'),
+                       '\+\d{2} \d{3}-\d{3}-\d{3}',
+                       '[PHONE]', 'g')) AS redacted_md5
+            FROM t
+            ORDER BY doc_id
+        """,
+        "seq_packing": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 4294967296) % 32 AS bucket,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text),
+                                                             '\s+')) AS BIGINT)
+                       END AS n_tokens
+                FROM documents
+            ),
+            ord AS (
+                SELECT *, row_number() OVER (PARTITION BY bucket
+                                             ORDER BY doc_id) AS rn
+                FROM toks
+            ),
+            packed AS (
+                SELECT doc_id, bucket, rn, n_tokens,
+                       CAST(0 AS BIGINT) AS pack_id, n_tokens AS cum
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.bucket, o.rn, o.n_tokens,
+                       CASE WHEN p.cum + o.n_tokens > 512
+                            THEN p.pack_id + 1 ELSE p.pack_id END,
+                       CASE WHEN p.cum + o.n_tokens > 512
+                            THEN o.n_tokens ELSE p.cum + o.n_tokens END
+                FROM packed p
+                JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, pack_id
+            FROM packed ORDER BY doc_id
         """,
         # minhash_neardup / simhash_groups / embedding_topk_ivf:
         # xxhash64-based or probe-order-dependent — intentionally no SQL

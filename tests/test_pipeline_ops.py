@@ -64,6 +64,83 @@ def test_hash_split_stable_and_partitioning_invariant(spark):
     assert 0.6 * n <= train <= 0.95 * n  # roughly 80%, small-N tolerance
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, tel +48 123-456-789"),
+            (2, "clean text with no pii at all"),
+        ],
+        ["id", "t"],
+    )
+    got = df.select(
+        "id",
+        "t",
+        P.scrub_pii(F.col("t")).alias("red"),
+        P.pii_count(F.col("t"), "email").alias("ne"),
+        P.pii_count(F.col("t"), "ipv4").alias("ni"),
+        P.pii_count(F.col("t"), "phone").alias("np"),
+    ).collect()
+    r1 = next(r for r in got if r.id == 1)
+    assert (r1.ne, r1.ni, r1.np) == (2, 1, 1)
+    assert r1.red == "mail [EMAIL] and [EMAIL], ip [IP], tel [PHONE]"
+    r2 = next(r for r in got if r.id == 2)
+    assert (r2.ne, r2.ni, r2.np) == (0, 0, 0)
+    assert r2.red == r2.t  # clean text passes through unchanged
+
+
+def test_pack_sequences_budget_and_oversize(spark):
+    rows = [
+        # bucket 0: 300+300 overflow -> split; then 600 oversize alone
+        (1, 0, 300),
+        (2, 0, 300),
+        (3, 0, 600),
+        (4, 0, 100),
+        # bucket 1: all fit in one pack
+        (5, 1, 100),
+        (6, 1, 200),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "n_tokens"])
+    got = {
+        r.doc_id: r.pack_id
+        for r in P.pack_sequences(df, budget=512).collect()
+    }
+    # greedy: doc1 pack0(300), doc2 overflows -> pack1(300), doc3
+    # 300+600>512 -> pack2 alone (oversize), doc4 600+100>512 -> pack3
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 0}
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            P.hash_bucket(F.col("doc_id"), 32).alias("bucket"),
+            (F.col("n_chars") % 97 + 1).cast("long").alias("n_tokens"),
+        )
+    )
+    a = {r.doc_id: r.pack_id for r in P.pack_sequences(docs).collect()}
+    b = {
+        r.doc_id: r.pack_id
+        for r in P.pack_sequences(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) == docs.count()
+
+
+def test_repetition_stats_short_docs(spark):
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "word"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    # "a b a b a": 2-grams [a b, b a, a b, b a] -> top 2 of 4
+    assert (got[1].top2_count, got[1].total_2grams) == (2, 4)
+    assert abs(got[1].dup_word_frac - (1 - 2 / 5)) < 1e-9
+    # <2 tokens: no 2-grams, zero dup fraction
+    assert (got[2].top2_count, got[2].total_2grams, got[2].dup_word_frac) == (0, 0, 0.0)
+    assert (got[3].top2_count, got[3].total_2grams, got[3].dup_word_frac) == (0, 0, 0.0)
+
+
 def test_weighted_mix_subset_and_weights(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
         "source",

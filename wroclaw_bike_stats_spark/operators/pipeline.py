@@ -107,6 +107,86 @@ def hash_split_assign(
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle: restricted to
+# the Java-regex ∩ RE2 subset (character classes, bounded repetition,
+# \b — no lookaround, no backrefs) so both engines match identically.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+\d{2} \d{3}-\d{3}-\d{3}", "[PHONE]"),
+}
+# Redaction order is load-bearing (emails contain digits/dots that the
+# looser patterns could clip mid-token) — keep email first.
+_PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_count(col, kind: str):
+    """Occurrence count of one PII pattern (native regexp_count)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind][0]))
+
+
+def scrub_pii(col):
+    """Replace emails, IPv4 addresses and phone numbers with typed
+    placeholder tokens. Pure JVM regexp_replace chain — codegen'd,
+    no Python in the hot path; counts stay available via
+    ``pii_count`` on the ORIGINAL column (order-independent)."""
+    out = col
+    for kind in _PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    bucket_col: str = "bucket",
+    order_col: str = "doc_id",
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy first-fit sequence packing: within each bucket, walk
+    documents in ``order_col`` order and fill packs up to ``budget``
+    tokens; a document that would overflow starts the next pack (an
+    oversize document occupies a pack alone).
+
+    The packing prefix-sum is inherently sequential PER BUCKET, so the
+    bucket is the parallelism unit: ``applyInPandas`` over buckets —
+    one shuffle on the bucket key, then linear local work per group.
+    At 100 TB you size the bucket count so each bucket's metadata
+    (id + token count, not the text) fits a task; the assignment is
+    deterministic from (bucket, order) alone, so retries and reruns
+    agree. Oracle: per-bucket recursive CTE in DuckDB.
+    """
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pack_ids = []
+        cum = 0
+        pack = 0
+        for i, n in enumerate(pdf[tokens_col]):
+            n = int(n)
+            if i == 0:
+                cum = n
+            elif cum + n > budget:
+                pack += 1
+                cum = n
+            else:
+                cum += n
+            pack_ids.append(pack)
+        pdf["pack_id"] = pack_ids
+        return pdf[[order_col, bucket_col, tokens_col, "pack_id"]]
+
+    in_schema = df.select(order_col, bucket_col, tokens_col).schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema
+    ) + ", pack_id long"
+    return (
+        df.select(order_col, bucket_col, tokens_col)
+        .groupBy(bucket_col)
+        .applyInPandas(_pack, schema=out_schema)
+    )
+
+
 def weighted_mix_assign(
     df: DataFrame,
     source_col: str,

@@ -194,6 +194,69 @@ def tfidf_top_terms(
     )
 
 
+def dup_word_frac(col: Column) -> Column:
+    """Fraction of token occurrences that are repeats of an earlier
+    token (Gopher-style repetition signal): 1 - distinct/total.
+    Native array expression — linear per row, whole-stage codegen."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Adjacent whitespace-token 2-grams as an array column.
+
+    1-based ``element_at`` over ``sequence(1, n-1)`` mirrors the DuckDB
+    oracle's ``list_transform(range(1, len(l)), ...)`` exactly. The
+    n<2 guard matters: Spark's ``sequence(1, 0)`` infers step -1 and
+    returns [1, 0] instead of an empty range."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition metrics per document: most-common-2-gram
+    share and duplicate-word fraction.
+
+    The 2-gram mode is computed by explode → two keyed aggregations,
+    NOT by a per-row nested higher-order function: a HOF mode scan is
+    O(distinct²) per document of interpreted expression evaluation,
+    while this shape is linear work with map-side partial aggregation
+    on (doc, gram) — the plan that survives billion-document corpora.
+    Docs with <2 tokens get top2_count=0/total_2grams=0.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max("_c").cast("long").alias("top2_count"),
+        F.sum("_c").cast("long").alias("total_2grams"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(dup_word_frac(F.col(text_col)), 4).alias("dup_word_frac"),
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_word_frac",
+        F.coalesce("top2_count", F.lit(0)).alias("top2_count"),
+        F.coalesce("total_2grams", F.lit(0)).alias("total_2grams"),
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Portable across engines (used by the
