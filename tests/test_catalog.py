@@ -52,3 +52,66 @@ def test_year_predicate_prunes_partitions(spark, rides_table):
     # the pruned scan reads 2 of 3 rows without a post-scan filter on
     # the partition column
     assert "ride_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+# --- bucketed co-located joins -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    from wroclaw_bike_stats_spark.catalog import create_bucketed_table
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    create_bucketed_table(
+        spark, orders, "orders_bkt", "o_custkey", 8,
+        sort_cols=["o_custkey"], path=str(base / "orders"),
+    )
+    create_bucketed_table(
+        spark, cust, "customer_bkt", "c_custkey", 8,
+        sort_cols=["c_custkey"], path=str(base / "customer"),
+    )
+    yield "orders_bkt", "customer_bkt"
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    """Same key, same bucket count -> the join plan contains ZERO
+    Exchange: each task zips matching bucket files. This is the layout
+    that makes repeated 100 TB fact-fact joins affordable."""
+    o_name, c_name = bucketed_pair
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(o_name).join(
+            spark.table(c_name),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # correctness: same rows as the plain (shuffled) join
+        plain = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .join(
+                spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    """Aggregation on the bucket key also rides the layout: partial
+    and final agg collapse into one stage, no shuffle."""
+    o_name, _ = bucketed_pair
+    agg = spark.table(o_name).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

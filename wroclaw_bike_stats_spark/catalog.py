@@ -59,5 +59,38 @@ def create_events_table(
     )
 
 
+def create_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Materialize ``df`` hash-bucketed (and optionally sorted) by the
+    join key.
+
+    This is the co-located-join layout for 100 TB fact tables: two
+    tables bucketed by the same key into the same bucket count join
+    with ZERO Exchange — each task reads matching bucket files from
+    both sides. The shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on that key; with
+    ``sort_cols`` the merge-sort is pre-paid too. Spark's native
+    parquet bucketing (hash(key) mod n file layout + catalog metadata)
+    — no Hive dependency.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(name)
