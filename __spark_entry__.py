@@ -1414,7 +1414,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering = verification priority. The round-2 driver run verified
+    # only a 50-entry prefix (see COVERAGE.md "gate window"), so the
+    # oracle-backed queries with NO driver row yet come first, then the
+    # queries already green in CORRECTNESS_r02, then the rows-only
+    # (no-oracle) sketch/hash queries last. Any prefix the driver
+    # samples maximizes new oracle-verified coverage.
     return {
+        # --- oracle-backed, not yet driver-verified (r02 gap + new) --
+        "neardup_components": q_neardup_components,
+        "neardup_dedup_keep": q_neardup_dedup_keep,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_bytes": q_multimodal_bytes,
+        "json_props_stats": q_json_props_stats,
+        "explode_token_positions": q_explode_token_positions,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "user_event_gaps": q_user_event_gaps,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "string_funcs_part": q_string_funcs_part,
+        "date_arith_orders": q_date_arith_orders,
+        "decontam_docs": q_decontam_docs,
+        "group_quota_cap": q_group_quota_cap,
+        "hash_split": q_hash_split,
+        "weighted_mix": q_weighted_mix,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "seq_packing": q_seq_packing,
+        # --- oracle-backed, green in CORRECTNESS_r02 -----------------
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "region_nation_revenue": q_region_nation_revenue,
@@ -1464,26 +1492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": q_lineitem_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "term_df": q_term_df,
-        "neardup_components": q_neardup_components,
-        "neardup_dedup_keep": q_neardup_dedup_keep,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_bytes": q_multimodal_bytes,
-        "json_props_stats": q_json_props_stats,
-        "explode_token_positions": q_explode_token_positions,
-        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
-        "user_event_gaps": q_user_event_gaps,
-        "acctbal_quartiles": q_acctbal_quartiles,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "string_funcs_part": q_string_funcs_part,
-        "date_arith_orders": q_date_arith_orders,
-        "decontam_docs": q_decontam_docs,
-        "group_quota_cap": q_group_quota_cap,
-        "hash_split": q_hash_split,
-        "weighted_mix": q_weighted_mix,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "seq_packing": q_seq_packing,
         # ----- rows-only queries (no oracle by design) last, so that a
         # driver run that samples a prefix of this dict verifies only
         # oracle-backed work (see COVERAGE.md "gate window").
