@@ -1404,6 +1404,16 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global example index in doc_id order via the two-phase
+    range-partition + prefix-offset rank — no single-reducer global
+    sort (operators/pipeline.py add_global_index)."""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return P.add_global_index(docs, "doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract.
 
@@ -1442,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "seq_packing": q_seq_packing,
+        "global_index": q_global_index,
         # --- oracle-backed, green in CORRECTNESS_r02 -----------------
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -2478,6 +2489,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, bucket, n_tokens, pack_id
             FROM packed ORDER BY doc_id
+        """,
+        "global_index": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                       AS idx
+            FROM documents
+            ORDER BY doc_id
         """,
         # minhash_neardup / simhash_groups / embedding_topk_ivf:
         # xxhash64-based or probe-order-dependent — intentionally no SQL

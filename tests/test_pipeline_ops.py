@@ -141,6 +141,35 @@ def test_repetition_stats_short_docs(spark):
     assert (got[3].top2_count, got[3].total_2grams, got[3].dup_word_frac) == (0, 0, 0.0)
 
 
+def test_add_global_index_dense_and_ordered(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    got = {
+        r.doc_id: r.idx
+        for r in P.add_global_index(docs, "doc_id", num_partitions=5).collect()
+    }
+    n = len(got)
+    assert sorted(got.values()) == list(range(n))  # dense 0..n-1
+    by_doc = [idx for _, idx in sorted(got.items())]
+    assert by_doc == list(range(n))  # index follows doc_id order
+
+
+def test_add_global_index_no_single_partition_sort(spark):
+    """The plan must not contain a global (non-partitioned) Sort over
+    the data: the window is partitioned by the range-partition id."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = (
+        P.add_global_index(docs, "doc_id", num_partitions=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # rangepartitioning appears (phase 1); no Exchange SinglePartition
+    # feeding the big side (the only single-partition work is the
+    # one-row-per-partition offsets table)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("singlepartition") <= 1, plan
+
+
 def test_weighted_mix_subset_and_weights(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
         "source",

@@ -107,6 +107,63 @@ def hash_split_assign(
     )
 
 
+def add_global_index(
+    df: DataFrame,
+    order_col: str,
+    out: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global index in ``order_col`` order — stable
+    example ids for a training corpus — WITHOUT the single-partition
+    global sort.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole table into one reducer; at 100 TB that is the job. The
+    distributed shape is the classic two-phase rank:
+
+    1. ``repartitionByRange(order_col)`` — one range shuffle, Spark
+       samples split points, partitions are globally ordered.
+    2. Per-partition local ``row_number`` (a window PARTITIONED by the
+       range-partition id — parallel, no collapse).
+    3. Per-partition counts (tiny aggregate) → prefix-sum offsets,
+       broadcast back and added to the local rank.
+
+    Deterministic for a total ``order_col`` order (ties across
+    partition boundaries would be split arbitrarily — pass a unique
+    key). Equivalent SQL: ``row_number() OVER (ORDER BY order_col)-1``.
+    """
+    from pyspark.sql import Window
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = ranged.withColumn("_rn", F.row_number().over(w) - 1)
+    counts = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    # counts has one row per partition — broadcast, never a real shuffle
+    return (
+        local.join(F.broadcast(counts), "_pid")
+        .withColumn(out, (F.col("_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
 # PII patterns shared verbatim with the DuckDB oracle: restricted to
 # the Java-regex ∩ RE2 subset (character classes, bounded repetition,
 # \b — no lookaround, no backrefs) so both engines match identically.
