@@ -244,6 +244,29 @@ def cmd_pipeline(args: argparse.Namespace) -> None:
     print(f"Event log rows: {events.count()}")
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    import json
+
+    from wroclaw_bike_stats_spark.plans.curate import (
+        curate_corpus,
+        curation_report,
+        write_curated,
+    )
+
+    spark = get_spark(app_name="wbs-curate-cli")
+    docs = spark.read.parquet(args.docs)
+    eval_set = spark.read.parquet(args.eval) if args.eval else None
+    curated = curate_corpus(
+        docs,
+        eval_set,
+        min_tokens=args.min_tokens,
+        max_dup_word_frac=args.max_dup_word_frac,
+        scrub=not args.no_scrub,
+    )
+    write_curated(curated, args.out)
+    print(json.dumps(curation_report(spark.read.parquet(args.out), docs)))
+
+
 # --- parser -----------------------------------------------------------------
 
 
@@ -318,6 +341,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Skip the network fetch; diff whatever is in the landing dir",
     )
     pipeline.set_defaults(func=cmd_pipeline)
+
+    curate = sub.add_parser(
+        "curate",
+        help="Corpus curation: decontaminate, filter, dedup, split",
+    )
+    curate.add_argument("--docs", required=True, help="Input parquet")
+    curate.add_argument("--eval", default=None, help="Eval-set parquet")
+    curate.add_argument("--out", required=True, help="Output dir")
+    curate.add_argument("--min-tokens", type=int, default=10)
+    curate.add_argument("--max-dup-word-frac", type=float, default=0.9)
+    curate.add_argument("--no-scrub", action="store_true")
+    curate.set_defaults(func=cmd_curate)
     return p
 
 

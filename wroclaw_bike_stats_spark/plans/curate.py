@@ -1,0 +1,114 @@
+"""End-to-end corpus curation plan — the composition a training-data
+team actually runs: decontaminate → quality/repetition filter → exact
+dedup → split assignment, as ONE lazy DataFrame plan.
+
+Each stage is an operator that already has its own oracle-backed gate
+(operators/pipeline.py, operators/text.py, operators/dedup.py); this
+module proves they COMPOSE without materialization barriers: the whole
+chain is a single logical plan Catalyst optimizes end to end (filter
+pushdown through the dedup window, one scan of the corpus for the
+narrow stages).
+
+Scale notes:
+- Narrow stages first (quality predicates, PII scrub) so the dedup
+  shuffle and the repetition-stats aggregation see only survivors.
+- The repetition filter is a self-join on doc_id (explode + agg side
+  is |survivor-grams|); at 100 TB prefer running it as a pre-pass that
+  writes a doc_id blocklist if gram cardinality dominates.
+- Exact dedup keeps the smallest doc_id per content fingerprint
+  (deterministic first-writer, same rule as operators/upsert.py).
+- Split assignment is map-side hash arithmetic — auditable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import pipeline as P
+from wroclaw_bike_stats_spark.operators import text as T
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_set: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.9,
+    max_top2gram_frac: float = 0.5,
+    scrub: bool = True,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Return the curated corpus: surviving rows with ``text``
+    (PII-scrubbed when ``scrub``) plus ``split``. Deterministic —
+    reruns produce identical rows."""
+    out = docs
+    if eval_set is not None:
+        out = P.decontaminate(out, eval_set, text_col=text_col)
+
+    # narrow quality predicates (no shuffle)
+    n_tok = T.token_count_ws(F.col(text_col))
+    out = out.filter(
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (T.dup_word_frac(F.col(text_col)) <= max_dup_word_frac)
+    )
+
+    # repetition filter: top-2-gram share (explode+agg over survivors)
+    rep = T.repetition_stats(out, text_col=text_col, id_col=id_col).select(
+        id_col,
+        F.when(
+            F.col("total_2grams") > 0,
+            F.col("top2_count") / F.col("total_2grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_top2_frac"),
+    )
+    out = (
+        out.join(rep, id_col, "left")
+        .filter(F.coalesce(F.col("_top2_frac"), F.lit(0.0)) <= max_top2gram_frac)
+        .drop("_top2_frac")
+    )
+
+    # exact dedup: keep the smallest id per normalized-content
+    # fingerprint (one shuffle on the fingerprint)
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    out = (
+        out.withColumn("_fp", T.fingerprint_md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+    if scrub:
+        out = out.withColumn(text_col, P.scrub_pii(F.col(text_col)))
+
+    return P.hash_split_assign(
+        out, id_col=id_col, train_pct=train_pct, val_pct=val_pct
+    )
+
+
+def curation_report(curated: DataFrame, docs: DataFrame) -> dict:
+    """Small summary (one aggregation each side): input/output rows and
+    per-split counts. Collects only the tiny aggregate."""
+    n_in = docs.count()
+    per_split = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "rows_in": n_in,
+        "rows_out": sum(per_split.values()),
+        "splits": dict(sorted(per_split.items())),
+    }
+
+
+def write_curated(curated: DataFrame, out_dir: str) -> None:
+    """Materialize partitioned by split — training readers scan only
+    their split's partition."""
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_dir)
