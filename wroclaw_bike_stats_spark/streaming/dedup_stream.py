@@ -9,7 +9,8 @@ that survives an unbounded 100 TB/day stream. The trade is the
 documented at-least-once window: a duplicate arriving later than the
 watermark delay after the original is NOT suppressed (it is no longer
 in state). Exactly-once dedup over all history requires a keyed
-idempotent sink (e.g. MERGE on the key) instead.
+idempotent sink (MERGE on the key) instead — implemented in
+``streaming/merge_sink.py``.
 
 Batch parity: within one watermark window the streaming output is
 row-identical to batch ``dropDuplicates`` on the same key (pinned in
