@@ -112,3 +112,44 @@ def test_cli_curate(spark, tmp_path, capsys):
     rep = json.loads(line)
     assert rep["rows_in"] == 500 and rep["rows_out"] > 0
     assert spark.read.parquet(out_dir).count() == rep["rows_out"]
+
+
+def test_curation_stages_run_in_streaming(spark, docs, tmp_path):
+    """The stateless curation stages (quality predicates, PII scrub,
+    split assignment) are plain column expressions, so the SAME code
+    runs under Structured Streaming — batch/stream outputs are
+    row-identical. (The dedup/repetition stages need state and live in
+    streaming/dedup_stream.py / merge_sink.py instead.)"""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs.limit(50).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def stages(df):
+        out = df.filter(T.token_count_ws(F.col("text")) >= 5)
+        out = out.withColumn("text", P.scrub_pii(F.col("text")))
+        return P.hash_split_assign(out)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        stages(stream)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_rows = sorted(
+        (r.doc_id, r.split, r.text)
+        for r in stages(spark.read.parquet(src_dir)).collect()
+    )
+    stream_rows = sorted(
+        (r.doc_id, r.split, r.text)
+        for r in spark.read.parquet(sink_dir).collect()
+    )
+    assert stream_rows == batch_rows and len(batch_rows) > 0
