@@ -95,3 +95,96 @@ def test_dedupe_by_uid_unique_and_stable(spark, rows):
     assert out1 == out2
     uids = [r[0] for r in out1 if r[0] is not None]
     assert len(uids) == len(set(uids))
+
+
+# --- curation-operator invariants ----------------------------------------
+
+
+token_counts = st.lists(
+    st.integers(min_value=0, max_value=800), min_size=1, max_size=60
+)
+
+
+@given(counts=token_counts)
+@SLOW
+def test_pack_sequences_invariants(spark, counts):
+    """For any token-count sequence: pack ids start at 0 and are
+    contiguous; every pack except possibly a single oversize doc fits
+    the budget; packing is greedy (a doc never starts a new pack if it
+    fit the previous one)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import pack_sequences
+
+    budget = 512
+    df = spark.createDataFrame(
+        [(i, 0, n) for i, n in enumerate(counts)],
+        ["doc_id", "bucket", "n_tokens"],
+    )
+    rows = sorted(
+        (r.doc_id, r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, budget=budget).collect()
+    )
+    assert len(rows) == len(counts)
+    pack_ids = [p for _, _, p in rows]
+    assert pack_ids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(pack_ids, pack_ids[1:]))
+    # per-pack totals
+    totals: dict[int, list[int]] = {}
+    for _, n, p in rows:
+        totals.setdefault(p, []).append(n)
+    for p, ns in totals.items():
+        assert sum(ns) <= budget or len(ns) == 1  # oversize doc alone
+    # greedy: first doc of pack p+1 did NOT fit at the end of pack p
+    for (_, n, p), prev in zip(rows[1:], rows):
+        if p == prev[2] + 1:
+            assert sum(totals[prev[2]]) + n > budget
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_categories=("Cs", "Cc")
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_scrub_pii_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x): placeholders never re-match."""
+    from wroclaw_bike_stats_spark.operators.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+    )
+    got = df.select(
+        "id",
+        scrub_pii(F.col("t")).alias("once"),
+        scrub_pii(scrub_pii(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in got:
+        assert r.once == r.twice
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200, unique=True))
+@SLOW
+def test_hash_split_partition_of_ids(spark, ids):
+    """Every id lands in exactly one split, and membership is a pure
+    function of the id (stable under union with other ids)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import hash_split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    full = {
+        r.doc_id: r.split for r in hash_split_assign(df).collect()
+    }
+    assert set(full) == set(ids)
+    half_ids = ids[: max(1, len(ids) // 2)]
+    half = {
+        r.doc_id: r.split
+        for r in hash_split_assign(
+            spark.createDataFrame([(i,) for i in half_ids], ["doc_id"])
+        ).collect()
+    }
+    assert all(full[i] == half[i] for i in half_ids)

@@ -40,8 +40,22 @@ def norm_text(col):
 
 
 def hash_bucket(col, buckets: int = 100):
-    """Deterministic [0, buckets) bucket from an integer id column."""
-    return F.pmod(F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_MOD)), F.lit(buckets))
+    """Deterministic [0, buckets) bucket from a non-negative integer id
+    column: ``(id * _KNUTH) mod 2^32 mod buckets``.
+
+    The multiply is done as a 16-bit split so every intermediate stays
+    below 2^49: a naive ``id * 2654435761`` overflows int64 for ids
+    ≥ ~2^32 (snowflake-style ids) and ANSI mode — Spark 4's default —
+    throws instead of wrapping. Congruence: with a = id mod 2^32 and
+    K = K_hi·2^16 + K_lo,  a·K ≡ a·K_lo + (a·K_hi mod 2^16)·2^16
+    (mod 2^32). DuckDB's oracle arithmetic promotes to HUGEINT, so its
+    full-width product agrees exactly.
+    """
+    k_hi, k_lo = _KNUTH >> 16, _KNUTH & 0xFFFF
+    a = F.pmod(col.cast("long"), F.lit(_MOD))
+    lo = F.pmod(a * F.lit(k_lo), F.lit(_MOD))
+    hi = F.pmod(a * F.lit(k_hi), F.lit(65536)) * F.lit(65536)
+    return F.pmod(F.pmod(lo + hi, F.lit(_MOD)), F.lit(buckets))
 
 
 def decontaminate(
