@@ -179,3 +179,23 @@ def test_weighted_mix_subset_and_weights(spark):
     got = {r.doc_id for r in mixed.collect()}
     web = {r.doc_id for r in docs.filter("source = 'web'").collect()}
     assert got == web  # weight 1.0 keeps all, 0.0 drops all
+
+
+def test_decontaminate_big_blocklist_mode(spark):
+    """broadcast=False routes through a shuffled anti-join (no forced
+    broadcast of a huge exclusion list) with identical results."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    a = sorted(r.doc_id for r in P.decontaminate(docs, eval_set).collect())
+    b = sorted(
+        r.doc_id
+        for r in P.decontaminate(docs, eval_set, broadcast=False).collect()
+    )
+    assert a == b
+    plan = (
+        P.decontaminate(docs, eval_set, broadcast=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan

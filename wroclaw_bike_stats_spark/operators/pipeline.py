@@ -62,19 +62,27 @@ def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
     text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop corpus documents whose normalized-text fingerprint appears
     in the eval set (train/test leakage removal).
 
-    The eval fingerprints are broadcast — the corpus side never
-    shuffles. Matching is exact on md5(normalized text); for fuzzy
+    With ``broadcast`` (the right call for real eval sets — thousands
+    of fingerprints) the corpus side never shuffles: each task streams
+    its partition against a broadcast hash set. Pass
+    ``broadcast=False`` when the exclusion list is itself huge (e.g.
+    a billion-key blocklist) — the anti-join then shuffles both sides
+    on the fingerprint instead of OOMing every executor on a forced
+    broadcast. Matching is exact on md5(normalized text); for fuzzy
     decontamination compose with the near-dup operators (dedup.py)
     using eval docs as one side of the candidate join.
     """
     fp = F.md5(norm_text(F.col(text_col)))
     eval_fps = eval_set.select(fp.alias("_fp")).distinct()
+    if broadcast:
+        eval_fps = F.broadcast(eval_fps)
     return corpus.withColumn("_fp", fp).join(
-        F.broadcast(eval_fps), "_fp", "left_anti"
+        eval_fps, "_fp", "left_anti"
     ).drop("_fp")
 
 
