@@ -1414,6 +1414,59 @@ def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.add_global_index(docs, "doc_id").orderBy("doc_id")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keyed diff of two corpus versions (operators/
+    table_diff.py): v2 deterministically drops doc_id%7==0, rewrites
+    text for doc_id%5==0, and appends new ids. One full-outer shuffle
+    on the key; change detection via content hash (oracle compares
+    columns directly — agreement = no hash collisions)."""
+    from wroclaw_bike_stats_spark.operators.table_diff import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.orderBy("doc_id")
+            .limit(10)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+    )
+    return table_diff(docs, v2, "doc_id").orderBy("doc_id")
+
+
+def q_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for o_custkey (operators/profile.py skew_report):
+    top-10 heaviest keys with row share, deterministic tie-break."""
+    from wroclaw_bike_stats_spark.operators.profile import skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew_report(orders, "o_custkey", top_n=10)
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/profile.py validate): all
+    rules in one conditional-aggregation scan; NULL predicate counts
+    as a violation."""
+    from wroclaw_bike_stats_spark.operators.profile import validate
+
+    orders = _t(spark, sf_dir, "orders")
+    return validate(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "status_known": F.col("o_orderstatus").isin("F", "O", "P"),
+            "priority_prefixed": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract.
 
@@ -1453,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "seq_packing": q_seq_packing,
         "global_index": q_global_index,
+        "table_diff_docs": q_table_diff,
+        "skew_orders": q_skew_orders,
+        "validate_orders": q_validate_orders,
         # --- oracle-backed, green in CORRECTNESS_r02 -----------------
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -2496,6 +2552,66 @@ def oracle_sql() -> dict[str, str]:
                        AS idx
             FROM documents
             ORDER BY doc_id
+        """,
+        "table_diff_docs": """
+            WITH v1 AS (SELECT doc_id, text FROM documents),
+            v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+            )
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.text IS NOT DISTINCT FROM v2.text
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+            ORDER BY doc_id
+        """,
+        "skew_orders": """
+            WITH c AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+                FROM orders GROUP BY 1
+            ),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders)
+            SELECT o_custkey, n_rows,
+                   round(n_rows / t.total, 6) AS share
+            FROM c, t
+            ORDER BY n_rows DESC, o_custkey ASC
+            LIMIT 10
+        """,
+        "validate_orders": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS positive_price,
+                    CAST(sum(CASE WHEN o_orderkey IS NOT NULL
+                             THEN 0 ELSE 1 END) AS BIGINT) AS key_not_null,
+                    CAST(sum(CASE WHEN coalesce(
+                                 o_orderstatus IN ('F', 'O', 'P'), FALSE)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS status_known,
+                    CAST(sum(CASE WHEN coalesce(
+                                 regexp_matches(o_orderpriority, '^[1-5]-'),
+                                 FALSE)
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                        AS priority_prefixed,
+                    CAST(count(*) AS BIGINT) AS n_rows
+                FROM orders
+            )
+            SELECT 'key_not_null' AS rule, key_not_null AS n_violations,
+                   n_rows FROM agg
+            UNION ALL
+            SELECT 'positive_price', positive_price, n_rows FROM agg
+            UNION ALL
+            SELECT 'priority_prefixed', priority_prefixed, n_rows FROM agg
+            UNION ALL
+            SELECT 'status_known', status_known, n_rows FROM agg
+            ORDER BY rule
         """,
         # minhash_neardup / simhash_groups / embedding_topk_ivf:
         # xxhash64-based or probe-order-dependent — intentionally no SQL

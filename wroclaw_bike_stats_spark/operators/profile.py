@@ -62,3 +62,56 @@ def profile_columns(
         )
     )
     return stacked.orderBy("column")
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnosis for a prospective join/agg key: the ``top_n``
+    heaviest key values with their share of all rows. A key whose top
+    share is a few percent needs salting/AQE-skew handling before it
+    becomes a 100 TB shuffle; this is the report you run FIRST.
+
+    One keyed aggregation + a tiny top-k (TakeOrderedAndProject);
+    the total is a scalar subjoin, broadcast everywhere. Deterministic
+    tie-break on the key value.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    return (
+        counts.orderBy(F.desc("n"), F.col(key).asc())
+        .limit(top_n)
+        .select(
+            key,
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("n") / F.lit(total), 6).alias("share"),
+        )
+    )
+
+
+def validate(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Data-contract check: ``rules`` maps rule name → Column predicate
+    that every row must satisfy. Returns one row per rule with its
+    violation count — ALL rules evaluated in ONE scan (a single
+    conditional aggregation), not a scan per rule.
+
+    NULL predicate results count as violations (a rule that cannot be
+    evaluated is not satisfied).
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias(name)
+        for name, pred in rules.items()
+    ]
+    one = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    stack_args = []
+    for name in rules:
+        stack_args += [f"'{name}'", f"`{name}`"]
+    return one.select(
+        F.expr(
+            f"stack({len(rules)}, {', '.join(stack_args)}) AS "
+            "(rule, n_violations)"
+        ),
+        F.col("__n").cast("long").alias("n_rows"),
+    ).orderBy("rule")
