@@ -40,12 +40,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer `div`, not `/1000`: epoch-nanos exceed double's
             # 53-bit mantissa, so float division can shift the value by
             # ±1µs. `div` truncates exactly, matching how DuckDB (the
             # oracle) narrows TIMESTAMP(NANOS) to micros.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as
+            # NTZ in Spark 4. The engine's semantic (session.py) is
+            # naive==UTC, so with the session tz pinned to UTC this
+            # cast is value-preserving and downstream unix_micros /
+            # window arithmetic behaves as TimestampType.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -640,7 +649,17 @@ def _events_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") != "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        # Filter on the RAW ntz column (literal coerced to ntz, pushed
+        # to parquet row-group pruning), THEN cast — a predicate on the
+        # cast column would not reach the scan.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return raw.filter(
+            (F.col("ts") >= F.lit(RANGE_TS_LO).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(RANGE_TS_HI).cast("timestamp_ntz"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type != "bigint":
         ev = _t(spark, sf_dir, "events")
         return ev.filter((F.col("ts") >= RANGE_TS_LO) & (F.col("ts") < RANGE_TS_HI))
 
