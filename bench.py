@@ -65,13 +65,19 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 3)
 
-    out = {
-        "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    # Drop session-shared persisted intermediates (pair graph, dedup
+    # scratch) — no persisted RDDs should outlive the bench run.
+    try:
+        entry_mod.release_shared()
+    except Exception:  # noqa: BLE001
+        pass
+
+    total = round(sum(timings.values()), 3)
+    # Key order matters: the driver captures only the TAIL of stdout, so
+    # the summary fields (metric/value/sf) must come AFTER the long
+    # per-query maps or they get truncated away (BENCH_r03 was
+    # parsed:null for exactly this reason).
+    out = {"queries": timings}
     anchor = _load_anchor(
         os.environ.get("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_r02.json")
     )
@@ -83,7 +89,12 @@ def main() -> None:
         }
     if errors:
         out["errors"] = errors
+    out.update({"metric": "total_query_sec", "value": total, "unit": "sec", "sf": sf})
     print(json.dumps(out))
+    # Short summary line LAST: guaranteed to fit whole inside any tail
+    # window, so the driver's `tail.find('{"metric"')` always lands on a
+    # complete JSON object even if the full line above is truncated.
+    print(json.dumps({"metric": "total_query_sec", "value": total, "unit": "sec", "n_queries": len(timings), "sf": sf}))
 
 
 def _load_anchor(path: str) -> dict[str, float] | None:

@@ -84,10 +84,18 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # `new` is eagerly materialized and `changed` consumed the old
+        # labels — its checkpoint blocks are now dead; drop them instead
+        # of leaking one checkpoint per round for the session lifetime.
+        labels.unpersist()
         labels = new
         if changed == 0:
             edges.unpersist()
             pairs.unpersist()
+            # The final checkpoint backs the returned frame (lineage is
+            # cut, so its blocks must NOT be force-released while any
+            # consumer might still run); ContextCleaner reclaims it
+            # once the caller drops the reference.
             return labels.select("node", F.col("comp").alias("component_id"))
     edges.unpersist()
     pairs.unpersist()

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 
 from wroclaw_bike_stats_spark.operators.text import fingerprint_md5, tokens
 
+# Persisted intermediates (shingle tables, LSH candidate sets) are
+# scratch: needed while the query that built them executes, dead
+# weight afterwards (see operators/scratch.py for the lifecycle).
+from wroclaw_bike_stats_spark.operators.scratch import (  # noqa: E402
+    persist as _scratch_persist,
+)
+from wroclaw_bike_stats_spark.operators.scratch import (  # noqa: E402
+    release as release_scratch,
+)
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -139,7 +149,9 @@ def ngram_jaccard_pairs(
 
     # The shingle table feeds sizes + both join sides (3 consumers);
     # persist (memory-and-disk) so the explode runs once, not 3×.
-    sh = sh.persist()
+    # Registered as scratch — released when the next dedup query
+    # builds (or via release_scratch()), not leaked per call.
+    sh = _scratch_persist(sh)
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -320,7 +332,7 @@ def minhash_dedup_pairs(
     # signature+banding pipeline would re-execute for each. Candidate
     # pairs are tiny relative to the corpus (that's the point of LSH),
     # so caching them is bounded and saves two full recomputations.
-    cands = minhash_lsh_candidates(sigs, bands).cache()
+    cands = _scratch_persist(minhash_lsh_candidates(sigs, bands))
     return ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, threshold, candidates=cands
     )

@@ -227,6 +227,7 @@ def kmeans_refine(
     a valid spherical-k-means centroid. Clusters that lose all members
     drop out (standard Lloyd variant) — callers needing a fixed k
     should re-seed from the dropped ids."""
+    prev = None
     for _ in range(iters):
         assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
         dims = assigned.select(
@@ -244,6 +245,13 @@ def kmeans_refine(
             )
             .localCheckpoint()
         )
+        # The new checkpoint is eagerly materialized — the superseded
+        # round's blocks are dead; drop them rather than leak one
+        # checkpoint per iteration. (The FINAL checkpoint backs the
+        # returned frame and is left for ContextCleaner.)
+        if prev is not None:
+            prev.unpersist()
+        prev = centroids
     return centroids
 
 
