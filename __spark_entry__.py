@@ -1195,6 +1195,102 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Error-bound gates for the approximate operators. Sketch internals
+# (HLL registers, KLL/GK quantile sketches, IVF probe sets) are
+# engine-specific and not SQL-expressible — but their CONTRACTS are:
+# the exact value IS SQL-computable, and "approx within ε of exact" is
+# a deterministic boolean. Each gate returns the exact values (real
+# oracle math) plus the bound check (oracle literal TRUE), converting
+# "trust the local test" into a per-round green/red driver row.
+
+
+def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error-bound gate: per event type, exact distinct users
+    (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
+    sketch is well inside the 5% bound at every tested scale."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch error-bound gate: exact interpolated
+    percentiles (oracle: quantile_cont) + percentile_approx within 1%
+    of the value RANGE at every probed quantile."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    )
+    within = (
+        (F.abs(F.col("q")[0] - F.col("e50")) <= 0.01 * F.col("rng"))
+        & (F.abs(F.col("q")[1] - F.col("e90")) <= 0.01 * F.col("rng"))
+        & (F.abs(F.col("q")[2] - F.col("e99")) <= 0.01 * F.col("rng"))
+    )
+    return a.select(
+        F.round("e50", 4).alias("p50"),
+        F.round("e90", 4).alias("p90"),
+        F.round("e99", 4).alias("p99"),
+        within.alias("approx_within_1pct"),
+    )
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall gate: top-k overlap between the IVF-probed
+    approximate search and the exact brute-force search must reach the
+    0.6 floor (deterministic under the fixed centroid sample seed).
+    ``n_queries`` is oracle-computed; the floor is the invariant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = SIM.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_b")
+    )
+    ivf = SIM.cosine_topk_ivf(
+        emb, queries, k=10, num_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_i"))
+    j = bf.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+    both = F.count(F.when(F.col("_b").isNotNull() & F.col("_i").isNotNull(), 1))
+    return j.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        (both / F.greatest(F.count("_b"), F.lit(1)) >= 0.6).alias("recall_ge_060"),
+    )
+
+
+def q_simhash_exactdup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash consistency gate: documents identical under whitespace
+    normalization (same md5 fingerprint — oracle-computable) MUST get
+    the same simhash, since shingles derive from the normalized token
+    stream. ``n_dup_groups`` (groups of >1 doc sharing a fingerprint)
+    comes from real oracle SQL; zero groups makes the boolean
+    vacuously true on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        D.simhash64(F.col("text"), 2).alias("simhash"),
+    )
+    groups = per_doc.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_sim"),
+    )
+    dup = groups.filter(F.col("n_docs") > 1)
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        (F.count(F.when(F.col("n_sim") != 1, 1)) == 0).alias("simhash_consistent"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1656,6 +1752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
         "salted_join_skew": q_salted_join_skew,
+        "hll_bounds": q_hll_bounds,
+        "approx_quantile_bounds": q_approx_quantile_bounds,
+        "ivf_recall": q_ivf_recall,
+        "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
         # --- last driver-verified in r02 (stalest) -------------------
         "pivot_priority_status": q_pivot_priority_status,
         "distinct_event_dates": q_distinct_event_dates,
@@ -2400,6 +2500,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sk JOIN dim USING (skew_key)
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        # Error-bound gates: exact side is real oracle math, the
+        # ε-bound / invariant is a literal the Spark side must agree
+        # with (see the q_* docstrings).
+        "hll_bounds": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS hll_within_5pct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "approx_quantile_bounds": """
+            SELECT round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   TRUE AS approx_within_1pct
+            FROM events
+        """,
+        "ivf_recall": """
+            SELECT count(*) AS n_queries, TRUE AS recall_ge_060
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "simhash_exactdup_consistency": f"""
+            SELECT count(*) AS n_dup_groups, TRUE AS simhash_consistent
+            FROM (
+                SELECT md5({_NORM}) AS fp
+                FROM documents
+                GROUP BY 1
+                HAVING count(*) > 1
+            )
         """,
         "profile_orders": "\nUNION ALL\n".join(
             f"""
