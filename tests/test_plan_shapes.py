@@ -70,6 +70,28 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "IsNotNull(p_size)" in plan or "GreaterThan(p_size,20)" in plan
 
 
+def test_salted_join_partitions_on_salt(spark):
+    """The salted join must actually change the physical distribution:
+    the shuffle/join key set has to include the salt column alongside
+    the hot key — otherwise the hot key still lands on one reducer and
+    the operator is a no-op with extra cost."""
+    plan = _plan(spark, "salted_join_skew")
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_expand_is_isolated(spark):
+    """Exact profiling compiles the multi-distinct aggregation into
+    ONE Expand, and the plain count/min/max aggs stay OUT of it (they
+    run in their own agg over the unexpanded stream — the round-4
+    2x fix; operators/profile.py docstring)."""
+    plan = _plan(spark, "profile_orders")
+    assert plan.count("Expand") == 1, plan
+    # the split produces two independent HashAggregate chains joined
+    # as 1-row frames via a broadcast join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
 def test_centroid_assignment_is_narrow(spark):
     """The IVF/k-means assignment must be shuffle-free: a scan plus an
     Arrow-batched argmax against a literal centroid matrix. The r2
