@@ -86,3 +86,22 @@ def test_no_oracle_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", ["hourly_histogram", "daily_event_metrics"])
+def test_non_utc_session_still_matches_oracle(spark, duck, name):
+    """Regression pin for the session-timezone hazard: a driver-owned
+    session configured to a NON-UTC timezone must still agree with the
+    naive-UTC DuckDB oracle on timestamp-derived queries, because
+    ``_t`` pins UTC on every table read (not just the NTZ branch)."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Warsaw")
+    try:
+        spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+        duck_df = duck.execute(ORACLES[name]).df()
+        s_cols, s_rows = _normalize(spark_df)
+        d_cols, d_rows = _normalize(duck_df)
+        assert s_cols == d_cols
+        assert s_rows == d_rows, f"{name}: diverged under non-UTC session tz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
