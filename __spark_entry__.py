@@ -1138,9 +1138,17 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts non-vacuity (an empty pair set would make equality
     trivially true).
     """
+    from wroclaw_bike_stats_spark.operators import scratch
+
     docs = _t(spark, sf_dir, "documents")
-    sims = docs.select(
-        F.col("doc_id").alias("_id"), D.simhash64(F.col("text"), 2).alias("simhash")
+    # One fingerprint pass, shared by the brute-force and banded sides
+    # (scratch-persisted: the later simhash_* gates hit the same
+    # canonical plan through Spark's plan-keyed cache).
+    sims = scratch.persist(
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            D.simhash64(F.col("text"), 2).alias("simhash"),
+        )
     )
     a = sims.select(F.col("_id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sims.select(F.col("_id").alias("id_b"), F.col("simhash").alias("hb"))
@@ -1149,7 +1157,7 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
         .select("id_a", "id_b", F.lit(1).alias("_b"))
     )
-    banded = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4).select(
+    banded = D.simhash_neardup_pairs(docs, max_hamming=3, bands=4, sims=sims).select(
         "id_a", "id_b", F.lit(1).alias("_n")
     )
     j = brute.join(banded, ["id_a", "id_b"], "full_outer")
@@ -1208,15 +1216,28 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL error-bound gate: per event type, exact distinct users
     (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
-    sketch is well inside the 5% bound at every tested scale."""
+    sketch is well inside the 5% bound at every tested scale.
+
+    Exact and approx run in SEPARATE aggregations joined on the group
+    key: mixing a sketch agg into the multi-distinct Expand drags it
+    through the expanded stream (same 2× effect as in
+    operators/profile.py)."""
     ev = _t(spark, sf_dir, "events")
-    exact = F.countDistinct("user_id")
-    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx")
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            exact.alias("exact_users"),
-            (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
+        exact.join(F.broadcast(approx), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )

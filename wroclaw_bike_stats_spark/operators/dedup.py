@@ -380,6 +380,7 @@ def simhash_neardup_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     bands: int = 4,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-ball SimHash near-dup: (a<b) pairs whose fingerprints
     differ in ≤ ``max_hamming`` bits.
@@ -399,10 +400,14 @@ def simhash_neardup_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    sims = df.select(
-        F.col(id_col).alias("_id"),
-        simhash64(F.col(text_col), shingle_n).alias("simhash"),
-    )
+    if sims is None:
+        # Callers that already fingerprinted the corpus (e.g. a
+        # verification query comparing banded vs brute-force) pass
+        # ``sims`` — (_id, simhash) — so the UDF pass runs once.
+        sims = df.select(
+            F.col(id_col).alias("_id"),
+            simhash64(F.col(text_col), shingle_n).alias("simhash"),
+        )
     chunks = F.array(
         *[
             F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
