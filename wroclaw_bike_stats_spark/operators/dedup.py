@@ -438,17 +438,21 @@ def simhash_neardup_pairs(
 
 
 def simhash_dedup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Group docs by identical SimHash fingerprint (strictest form;
-    ``simhash_neardup_pairs`` is the hamming-ball relaxation)."""
-    return (
-        df.select(
-            F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("simhash")
+    ``simhash_neardup_pairs`` is the hamming-ball relaxation). Pass
+    precomputed ``sims`` — (_id, simhash) — to skip the UDF pass."""
+    if sims is None:
+        sims = df.select(
+            F.col(id_col).alias("_id"),
+            simhash64(F.col(text_col), shingle_n).alias("simhash"),
         )
-        .groupBy("simhash")
-        .agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    return sims.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
