@@ -40,11 +40,14 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # Warmup: first touch of each parquet footer + codegen warm paths.
-    try:
-        queries["pricing_summary"](spark, sf_dir).collect()
-    except Exception:
-        pass
+    # Warmup: first touch of each parquet footer + codegen warm paths,
+    # plus one pandas-UDF query so Python worker/Arrow startup is paid
+    # here and not by whichever UDF query happens to run first.
+    for wname in ("pricing_summary", "simhash_groups"):
+        try:
+            queries[wname](spark, sf_dir).collect()
+        except Exception:
+            pass
 
     # min of 2 runs per query: steady-state latency, not GC/page-cache
     # noise from whatever ran before (run-to-run variance on the heavy
