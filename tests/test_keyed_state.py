@@ -120,6 +120,40 @@ def test_inactivity_timer_emits_on_watermark(spark, tmp_path):
     assert got == [("u1", "10:00", "10:30"), ("u2", "10:50", "11:20")]
 
 
+def test_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """transformWithStateInPandas form ≡ applyInPandasWithState form ≡
+    batch lag() diff, including the batch-boundary-straddling change —
+    the two streaming APIs implement ONE operator contract. Skipped
+    where protobuf (the TWS runner's dependency) isn't installed."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+    from wroclaw_bike_stats_spark.streaming.keyed_state import (
+        stream_status_changes_tws,
+    )
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    for rows in (FILE1, FILE2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    got = stream_status_changes_tws(spark, src, SCHEMA, sink, ckpt)
+    got_rows = sorted(
+        (r.event_id, r.user_id, r.prev_type, r.curr_type) for r in got.collect()
+    )
+    expect = sorted(tuple(r) for r in _batch_lag_diff(spark, FILE1 + FILE2).collect())
+    assert got_rows == expect
+    assert (5, "u1", "purchase", "view") in got_rows
+
+
 def test_keyed_state_redrain_emits_nothing_new(spark, tmp_path):
     src, sink, ckpt = (
         str(tmp_path / "src"),

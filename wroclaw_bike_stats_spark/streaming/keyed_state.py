@@ -219,3 +219,97 @@ def stream_status_changes(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+def stream_status_changes_tws(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Same change detector on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API that supersedes
+    ``applyInPandasWithState`` (named state variables, timers, TTL,
+    initial-state bootstrap). Kept alongside the aIPWS form with a
+    parity test so either API can serve the operator; TWS is the
+    forward path (it requires the RocksDB state store, which is also
+    the right store for billion-key state at scale).
+
+    Requires ``protobuf`` (the TWS Python runner's wire format) —
+    probed up front so an environment without it gets a clear
+    ImportError instead of a mid-query worker crash.
+    """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(its Python runner speaks protobuf to the JVM); use "
+            "stream_status_changes (applyInPandasWithState) instead"
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ChangeDetector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._last.exists():
+                prev_us, prev_type = tuple(self._last.get())
+            else:
+                prev_us, prev_type = None, None
+            frames = [b for b in rows if len(b)]
+            cols = [f.name for f in CHANGE_SCHEMA.fields]
+            if not frames:
+                yield pd.DataFrame(columns=cols)
+                return
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            out = []
+            for r in batch.itertuples(index=False):
+                curr = r.event_type
+                if prev_type is not None and curr != prev_type:
+                    out.append((r.event_id, user_id, prev_type, curr, r.ts))
+                prev_type = curr
+                prev_us = int(pd.Timestamp(r.ts).value // 1000)
+            self._last.update((prev_us, prev_type))
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", False)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    changes = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_ChangeDetector(),
+        outputStructType=CHANGE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    q = (
+        changes.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
