@@ -1022,7 +1022,15 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIR_GRAPH_CACHE.get(key)
     if df is None:
-        release_shared()  # evict any stale graph (other session/sf)
+        # Evict only STALE graphs (other session/sf). Not
+        # release_shared(): that would also drop the warm scratch
+        # (shingle table etc.) the rebuild below is about to reuse
+        # through the plan-keyed cache.
+        for k in [k for k in _PAIR_GRAPH_CACHE if k != key]:
+            try:
+                _PAIR_GRAPH_CACHE.pop(k).unpersist()
+            except Exception:  # noqa: BLE001
+                pass
         df = q_ngram_jaccard(spark, sf_dir).persist()
         _PAIR_GRAPH_CACHE[key] = df
     return df
@@ -1230,9 +1238,16 @@ def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx")
     )
     return (
-        exact.join(F.broadcast(approx), "event_type")
+        # eqNullSafe: a NULL event_type group must survive the join
+        # (the oracle's GROUP BY keeps it; a plain equi-join would
+        # silently drop it and red the gate on row count).
+        exact.alias("e")
+        .join(
+            F.broadcast(approx).alias("a"),
+            F.col("e.event_type").eqNullSafe(F.col("a.event_type")),
+        )
         .select(
-            "event_type",
+            F.col("e.event_type").alias("event_type"),
             "exact_users",
             (
                 F.abs(F.col("_approx") - F.col("exact_users"))
@@ -1359,12 +1374,20 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
     except OSError:
         fingerprint = "nosrc"
-    index_path = os.path.join(
-        "/root/repo/.ivf_index_cache", f"{sf_name}-{fingerprint}"
-    )
+    cache_root = "/root/repo/.ivf_index_cache"
+    index_path = os.path.join(cache_root, f"{sf_name}-{fingerprint}")
     emb = _t(spark, sf_dir, "embeddings")
     centroids, assigned = ivf_assign(emb, num_centroids=16)
     if not os.path.isdir(index_path):
+        # Prune stale fingerprints of the same corpus before building
+        # the new index — each rewrite would otherwise leave its
+        # unreachable predecessor on disk forever.
+        import shutil
+
+        if os.path.isdir(cache_root):
+            for d in os.listdir(cache_root):
+                if d.startswith(f"{sf_name}-") and d != f"{sf_name}-{fingerprint}":
+                    shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
         ivf_write_index(assigned, index_path)
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf_indexed(
@@ -1763,8 +1786,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-4 order: the two
-    # NEW recall gates (never verified), then the 23 queries whose
+    # prefix; see COVERAGE.md "gate window"). Round-4 order: the SEVEN
+    # new round-4 gates (never verified), then the 23 queries whose
     # last green driver row is r02 (they were pushed past the r03
     # window by the debt-first ordering), then the 50 queries verified
     # in r03, then the rows-only (no-oracle) sketch/hash queries last.

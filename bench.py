@@ -111,10 +111,17 @@ def _load_anchor(path: str) -> dict[str, float] | None:
         if "queries" in doc:
             return doc["queries"]
         tail = doc.get("tail", "")
-        start = tail.find('{"metric"')
-        if start < 0:
-            return None
-        return json.loads(tail[start:])["queries"]
+        # Round-4+ bench output leads with {"queries": ...} and ends
+        # with a short {"metric": ...} summary line that has NO
+        # queries map — prefer the full object, fall back to the old
+        # (pre-r4) metric-first format.
+        for marker in ('{"queries"', '{"metric"'):
+            start = tail.find(marker)
+            if start >= 0:
+                obj = json.loads(tail[start:].splitlines()[0])
+                if "queries" in obj:
+                    return obj["queries"]
+        return None
     except Exception:
         return None
 

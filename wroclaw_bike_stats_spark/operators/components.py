@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wroclaw_bike_stats_spark.operators import scratch
+
 
 def connected_components(
     pairs: DataFrame,
@@ -60,22 +62,27 @@ def connected_components(
     # Duplicate edges are harmless under min-aggregation; skipping
     # distinct() here saves a full shuffle of the edge list.
     edges = edges.persist()
+    # Touch the cached frames once so their buffer RDDs REGISTER now:
+    # a cache registers at first use, and if that first use happened
+    # inside the checkpoint below, checkpoint_tracked's id diff would
+    # mis-attribute the cache ids to the checkpoint and release the
+    # edge cache mid-iteration.
+    edges.limit(1).count()
 
-    labels = (
+    spark = pairs.sparkSession
+    labels, labels_ids = scratch.checkpoint_tracked(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("node").alias("u"), "comp"), "u"
         ).select(F.col("v").alias("node"), "comp")
-        new = (
+        new, new_ids = scratch.checkpoint_tracked(
             labels.union(nbr)  # closed neighborhood: own label included
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -85,10 +92,11 @@ def connected_components(
             .count()
         )
         # `new` is eagerly materialized and `changed` consumed the old
-        # labels — its checkpoint blocks are now dead; drop them instead
-        # of leaking one checkpoint per round for the session lifetime.
-        labels.unpersist()
-        labels = new
+        # labels — the old round's checkpoint BLOCKS are now dead.
+        # DataFrame.unpersist is a no-op for checkpoints, so release
+        # at the RDD level via the tracked ids.
+        scratch.release_rdd_ids(spark, labels_ids)
+        labels, labels_ids = new, new_ids
         if changed == 0:
             edges.unpersist()
             pairs.unpersist()

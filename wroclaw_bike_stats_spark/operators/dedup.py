@@ -149,8 +149,9 @@ def ngram_jaccard_pairs(
 
     # The shingle table feeds sizes + both join sides (3 consumers);
     # persist (memory-and-disk) so the explode runs once, not 3×.
-    # Registered as scratch — released when the next dedup query
-    # builds (or via release_scratch()), not leaked per call.
+    # Registered as scratch — kept for plan-keyed reuse by repeat
+    # runs, dropped at release_scratch()/release_shared(), not leaked
+    # for the session lifetime.
     sh = _scratch_persist(sh)
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -1,18 +1,22 @@
 """Session-scoped registry for scratch-persisted DataFrames.
 
 Iterative and multi-consumer operators (shingle tables, LSH candidate
-sets, connected-components label checkpoints) persist intermediates
-that are live only while the query that built them executes. Leaking
-one persist per call is the classic resident-service failure mode —
-this registry gives them a lifecycle: each build registers its
-persisted frames, and ``release()`` (invoked by the next query build
-in the same family, or by a harness at section boundaries) unpersists
-everything, so at most one query's scratch stays pinned.
+sets) persist intermediates that stay useful across REPEAT runs of
+the same query (Spark's cache is plan-keyed, so a rebuilt identical
+plan reuses them) but are dead weight once a session moves on.
+Leaking one persist per call forever is the classic resident-service
+failure mode — this registry gives them a lifecycle: each build
+registers its persisted frames, and ``release()`` (invoked by a
+harness at section boundaries — the bench calls it via
+``release_shared()`` after its run; a resident service calls it when
+a corpus version is retired) unpersists everything. Scratch growth
+within a section is bounded by the number of DISTINCT query plans,
+not by call count: re-persisting an identical plan shares the same
+CacheManager entry.
 
 Unpersisting is always safe for ``persist()`` frames (lineage
-recomputes); for ``localCheckpoint()`` frames the caller must only
-release AFTER the consuming action — which is exactly the contract
-here: release happens at the *next* query build, never mid-query.
+recomputes); checkpoint blocks need ``release_rdd_ids`` below and are
+NOT safe to free while any consumer may still run.
 """
 
 from __future__ import annotations
@@ -40,3 +44,44 @@ def release() -> None:
             _SCRATCH.pop().unpersist()
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
+
+
+def _persistent_rdd_ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+    """``localCheckpoint`` plus the ids of the RDD blocks it pinned.
+
+    ``DataFrame.unpersist()`` is a NO-OP for checkpoint blocks (it
+    only uncaches CacheManager entries, and a checkpoint is not one),
+    so iterative operators that want to free superseded rounds must
+    release at the RDD level — keep the returned ids and pass them to
+    ``release_rdd_ids`` once nothing can reference the frame again.
+
+    Caveat: the id set is a before/after diff, so any OTHER RDD that
+    first registers during the checkpoint job (e.g. a persisted input
+    whose cache materializes here) is mis-attributed. Callers with
+    persisted inputs must touch them once (``df.limit(1).count()``)
+    before the first tracked checkpoint.
+    """
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    ck = df.localCheckpoint()
+    return ck, _persistent_rdd_ids(spark) - before
+
+
+def release_rdd_ids(spark, ids) -> None:
+    """Truly free checkpoint blocks by JVM-level RDD unpersist.
+
+    DANGER: a released checkpoint frame is unusable (its lineage was
+    cut at checkpoint time) — only call for frames no consumer can
+    still touch."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            try:
+                r.unpersist()
+            except Exception:  # noqa: BLE001
+                pass

@@ -227,7 +227,10 @@ def kmeans_refine(
     a valid spherical-k-means centroid. Clusters that lose all members
     drop out (standard Lloyd variant) — callers needing a fixed k
     should re-seed from the dropped ids."""
-    prev = None
+    from wroclaw_bike_stats_spark.operators import scratch
+
+    spark = corpus.sparkSession
+    prev_ids: set = set()
     for _ in range(iters):
         assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
         dims = assigned.select(
@@ -236,22 +239,21 @@ def kmeans_refine(
         means = dims.groupBy("centroid_id", "pos").agg(
             F.avg(F.col("val").cast("double")).alias("m")
         )
-        centroids = (
+        centroids, ids = scratch.checkpoint_tracked(
             means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "centroid_id",
                 F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
             )
-            .localCheckpoint()
         )
         # The new checkpoint is eagerly materialized — the superseded
-        # round's blocks are dead; drop them rather than leak one
-        # checkpoint per iteration. (The FINAL checkpoint backs the
-        # returned frame and is left for ContextCleaner.)
-        if prev is not None:
-            prev.unpersist()
-        prev = centroids
+        # round's BLOCKS are dead. DataFrame.unpersist is a no-op for
+        # checkpoints, so release at the RDD level. (The FINAL
+        # checkpoint backs the returned frame and is left for
+        # ContextCleaner.)
+        scratch.release_rdd_ids(spark, prev_ids)
+        prev_ids = ids
     return centroids
 
 
