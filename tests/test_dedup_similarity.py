@@ -170,6 +170,49 @@ def test_ivf_indexed_prunes_partitions_and_matches_inline(spark, emb, tmp_path):
     assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
 
 
+def test_ivf_index_cache_invalidated_by_corpus_rewrite(spark, tmp_path):
+    """The gate's materialized-index cache keys on a corpus fingerprint
+    (size + mtime): rewriting embeddings.parquet at the same path must
+    build a NEW index and prune the stale one, never serve old
+    postings."""
+    import os
+    import shutil
+    import time
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = tmp_path / "sfivf"
+    sf_dir.mkdir()
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = str(sf_dir / "embeddings.parquet")
+    shutil.copy(src, dst)
+
+    cache_root = "/root/repo/.ivf_index_cache"
+    prefix = os.path.basename(str(sf_dir)) + "-"
+
+    def _index_dirs():
+        if not os.path.isdir(cache_root):
+            return set()
+        return {d for d in os.listdir(cache_root) if d.startswith(prefix)}
+
+    entry_mod.queries()["embedding_topk_ivf_indexed"](spark, str(sf_dir)).collect()
+    first = _index_dirs()
+    assert len(first) == 1
+
+    # Rewrite the corpus (content identical, mtime differs) — the old
+    # fingerprint must be replaced, not reused.
+    time.sleep(0.01)
+    shutil.copy(src, dst)
+    os.utime(dst)
+    entry_mod.queries()["embedding_topk_ivf_indexed"](spark, str(sf_dir)).collect()
+    second = _index_dirs()
+    assert len(second) == 1
+    assert first != second, "stale index served after corpus rewrite"
+
+    for d in first | second:  # cleanup
+        shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
+
+
 def test_hyperplane_lsh_finds_near_identical_vectors(spark, emb):
     """The dedup contract: near-identical vectors (the actual near-dup
     use case) must survive banded hyperplane LSH + exact verify."""
