@@ -70,6 +70,43 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "IsNotNull(p_size)" in plan or "GreaterThan(p_size,20)" in plan
 
 
+# Every queries() entry whose physical plan LEGITIMATELY contains a
+# BroadcastNestedLoopJoin, with why. Anything not listed here must
+# compile without one — and NOTHING may compile to CartesianProduct.
+BNLJ_ALLOWED = {
+    # scalar-aggregate broadcasts: a 1-row side joined without keys
+    "suppliers_above_avg": "scalar avg broadcast",
+    "rich_customers_by_nation": "scalar avg broadcast",
+    "tfidf_top_terms": "corpus-size scalar broadcast",
+    "range_hist_avg": "n-days scalar divisor broadcast",
+    "profile_orders": "1-row basic × 1-row distinct agg join",
+    # broadcast-literal query fan-out (tiny fixed query set × corpus)
+    "embedding_topk": "5 broadcast query vectors × corpus",
+    "embedding_topk_ivf": "broadcast query vectors + probe literals",
+    "embedding_topk_ivf_indexed": "broadcast query vectors + probe literals",
+    # deliberate brute-force verification sides
+    "simhash_recall": "O(n²) hamming brute force IS the check",
+    "ivf_recall": "exact brute-force side of the recall check",
+}
+
+
+def test_no_accidental_cartesian_or_bnlj_anywhere(spark):
+    """Global sweep: every gate query compiles without CartesianProduct,
+    and BroadcastNestedLoopJoin appears only in the explicitly
+    justified plans above — a new query with an accidental unkeyed
+    join fails here before it ever reaches a bench or the driver."""
+    queries = entry_mod.queries()
+    assert set(BNLJ_ALLOWED) <= set(queries)
+    offenders = {}
+    for name, fn in queries.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "unjustified BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_salted_join_partitions_on_salt(spark):
     """The salted join must actually change the physical distribution:
     the shuffle/join key set has to include the salt column alongside
