@@ -70,6 +70,30 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "IsNotNull(p_size)" in plan or "GreaterThan(p_size,20)" in plan
 
 
+def test_column_pruning_reaches_scan(spark):
+    """The lineitem scan for the pricing summary must read only the
+    columns the query touches — a ReadSchema carrying all 16 lineitem
+    columns for a 7-column aggregation means pruning broke and a
+    100 TB scan reads ~2× the bytes it needs."""
+    # plan toString truncates metadata (ReadSchema) at 100 chars by
+    # default — widen it so the full schema is assertable.
+    original = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "pricing_summary")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", original)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    needed = {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    for c in needed:
+        assert c in read_schema, (c, read_schema)
+    for c in ("l_orderkey", "l_comment", "l_partkey", "l_suppkey"):
+        assert c not in read_schema, (c, read_schema)
+
+
 # Every queries() entry whose physical plan LEGITIMATELY contains a
 # BroadcastNestedLoopJoin, with why. Anything not listed here must
 # compile without one — and NOTHING may compile to CartesianProduct.
