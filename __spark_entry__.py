@@ -1048,7 +1048,31 @@ def release_shared() -> None:
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
     _PAIR_GRAPH_CACHE.clear()
+    # CC results are checkpoint-backed: dropping the references lets
+    # ContextCleaner reclaim the blocks (DataFrame.unpersist would be
+    # a no-op for them — see operators/scratch.py).
+    _CC_CACHE.clear()
     D.release_scratch()
+
+
+# The CC fixpoint over the shared pair graph also feeds two gates;
+# its result is checkpoint-backed (already materialized), so sharing
+# it skips a full re-run of the iteration. Cleared with the pair
+# graph at release_shared().
+_CC_CACHE: dict = {}
+
+
+def _components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wroclaw_bike_stats_spark.operators.components import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CC_CACHE.get(key)
+    if df is None:
+        for k in [k for k in _CC_CACHE if k != key]:
+            _CC_CACHE.pop(k)  # checkpoint blocks go to ContextCleaner
+        df = connected_components(_ngram_pairs_shared(spark, sf_dir))
+        _CC_CACHE[key] = df
+    return df
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,11 +1080,8 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/components.py): iterative hash-min label propagation,
     one shuffle per round, lineage cut per round. component_id = min
     doc_id in the component. Oracle: recursive CTE reachability."""
-    from wroclaw_bike_stats_spark.operators.components import connected_components
-
-    pairs = _ngram_pairs_shared(spark, sf_dir)
     return (
-        connected_components(pairs)
+        _components_shared(spark, sf_dir)
         .select(F.col("node").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
@@ -1068,12 +1089,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup closure: the corpus minus non-canonical near-dup cluster
-    members (keep = min doc_id per component + all singletons)."""
+    members (keep = min doc_id per component + all singletons).
+    Reuses the shared CC result — the fixpoint runs once per
+    (session, sf), not once per consumer."""
     from wroclaw_bike_stats_spark.operators.components import keep_canonical
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _ngram_pairs_shared(spark, sf_dir)
-    return keep_canonical(docs, pairs).select("doc_id").orderBy("doc_id")
+    return keep_canonical(
+        docs, pairs, comps=_components_shared(spark, sf_dir)
+    ).select("doc_id").orderBy("doc_id")
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

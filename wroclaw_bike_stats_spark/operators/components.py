@@ -120,14 +120,20 @@ def keep_canonical(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup closure: keep every row whose id is NOT a
     non-canonical member of some component (the kept representative is
     the min id; rows absent from ``pairs`` are singletons and kept).
     Anti-join against the non-canonical set; AQE picks broadcast vs
     shuffle by its actual size (it can be a large fraction of the
-    corpus when duplication is heavy — don't force a broadcast)."""
-    comps = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    corpus when duplication is heavy — don't force a broadcast).
+
+    Pass precomputed ``comps`` (a ``connected_components`` result) to
+    skip re-running the fixpoint — the iteration's checkpoints are
+    already materialized, so a shared result costs nothing to reuse."""
+    if comps is None:
+        comps = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
     dupes = comps.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias(id_col)
     )
