@@ -188,3 +188,46 @@ def test_hash_split_partition_of_ids(spark, ids):
         ).collect()
     }
     assert all(full[i] == half[i] for i in half_ids)
+
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)
+)
+
+
+@SLOW
+@given(st.lists(edge, min_size=1, max_size=50))
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed hash-min label propagation ≡ classic union-find on
+    arbitrary random graphs (self-loops, duplicate and reversed edges
+    included): same node set, and component_id = min node id of the
+    union-find component."""
+    from wroclaw_bike_stats_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {(n, comp_min[find(n)]) for n in parent}
+    assert got == expected
