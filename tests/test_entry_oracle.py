@@ -88,6 +88,30 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_shared_cache_gates_are_order_independent(spark):
+    """The pair-graph / CC session caches build on demand — results
+    must not depend on which consumer gate runs first (a hidden
+    'components must run before dedup_keep' coupling is the failure
+    mode this pins)."""
+    entry_mod.release_shared()
+    keep_first = sorted(
+        map(tuple, QUERIES["neardup_dedup_keep"](spark, SF_DIR).collect())
+    )
+    comps_second = sorted(
+        map(tuple, QUERIES["neardup_components"](spark, SF_DIR).collect())
+    )
+    entry_mod.release_shared()
+    comps_first = sorted(
+        map(tuple, QUERIES["neardup_components"](spark, SF_DIR).collect())
+    )
+    keep_second = sorted(
+        map(tuple, QUERIES["neardup_dedup_keep"](spark, SF_DIR).collect())
+    )
+    entry_mod.release_shared()
+    assert keep_first == keep_second
+    assert comps_first == comps_second
+
+
 @pytest.mark.parametrize("name", ["hourly_histogram", "daily_event_metrics"])
 def test_non_utc_session_still_matches_oracle(spark, duck, name):
     """Regression pin for the session-timezone hazard: a driver-owned
