@@ -1246,6 +1246,39 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "trust the local test" into a per-round green/red driver row.
 
 
+def q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage skew-safe exact distinct (functions/salting.py
+    count_distinct_skew_safe): stage 1 groups on (key, value) so a hot
+    key's rows spread across reducers by value; stage 2 counts the
+    bounded unique pairs. Exact ≡ COUNT(DISTINCT ...) — the oracle
+    certifies it on the same events the hll_bounds gate sketches."""
+    from wroclaw_bike_stats_spark.functions.salting import (
+        count_distinct_skew_safe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return count_distinct_skew_safe(
+        ev, key="event_type", col="user_id", out="n_users"
+    ).orderBy("event_type")
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition gate (plans/curate.py): every
+    stage — decontaminate → token/dup-word quality filter → top-2-gram
+    repetition filter → exact dedup keep-min → hash split — already
+    has its own green per-operator gate; this one proves they COMPOSE:
+    one lazy plan, and the oracle chains the SAME SQL fragments as
+    CTEs. Eval set = every 50th doc (the decontam_docs convention).
+    scrub=False keeps the output to (doc_id, split); the PII scrub has
+    its own md5-verified gate."""
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    curated = curate_corpus(docs, eval_set, scrub=False)
+    return curated.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL error-bound gate: per event type, exact distinct users
     (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
@@ -1821,7 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "simhash_recall": q_simhash_recall,
         "salted_join_skew": q_salted_join_skew,
+        "curate_pipeline": q_curate_pipeline,
         "hll_bounds": q_hll_bounds,
+        "skew_safe_distinct": q_skew_safe_distinct,
         "approx_quantile_bounds": q_approx_quantile_bounds,
         "ivf_recall": q_ivf_recall,
         "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
@@ -2579,6 +2614,75 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_within_5pct
             FROM events
             GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # The curation oracle chains the per-operator oracle fragments
+        # (decontam anti-join, whitespace-token quality predicates,
+        # 2-gram repetition share, keep-min dedup window, Knuth hash
+        # split) as CTEs in pipeline order.
+        "curate_pipeline": r"""
+            WITH decon AS (
+                SELECT doc_id, text FROM documents
+                WHERE md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                      NOT IN (
+                    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                    FROM documents WHERE doc_id % 50 = 0)
+            ),
+            tok AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM decon
+            ),
+            qual AS (
+                SELECT doc_id, text, toks FROM tok
+                WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END)
+                          BETWEEN 10 AND 100000
+                  AND (CASE WHEN len(toks) > 0
+                       THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                  / len(toks)
+                       ELSE 0.0 END) <= 0.9
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                           AS g
+                FROM qual
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            rep AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot
+                    FROM gc GROUP BY 1),
+            repq AS (
+                SELECT q.doc_id, q.text
+                FROM qual q LEFT JOIN rep ON q.doc_id = rep.doc_id
+                WHERE coalesce(CAST(rep.top2 AS DOUBLE) / rep.tot, 0.0) <= 0.5
+            ),
+            dedup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                        '\s+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+                    FROM repq
+                ) WHERE rn = 1
+            )
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id * 2654435761) % 4294967296) % 100 AS b
+                  FROM dedup)
+            ORDER BY doc_id
+        """,
+        # HAVING mirrors the operator's contract: a key whose values
+        # are ALL NULL has no (key, value) pair after the stage-1
+        # group, so it is absent from the output (not a 0 row).
+        "skew_safe_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
+            HAVING count(user_id) > 0
             ORDER BY event_type
         """,
         "approx_quantile_bounds": """
