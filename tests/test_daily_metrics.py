@@ -112,3 +112,37 @@ def test_year_file_merge(tmp_path, rides):
     days = read_year_file(path)
     assert set(days) == {"2025-04-06", "2025-04-07"}
     assert days["2025-04-07"]["total_rides"] == 4
+
+
+def test_year_file_round_trips_to_metrics_table(tmp_path, spark, rides):
+    """S16 analog: compute_all_days → write_year_file → load back as a
+    DataFrame must reproduce the computed table row-for-row, and the
+    range queries must serve identically from the loaded document."""
+    from wroclaw_bike_stats_spark.plans.daily_metrics import (
+        available_dates,
+        compute_all_days,
+        load_year_metrics,
+    )
+    from wroclaw_bike_stats_spark.plans.range_metrics import (
+        range_metric_series,
+    )
+
+    computed = compute_all_days(rides, year=2025)
+    days = {
+        r["ride_date"]: {k: v for k, v in r.asDict(recursive=True).items()
+                         if k != "ride_date"}
+        for r in computed.collect()
+    }
+    path = tmp_path / "2025.json"
+    write_year_file(path, 2025, days)
+
+    loaded = load_year_metrics(spark, path)
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, computed.collect())
+    )
+    assert available_dates(loaded) == sorted(days)
+
+    lo, hi = min(days), max(days)
+    a = range_metric_series(computed, lo, hi, "total_rides").collect()
+    b = range_metric_series(loaded, lo, hi, "total_rides").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

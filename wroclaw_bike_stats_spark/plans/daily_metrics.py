@@ -338,6 +338,32 @@ def read_year_file(path: str | Path) -> dict[str, Any]:
     return {}
 
 
+def load_year_metrics(spark, path: str | Path) -> DataFrame:
+    """S16's engine-side analog (reference web/js/app.js:8–23): load a
+    materialized year document back as the per-day metrics table
+    (DAILY_METRICS_SCHEMA rows, date-sorted), so the range queries
+    (plans/range_metrics.py) can serve a UI from the document alone —
+    no recomputation, exactly like the browser consuming rides.json.
+
+    Scale note: a year document is ≤366 rows — driver-side parse +
+    createDataFrame is the right tool; the heavy lifting happened once
+    in ``compute_all_days``."""
+    from wroclaw_bike_stats_spark.schemas import DAILY_METRICS_SCHEMA
+
+    days = read_year_file(path)
+    rows = [{"ride_date": d, **m} for d, m in sorted(days.items())]
+    return spark.createDataFrame(rows, schema=DAILY_METRICS_SCHEMA)
+
+
+def available_dates(daily: DataFrame) -> list[str]:
+    """The UI's sorted available-date list (reference
+    web/js/app.js:17–23)."""
+    return [
+        r["ride_date"]
+        for r in daily.select("ride_date").distinct().orderBy("ride_date").collect()
+    ]
+
+
 def write_year_file(path: str | Path, year: int, days: dict[str, Any]) -> None:
     """Upsert day keys into the year document
     (reference: src/compute_daily_metrics.py:205–228)."""
