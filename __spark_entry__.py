@@ -1262,6 +1262,34 @@ def q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_incremental_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gate (operators/dedup.py
+    minhash_incremental_pairs): 'new batch' = every 5th doc, resident
+    corpus = the rest, old side signed from STORED signatures (the
+    production path — old docs are never re-hashed). Invariants: the
+    incremental result ⊆ exact new-involving pairs (oracle-counted via
+    the capless shingle CTE) with recall ≥ 0.9."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    incr = D.minhash_incremental_pairs(
+        new, old, threshold=0.5, old_signatures=D.minhash_signatures(old)
+    ).select("id_a", "id_b", F.lit(1).alias("_l"))
+    exact = (
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
+        .select("id_a", "id_b", F.lit(1).alias("_e"))
+    )
+    j = exact.join(incr, ["id_a", "id_b"], "full_outer")
+    both = F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+    return j.agg(
+        F.count("_e").alias("n_exact_cross_pairs"),
+        (F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)) == 0)
+        .alias("incr_subset_of_exact"),
+        (both / F.greatest(F.count("_e"), F.lit(1)) >= 0.9).alias("recall_ge_090"),
+    )
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition gate (plans/curate.py): every
     stage — decontaminate → token/dup-word quality filter → top-2-gram
@@ -1855,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": q_simhash_recall,
         "salted_join_skew": q_salted_join_skew,
         "curate_pipeline": q_curate_pipeline,
+        "incremental_neardup_recall": q_incremental_neardup_recall,
         "hll_bounds": q_hll_bounds,
         "skew_safe_distinct": q_skew_safe_distinct,
         "approx_quantile_bounds": q_approx_quantile_bounds,
@@ -2584,6 +2613,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_recall": """
             SELECT TRUE AS banded_equals_bruteforce, TRUE AS has_pairs
+        """,
+        "incremental_neardup_recall": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 2], ' ') AS shingle
+                FROM tok,
+                     LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+                  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+            )
+            SELECT count(*) AS n_exact_cross_pairs,
+                   TRUE AS incr_subset_of_exact,
+                   TRUE AS recall_ge_090
+            FROM exact
         """,
         # Plain (unsalted) formulation of the salted join — parity
         # proves the salt spread is semantics-preserving.

@@ -272,3 +272,40 @@ def test_quantized_topk_recall(spark, emb):
     ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_minhash_incremental_matches_full_run(spark):
+    """Incremental near-dup (new batch vs resident corpus) must equal
+    the full-corpus LSH run filtered to pairs involving a new doc —
+    with and without precomputed old-side signatures."""
+    import wroclaw_bike_stats_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    full = D.minhash_dedup_pairs(docs, threshold=0.5)
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    )
+    assert expected, "fixture must produce at least one new-involving pair"
+
+    got = sorted(
+        map(tuple, D.minhash_incremental_pairs(new, old, threshold=0.5).collect())
+    )
+    assert got == expected
+
+    # production path: stored old signatures, old docs never re-hashed
+    old_sigs = D.minhash_signatures(old)
+    got2 = sorted(
+        map(
+            tuple,
+            D.minhash_incremental_pairs(
+                new, old, threshold=0.5, old_signatures=old_sigs
+            ).collect(),
+        )
+    )
+    assert got2 == expected

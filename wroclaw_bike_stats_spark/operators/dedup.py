@@ -267,6 +267,26 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
 
 
+def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
+    """(_id, band_idx, band_hash) rows: the signature split into
+    ``bands`` contiguous slices, each hashed. Narrow explode."""
+    return signatures.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    ).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8
 ) -> DataFrame:
@@ -279,22 +299,7 @@ def minhash_lsh_candidates(
     Self-join within buckets is quadratic only in bucket size, which
     the hash bounds for non-duplicate content.
     """
-    banded = signatures.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                # split signature into `bands` contiguous slices
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("signature"),
-                        b * (F.size("signature") / bands).cast("int") + 1,
-                        (F.size("signature") / bands).cast("int"),
-                    ).cast("string")
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _band_table(signatures, bands)
     left = banded.select(
         F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
     )
@@ -336,6 +341,69 @@ def minhash_dedup_pairs(
     cands = _scratch_persist(minhash_lsh_candidates(sigs, bands))
     return ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, threshold, candidates=cands
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    old_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Day-N incremental near-dup: verified pairs INVOLVING at least
+    one new document (new↔new and new↔old; old↔old pairs were resolved
+    when the old corpus was deduped — re-finding them is wasted work).
+
+    The production shape this models: the resident corpus stores its
+    MinHash signatures next to the documents (pass them as
+    ``old_signatures``), so the incremental run shingles and hashes
+    ONLY the new batch — at 100 TB corpus / 100 GB daily increment,
+    per-ingest cost is proportional to the increment:
+
+    - banding: new-batch bands equi-join against (old ∪ new) bands —
+      the shuffle carries the whole band table but computes no old
+      signatures;
+    - verification (exact Jaccard) touches only candidate documents,
+      via the candidates-only path of ``ngram_jaccard_pairs``.
+
+    Without ``old_signatures`` the old side is signed on the fly
+    (correct, just not incremental). Pairs are normalized id_a < id_b.
+    Equivalence to the full-corpus run filtered to new-involving pairs
+    is pinned in tests/test_dedup_similarity.py.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    )
+    old_sigs = (
+        old_signatures
+        if old_signatures is not None
+        else minhash_signatures(old_docs, text_col, id_col, num_hashes, shingle_n)
+    )
+    new_bands = _band_table(new_sigs, bands)
+    all_bands = _band_table(old_sigs, bands).unionByName(new_bands)
+    cands = _scratch_persist(
+        new_bands.select("band_idx", "band_hash", F.col("_id").alias("_new"))
+        .join(
+            all_bands.select("band_idx", "band_hash", F.col("_id").alias("_any")),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("_new") != F.col("_any"))
+        .select(
+            F.least("_new", "_any").alias("id_a"),
+            F.greatest("_new", "_any").alias("id_b"),
+        )
+        .distinct()
+    )
+    corpus = new_docs.select(id_col, text_col).unionByName(
+        old_docs.select(id_col, text_col)
+    )
+    return ngram_jaccard_pairs(
+        corpus, text_col, id_col, shingle_n, threshold, candidates=cands
     )
 
 
