@@ -309,3 +309,43 @@ def test_minhash_incremental_matches_full_run(spark):
         )
     )
     assert got2 == expected
+
+
+def test_embedding_incremental_matches_full_run(spark, emb):
+    """Embedding-modality incremental near-dup must equal the
+    full-corpus hyperplane-LSH run filtered to new-involving pairs —
+    with and without the stored old-side band table."""
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+
+    full = SIM.embedding_neardup_pairs(emb, threshold=0.4, method="lsh")
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    )
+    assert expected, "fixture must produce at least one new-involving pair"
+
+    got = sorted(
+        map(
+            tuple,
+            SIM.embedding_incremental_neardup(new, old, threshold=0.4).collect(),
+        )
+    )
+    assert got == expected
+
+    # production path: stored band table, old vectors never re-hashed
+    bh = SIM._make_band_hash_udf(64, 8)
+    old_banded = old.select(
+        F.col("vec_id").alias("_id"),
+        F.posexplode(bh(F.col("embedding"))).alias("band_idx", "band_hash"),
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            SIM.embedding_incremental_neardup(
+                new, old, threshold=0.4, old_banded=old_banded
+            ).collect(),
+        )
+    )
+    assert got2 == expected

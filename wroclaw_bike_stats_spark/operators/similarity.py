@@ -463,6 +463,69 @@ def hyperplane_band_candidates(
     )
 
 
+def embedding_incremental_neardup(
+    new: DataFrame,
+    old: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 64,
+    bands: int = 8,
+    old_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Day-N incremental embedding near-dup: cosine ≥ threshold pairs
+    involving at least one NEW vector (new↔new and new↔old; old↔old
+    was resolved when the resident corpus was deduped).
+
+    The production path stores the old corpus's banded hyperplane
+    table — pass it as ``old_banded`` ((_id, band_idx, band_hash)
+    rows, same planes/bands) and the incremental run hashes ONLY the
+    new batch; the old side is touched just by the band equi-join and
+    the candidate verify. Mirrors ``dedup.minhash_incremental_pairs``
+    for the text modality; equivalence to the full-corpus LSH run
+    filtered to new-involving pairs is pinned in tests.
+    """
+    bh = _make_band_hash_udf(num_planes, bands)
+
+    def _band(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(bh(F.col(vec_col))).alias("band_idx", "band_hash"),
+        )
+
+    new_banded = _band(new)
+    all_banded = (
+        old_banded if old_banded is not None else _band(old)
+    ).unionByName(new_banded)
+    cands = (
+        new_banded.select(
+            "band_idx", "band_hash", F.col("_id").alias("_new")
+        )
+        .join(
+            all_banded.select(
+                "band_idx", "band_hash", F.col("_id").alias("_any")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("_new") != F.col("_any"))
+        .select(
+            F.least("_new", "_any").alias("id_a"),
+            F.greatest("_new", "_any").alias("id_b"),
+        )
+        .distinct()
+    )
+    corpus = new.select(id_col, vec_col).unionByName(old.select(id_col, vec_col))
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
