@@ -1290,6 +1290,22 @@ def q_incremental_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram decontamination gate (operators/pipeline.py
+    decontaminate_ngram): drop docs sharing ANY word 5-gram with the
+    eval set (every 50th doc — the decontam_docs convention; n=5
+    instead of the production 13 because the synthetic docs are
+    short). Strictly stronger than the exact-match decontam gate —
+    near-verbatim overlaps fall out too."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_ngram(docs, eval_set, n=5).select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition gate (plans/curate.py): every
     stage — decontaminate → token/dup-word quality filter → top-2-gram
@@ -1883,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": q_simhash_recall,
         "salted_join_skew": q_salted_join_skew,
         "curate_pipeline": q_curate_pipeline,
+        "decontam_ngram": q_decontam_ngram,
         "incremental_neardup_recall": q_incremental_neardup_recall,
         "hll_bounds": q_hll_bounds,
         "skew_safe_distinct": q_skew_safe_distinct,
@@ -2675,6 +2692,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "decontam_ngram": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 4], ' ') AS g
+                FROM tok,
+                     LATERAL unnest(range(1, greatest(len(toks) - 4, 1) + 1))
+                         AS t(i)
+            ),
+            ev AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+            ),
+            hit AS (
+                SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM ev)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+            ORDER BY doc_id
         """,
         # The curation oracle chains the per-operator oracle fragments
         # (decontam anti-join, whitespace-token quality predicates,

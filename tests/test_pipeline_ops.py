@@ -199,3 +199,36 @@ def test_decontaminate_big_blocklist_mode(spark):
         .toString()
     )
     assert "LeftAnti" in plan
+
+
+def test_decontaminate_ngram_drops_partial_overlap(spark):
+    """A doc that embeds an eval 5-gram VERBATIM inside otherwise-new
+    text must be dropped (exact-match decontam would keep it); docs
+    with no 5-gram overlap survive."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        decontaminate,
+        decontaminate_ngram,
+    )
+
+    eval_set = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quiz answer: the capital of france is paris end of quote"),
+            (2, "a completely unrelated document about spark shuffles"),
+            (3, "the capital of germany is berlin obviously"),
+        ],
+        ["doc_id", "text"],
+    )
+    survivors = {
+        r["doc_id"]
+        for r in decontaminate_ngram(corpus, eval_set, n=5).collect()
+    }
+    assert survivors == {2, 3}
+    # exact-match decontam keeps all three (no identical normalized text)
+    exact_survivors = {
+        r["doc_id"] for r in decontaminate(corpus, eval_set).collect()
+    }
+    assert exact_survivors == {1, 2, 3}

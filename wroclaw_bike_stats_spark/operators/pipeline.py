@@ -86,6 +86,43 @@ def decontaminate(
     ).drop("_fp")
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Drop corpus documents sharing ANY word ``n``-gram with the eval
+    set — the standard contamination rule for benchmark protection
+    (a 13-gram collision is the common industry setting), strictly
+    stronger than ``decontaminate``'s exact-normalized match.
+
+    Shape at 100 TB: the eval side is small — its distinct n-gram set
+    broadcasts; the corpus side makes ONE narrow pass emitting its
+    n-grams (Arrow-batched, same shingler as the dedup family) and a
+    broadcast semi-join marks contaminated ids. No corpus shuffle;
+    cost is linear in corpus tokens. Documents shorter than ``n``
+    tokens emit a single whole-doc shingle (shingler contract), so a
+    short doc is dropped only if the eval set contains that exact
+    short text.
+    """
+    from wroclaw_bike_stats_spark.operators.dedup import _shingle_table
+
+    ev_grams = (
+        _shingle_table(eval_set, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        _shingle_table(corpus, text_col, id_col, n)
+        .join(F.broadcast(ev_grams), "shingle", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
