@@ -1095,9 +1095,8 @@ def q_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wroclaw_bike_stats_spark.operators.components import keep_canonical
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _ngram_pairs_shared(spark, sf_dir)
     return keep_canonical(
-        docs, pairs, comps=_components_shared(spark, sf_dir)
+        docs, comps=_components_shared(spark, sf_dir)
     ).select("doc_id").orderBy("doc_id")
 
 

@@ -146,3 +146,24 @@ def test_year_file_round_trips_to_metrics_table(tmp_path, spark, rides):
     a = range_metric_series(computed, lo, hi, "total_rides").collect()
     b = range_metric_series(loaded, lo, hi, "total_rides").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_load_year_metrics_tolerates_json_int_doubles(tmp_path, spark):
+    """JSON erases int/float: a document with whole-number doubles
+    serialized as ints (the reference's falsy→0 empty-day convention)
+    must load, coerced per schema."""
+    import json as _json
+
+    from wroclaw_bike_stats_spark.plans.daily_metrics import load_year_metrics
+
+    day = {
+        "total_rides": 0, "bike_rentals_histogram": {},
+        "avg_distance_km": 0, "avg_duration_min": 0,
+        "total_distance_km": 0, "total_duration_min": 0,
+        "round_trips": 0, "left_outside_station": 0,
+        "busiest_stations_top5": [], "top_routes_top5": [],
+    }
+    path = tmp_path / "y.json"
+    path.write_text(_json.dumps({"year": 2025, "days": {"2025-01-01": day}}))
+    row = load_year_metrics(spark, path).collect()[0]
+    assert row["avg_distance_km"] == 0.0 and row["total_rides"] == 0

@@ -115,7 +115,7 @@ def connected_components(
 
 def keep_canonical(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
@@ -124,14 +124,18 @@ def keep_canonical(
 ) -> DataFrame:
     """Near-dup dedup closure: keep every row whose id is NOT a
     non-canonical member of some component (the kept representative is
-    the min id; rows absent from ``pairs`` are singletons and kept).
-    Anti-join against the non-canonical set; AQE picks broadcast vs
-    shuffle by its actual size (it can be a large fraction of the
-    corpus when duplication is heavy — don't force a broadcast).
+    the min id; rows absent from the pair graph are singletons and
+    kept). Anti-join against the non-canonical set; AQE picks
+    broadcast vs shuffle by its actual size (it can be a large
+    fraction of the corpus when duplication is heavy — don't force a
+    broadcast).
 
-    Pass precomputed ``comps`` (a ``connected_components`` result) to
-    skip re-running the fixpoint — the iteration's checkpoints are
-    already materialized, so a shared result costs nothing to reuse."""
+    Provide EITHER ``pairs`` (the fixpoint runs here) OR a precomputed
+    ``comps`` (a ``connected_components`` result — its checkpoints are
+    already materialized, so reuse costs nothing); ``src``/``dst``/
+    ``max_iter`` apply only to the ``pairs`` route."""
+    if (pairs is None) == (comps is None):
+        raise ValueError("provide exactly one of `pairs` or `comps`")
     if comps is None:
         comps = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
     dupes = comps.filter(F.col("node") != F.col("component_id")).select(

@@ -379,11 +379,23 @@ def minhash_incremental_pairs(
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n
     )
-    old_sigs = (
-        old_signatures
-        if old_signatures is not None
-        else minhash_signatures(old_docs, text_col, id_col, num_hashes, shingle_n)
-    )
+    if old_signatures is not None:
+        # Stored signatures from a different num_hashes would make the
+        # band join silently find ~nothing (slice hashes never
+        # collide) — exactly the production path this operator exists
+        # for, so fail LOUD on incompatibility. One tiny job.
+        probe = old_signatures.select(F.size("signature")).first()
+        if probe is not None and probe[0] != num_hashes:
+            raise ValueError(
+                f"stored old_signatures have {probe[0]} hashes but this "
+                f"run uses num_hashes={num_hashes} — band hashes would "
+                "never collide and cross-batch duplicates would be missed"
+            )
+        old_sigs = old_signatures
+    else:
+        old_sigs = minhash_signatures(
+            old_docs, text_col, id_col, num_hashes, shingle_n
+        )
     new_bands = _band_table(new_sigs, bands)
     all_bands = _band_table(old_sigs, bands).unionByName(new_bands)
     cands = _scratch_persist(

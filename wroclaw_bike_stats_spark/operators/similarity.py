@@ -463,6 +463,27 @@ def hyperplane_band_candidates(
     )
 
 
+def _cosine_verify(
+    cands: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine verification of candidate (id_a, id_b) pairs — the
+    single verify implementation shared by the full and incremental
+    near-dup paths (a threshold/rounding change lands in one place)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_incremental_neardup(
     new: DataFrame,
     old: DataFrame,
@@ -493,6 +514,17 @@ def embedding_incremental_neardup(
             F.posexplode(bh(F.col(vec_col))).alias("band_idx", "band_hash"),
         )
 
+    if old_banded is not None:
+        # A stored band table built with different planes/bands never
+        # collides with this run's new-batch hashes — the join would
+        # silently find ~nothing. Probe one row and fail loud.
+        probe = old_banded.agg(F.max("band_idx")).first()
+        if probe is not None and probe[0] is not None and probe[0] != bands - 1:
+            raise ValueError(
+                f"stored old_banded has {probe[0] + 1} bands but this run "
+                f"uses bands={bands} — band hashes would never collide and "
+                "cross-batch duplicates would be missed"
+            )
     new_banded = _band(new)
     all_banded = (
         old_banded if old_banded is not None else _band(old)
@@ -515,15 +547,7 @@ def embedding_incremental_neardup(
         .distinct()
     )
     corpus = new.select(id_col, vec_col).unionByName(old.select(id_col, vec_col))
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return _cosine_verify(cands, corpus, threshold, id_col, vec_col)
 
 
 def embedding_neardup_pairs(
@@ -546,25 +570,22 @@ def embedding_neardup_pairs(
     ``method='bruteforce'``: exact all-pairs self cross join — only
     for small corpora / recall measurement.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     if method == "bruteforce":
+        a = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        )
+        b = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        cands = hyperplane_band_candidates(
-            corpus, num_planes, bands, id_col, vec_col
-        )
-        pairs = cands.join(a, "id_a").join(b, "id_b")
-    # candidate volume is the hot dimension here → vectorized cosine
-    sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+        sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
+        return pairs.select(
+            "id_a", "id_b", F.round(sim, 6).alias("cosine_sim")
+        ).filter(F.col("cosine_sim") >= threshold)
+    cands = hyperplane_band_candidates(corpus, num_planes, bands, id_col, vec_col)
+    # candidate volume is the hot dimension here → vectorized cosine;
+    # verification shared with the incremental path (_cosine_verify)
+    return _cosine_verify(cands, corpus, threshold, id_col, vec_col)
 
 
 def _make_quantize_udf():

@@ -348,10 +348,28 @@ def load_year_metrics(spark, path: str | Path) -> DataFrame:
     Scale note: a year document is ≤366 rows — driver-side parse +
     createDataFrame is the right tool; the heavy lifting happened once
     in ``compute_all_days``."""
+    from pyspark.sql.types import DoubleType, LongType
+
     from wroclaw_bike_stats_spark.schemas import DAILY_METRICS_SCHEMA
 
+    # JSON erases the int/float distinction (JS serializes 0.0 as 0,
+    # and the reference's empty-day convention writes falsy aggregates
+    # as 0) — coerce per schema or createDataFrame's verifier rejects
+    # an int in a DoubleType field.
+    casts = {
+        f.name: (float if isinstance(f.dataType, DoubleType) else int)
+        for f in DAILY_METRICS_SCHEMA.fields
+        if isinstance(f.dataType, (DoubleType, LongType))
+    }
+
+    def _coerce(m: dict[str, Any]) -> dict[str, Any]:
+        return {
+            k: casts[k](v) if k in casts and v is not None else v
+            for k, v in m.items()
+        }
+
     days = read_year_file(path)
-    rows = [{"ride_date": d, **m} for d, m in sorted(days.items())]
+    rows = [{"ride_date": d, **_coerce(m)} for d, m in sorted(days.items())]
     return spark.createDataFrame(rows, schema=DAILY_METRICS_SCHEMA)
 
 
