@@ -349,3 +349,66 @@ def test_embedding_incremental_matches_full_run(spark, emb):
         )
     )
     assert got2 == expected
+
+
+def test_incremental_guard_validates_full_parameterization(spark, docs, emb):
+    """ADVICE r04: a num_hashes-only shape probe passes stored
+    signatures built with a different shingle_n (silent recall loss).
+    Signature/band tables now carry their FULL parameterization as
+    column metadata; any mismatch must fail loud, and the check must
+    be schema-only (zero jobs) for tagged tables."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    # same num_hashes, different shingle_n: the old probe passed this
+    old_sigs_5gram = D.minhash_signatures(old, shingle_n=5)
+    with pytest.raises(ValueError, match="shingle_n"):
+        D.minhash_incremental_pairs(
+            new, old, shingle_n=3, old_signatures=old_sigs_5gram
+        )
+
+    # same bands, different num_planes: max(band_idx) passed this
+    new_e = emb.filter(F.col("vec_id") % 5 == 0)
+    old_e = emb.filter(F.col("vec_id") % 5 != 0)
+    old_banded_32 = SIM.hyperplane_band_table(old_e, num_planes=32, bands=8)
+    with pytest.raises(ValueError, match="num_planes"):
+        SIM.embedding_incremental_neardup(
+            new_e, old_e, num_planes=64, bands=8, old_banded=old_banded_32
+        )
+
+
+def test_incremental_guard_metadata_survives_parquet(spark, docs, tmp_path):
+    """The production contract: signatures written to parquet keep
+    their parameterization in the footer, so a later incremental run
+    validates a STORED table without scanning it."""
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "sigs")
+    D.minhash_signatures(old, shingle_n=5).write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert stored.schema["signature"].metadata["minhash_shingle_n"] == 5
+    with pytest.raises(ValueError, match="shingle_n"):
+        D.minhash_incremental_pairs(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            old,
+            shingle_n=3,
+            old_signatures=stored,
+        )
+
+
+def test_incremental_guard_legacy_untagged_tables_still_probed(spark, docs):
+    """Tables built outside minhash_signatures (no metadata) keep the
+    weaker shape probe: a num_hashes mismatch still fails loud."""
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    # rebuild from collected rows with a plain DDL schema → no metadata
+    legacy = old.sparkSession.createDataFrame(
+        D.minhash_signatures(old, num_hashes=16).collect(),
+        "_id long, signature array<long>",
+    )
+    assert legacy.schema["signature"].metadata == {}
+    with pytest.raises(ValueError, match="16 hashes"):
+        D.minhash_incremental_pairs(
+            new_docs=docs.filter(F.col("doc_id") % 5 == 0),
+            old_docs=old,
+            num_hashes=32,
+            old_signatures=legacy,
+        )

@@ -53,8 +53,11 @@ def format_number(num: object) -> str:
         return "-"
     if isinstance(num, str):
         value = _js_number(num)
-        if math.isnan(value):
-            return num  # JS: String(num) of the ORIGINAL input
+        if not math.isfinite(value):
+            # JS: non-finite coercions fall through to String(num) of
+            # the ORIGINAL input — format(' Infinity ') keeps the
+            # padding; only non-string inputs normalize below.
+            return num
     else:
         try:
             value = float(num)

@@ -262,9 +262,27 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc as one array column
-    (see ``_make_minhash_udf`` for the vectorization rationale)."""
+    (see ``_make_minhash_udf`` for the vectorization rationale).
+
+    The FULL parameterization (num_hashes, shingle_n, seed, hash
+    scheme) rides on the ``signature`` column as schema metadata —
+    Spark serializes field metadata into the parquet footer, so a
+    stored signature table carries its own provenance and
+    ``minhash_incremental_pairs`` can validate compatibility with a
+    zero-job schema check instead of inferring from data shape."""
     sig = _make_minhash_udf(num_hashes, shingle_n)(F.col(text_col))
-    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+    return df.select(
+        F.col(id_col).alias("_id"),
+        sig.alias(
+            "signature",
+            metadata={
+                "minhash_num_hashes": num_hashes,
+                "minhash_shingle_n": shingle_n,
+                "minhash_seed": 42,
+                "minhash_scheme": "blake2b8-affine-v1",
+            },
+        ),
+    )
 
 
 def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
@@ -380,17 +398,50 @@ def minhash_incremental_pairs(
         new_docs, text_col, id_col, num_hashes, shingle_n
     )
     if old_signatures is not None:
-        # Stored signatures from a different num_hashes would make the
-        # band join silently find ~nothing (slice hashes never
-        # collide) — exactly the production path this operator exists
-        # for, so fail LOUD on incompatibility. One tiny job.
-        probe = old_signatures.select(F.size("signature")).first()
-        if probe is not None and probe[0] != num_hashes:
-            raise ValueError(
-                f"stored old_signatures have {probe[0]} hashes but this "
-                f"run uses num_hashes={num_hashes} — band hashes would "
-                "never collide and cross-batch duplicates would be missed"
-            )
+        # Stored signatures from a different parameterization (fewer
+        # hashes, another shingle_n, a reseeded permutation family)
+        # would make the band join silently find ~nothing — exactly
+        # the production path this operator exists for, so fail LOUD
+        # on incompatibility. Tables written by minhash_signatures
+        # carry their full parameterization as schema metadata (it
+        # survives the parquet footer), so the check is zero-job;
+        # untagged legacy tables fall back to the weaker shape probe.
+        meta = (
+            old_signatures.schema["signature"].metadata
+            if "signature" in old_signatures.columns
+            else {}
+        )
+        if meta.get("minhash_num_hashes") is not None:
+            expected = {
+                "minhash_num_hashes": num_hashes,
+                "minhash_shingle_n": shingle_n,
+                "minhash_seed": 42,
+                "minhash_scheme": "blake2b8-affine-v1",
+            }
+            bad = {
+                k: (meta.get(k), v)
+                for k, v in expected.items()
+                if meta.get(k) != v
+            }
+            if bad:
+                raise ValueError(
+                    "stored old_signatures were built with an "
+                    "incompatible parameterization — cross-batch "
+                    "duplicates would be silently missed: "
+                    + ", ".join(
+                        f"{k}: stored={s!r} run={r!r}"
+                        for k, (s, r) in sorted(bad.items())
+                    )
+                )
+        else:
+            probe = old_signatures.select(F.size("signature")).first()
+            if probe is not None and probe[0] != num_hashes:
+                raise ValueError(
+                    f"stored old_signatures have {probe[0]} hashes but "
+                    f"this run uses num_hashes={num_hashes} — band hashes "
+                    "would never collide and cross-batch duplicates would "
+                    "be missed"
+                )
         old_sigs = old_signatures
     else:
         old_sigs = minhash_signatures(

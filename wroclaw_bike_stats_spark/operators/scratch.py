@@ -59,16 +59,26 @@ def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set]:
     release at the RDD level — keep the returned ids and pass them to
     ``release_rdd_ids`` once nothing can reference the frame again.
 
-    Caveat: the id set is a before/after diff, so any OTHER RDD that
-    first registers during the checkpoint job (e.g. a persisted input
-    whose cache materializes here) is mis-attributed. Callers with
-    persisted inputs must touch them once (``df.limit(1).count()``)
-    before the first tracked checkpoint.
+    The id is read DIRECTLY off the checkpointed plan: a
+    ``localCheckpoint`` Dataset is backed by a ``LogicalRDD`` whose
+    ``rdd`` is exactly the one persisted block — so RDDs registered by
+    CONCURRENT queries on the same session (e.g. another thread's
+    cache materializing mid-job) are never mis-attributed and never
+    force-released. A before/after diff of ``getPersistentRDDs`` is
+    kept only as a fallback for plan shapes where the accessor is
+    unavailable; only that fallback carries the old caveat that
+    persisted inputs should be touched once before the first tracked
+    checkpoint.
     """
     spark = df.sparkSession
     before = _persistent_rdd_ids(spark)
     ck = df.localCheckpoint()
-    return ck, _persistent_rdd_ids(spark) - before
+    try:
+        # LogicalRDD.rdd() — the one RDD localCheckpoint persisted.
+        ids = {ck._jdf.queryExecution().analyzed().rdd().id()}
+    except Exception:  # noqa: BLE001 - e.g. a future plan rewrite
+        ids = _persistent_rdd_ids(spark) - before
+    return ck, ids
 
 
 def release_rdd_ids(spark, ids) -> None:

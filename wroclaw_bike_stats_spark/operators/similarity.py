@@ -251,7 +251,10 @@ def kmeans_refine(
         # round's BLOCKS are dead. DataFrame.unpersist is a no-op for
         # checkpoints, so release at the RDD level. (The FINAL
         # checkpoint backs the returned frame and is left for
-        # ContextCleaner.)
+        # ContextCleaner.) checkpoint_tracked reads the id off the
+        # checkpoint's own LogicalRDD, so a caller-persisted corpus or
+        # centroids cache materializing mid-iteration can never be
+        # mis-attributed into prev_ids and force-released here.
         scratch.release_rdd_ids(spark, prev_ids)
         prev_ids = ids
     return centroids
@@ -427,6 +430,39 @@ def _make_band_hash_udf(num_planes: int, bands: int, seed: int = 42):
     return band_hashes
 
 
+def hyperplane_band_table(
+    corpus: DataFrame,
+    num_planes: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_id, band_idx, band_hash) hyperplane-LSH band table — the
+    storable artifact of the embedding near-dup path (write it next
+    to the corpus; ``embedding_incremental_neardup`` consumes it as
+    ``old_banded``). The FULL parameterization rides on ``band_hash``
+    as schema metadata (survives the parquet footer), so a later
+    incremental run validates compatibility with a zero-job schema
+    check instead of scanning the stored table."""
+    band_hashes = _make_band_hash_udf(num_planes, bands)(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    ).select(
+        "_id",
+        "band_idx",
+        F.col("band_hash").alias(
+            "band_hash",
+            metadata={
+                "lsh_num_planes": num_planes,
+                "lsh_bands": bands,
+                "lsh_seed": 42,
+                "lsh_scheme": "hyperplane-signbit-v1",
+            },
+        ),
+    )
+
+
 def hyperplane_band_candidates(
     corpus: DataFrame,
     num_planes: int = 64,
@@ -448,11 +484,7 @@ def hyperplane_band_candidates(
     are kept with high probability. Raise bands for recall, planes
     per band for pruning.
     """
-    band_hashes = _make_band_hash_udf(num_planes, bands)(F.col(vec_col))
-    banded = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-    )
+    banded = hyperplane_band_table(corpus, num_planes, bands, id_col, vec_col)
     left = banded.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
     right = banded.select("band_idx", "band_hash", F.col("_id").alias("id_b"))
     return (
@@ -506,25 +538,57 @@ def embedding_incremental_neardup(
     for the text modality; equivalence to the full-corpus LSH run
     filtered to new-involving pairs is pinned in tests.
     """
-    bh = _make_band_hash_udf(num_planes, bands)
-
     def _band(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(bh(F.col(vec_col))).alias("band_idx", "band_hash"),
-        )
+        return hyperplane_band_table(df, num_planes, bands, id_col, vec_col)
 
     if old_banded is not None:
-        # A stored band table built with different planes/bands never
-        # collides with this run's new-batch hashes — the join would
-        # silently find ~nothing. Probe one row and fail loud.
-        probe = old_banded.agg(F.max("band_idx")).first()
-        if probe is not None and probe[0] is not None and probe[0] != bands - 1:
-            raise ValueError(
-                f"stored old_banded has {probe[0] + 1} bands but this run "
-                f"uses bands={bands} — band hashes would never collide and "
-                "cross-batch duplicates would be missed"
-            )
+        # A stored band table built with different planes/bands/seed
+        # never collides with this run's new-batch hashes — the join
+        # would silently find ~nothing. Tables from
+        # hyperplane_band_table carry their parameterization as
+        # schema metadata, so the check is zero-job (the r04 max()
+        # probe was a full scan of the stored table on EVERY
+        # incremental run); untagged legacy tables fall back to a
+        # single-row band-count probe per stored id.
+        meta = (
+            old_banded.schema["band_hash"].metadata
+            if "band_hash" in old_banded.columns
+            else {}
+        )
+        if meta.get("lsh_num_planes") is not None:
+            expected = {
+                "lsh_num_planes": num_planes,
+                "lsh_bands": bands,
+                "lsh_seed": 42,
+                "lsh_scheme": "hyperplane-signbit-v1",
+            }
+            bad = {
+                k: (meta.get(k), v)
+                for k, v in expected.items()
+                if meta.get(k) != v
+            }
+            if bad:
+                raise ValueError(
+                    "stored old_banded was built with an incompatible "
+                    "parameterization — cross-batch duplicates would be "
+                    "silently missed: "
+                    + ", ".join(
+                        f"{k}: stored={s!r} run={r!r}"
+                        for k, (s, r) in sorted(bad.items())
+                    )
+                )
+        else:
+            probe = old_banded.agg(F.max("band_idx")).first()
+            if (
+                probe is not None
+                and probe[0] is not None
+                and probe[0] != bands - 1
+            ):
+                raise ValueError(
+                    f"stored old_banded has {probe[0] + 1} bands but this "
+                    f"run uses bands={bands} — band hashes would never "
+                    "collide and cross-batch duplicates would be missed"
+                )
     new_banded = _band(new)
     all_banded = (
         old_banded if old_banded is not None else _band(old)
