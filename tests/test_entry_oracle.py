@@ -117,7 +117,9 @@ def test_non_utc_session_still_matches_oracle(spark, duck, name):
     """Regression pin for the session-timezone hazard: a driver-owned
     session configured to a NON-UTC timezone must still agree with the
     naive-UTC DuckDB oracle on timestamp-derived queries, because
-    ``_t`` pins UTC on every table read (not just the NTZ branch)."""
+    every ``queries()`` callable routes the session through the
+    ``_acquire`` boundary, which re-pins UTC unconditionally (read
+    helpers themselves carry no conf side effects)."""
     original = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Europe/Warsaw")
     try:
