@@ -930,13 +930,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped from index AND size counts (mirrored in the oracle CTE) —
     without it one ubiquitous shingle re-quadratizes the join.
 
-    No scratch release here: Spark's cache is PLAN-keyed, so a repeat
-    run of this query (bench min-of-2, a resident service's repeated
-    calls) reuses the persisted shingle table from the prior run.
-    Scratch is bounded per (session, sf) and dropped at
-    ``release_shared()``."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
+    Served from the SHARED pair-graph cache (``_ngram_pairs_shared``):
+    the same exact-pair result feeds this gate plus the components /
+    dedup-keep gates, so the inverted-index join runs once per
+    (session, sf) no matter which consumer goes first — before r05
+    only the components gates read the cache and this gate's cost
+    depended on gate ordering (the r03↔r04 0.25 s↔2.1 s swing).
+    Dropped at ``release_shared()``; order-independence is pinned by
+    test_shared_cache_gates_are_order_independent."""
+    return _ngram_pairs_shared(spark, sf_dir)
 
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,7 +1027,10 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _PAIR_GRAPH_CACHE.pop(k).unpersist()
             except Exception:  # noqa: BLE001
                 pass
-        df = q_ngram_jaccard(spark, sf_dir).persist()
+        docs = _t(spark, sf_dir, "documents")
+        df = D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, df_cap=100
+        ).persist()
         _PAIR_GRAPH_CACHE[key] = df
     return df
 
@@ -1294,8 +1299,12 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
-    return decontaminate_ngram(docs, eval_set, n=5).select("doc_id").orderBy(
-        "doc_id"
+    # broadcast=True: known-small eval set — skip auto mode's n-gram
+    # count job (decontam_shuffle exercises the auto/shuffle route).
+    return (
+        decontaminate_ngram(docs, eval_set, n=5, broadcast=True)
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -1696,7 +1705,51 @@ def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
-    return decontaminate(docs, eval_set).select("doc_id").orderBy("doc_id")
+    # broadcast=True explicitly: this gate's eval set is known-small,
+    # so it skips auto mode's fingerprint-count job (the documented
+    # production call when the caller knows the blocklist size; the
+    # decontam_shuffle gate exercises auto mode).
+    return (
+        decontaminate(docs, eval_set, broadcast=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_decontam_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-scale decontamination: the same exclusion semantics as
+    ``decontam_docs`` but with a ~1.2M-row blocklist (the real eval
+    docs plus 1.2M synthetic never-matching entries), which pushes the
+    distinct-fingerprint count past ``BROADCAST_MAX_FPS`` so the auto
+    route (operators/pipeline.py decontaminate, broadcast=None) takes
+    the SHUFFLE anti-join — the 100 TB path for huge blocklists where
+    a forced broadcast would ship ~100 MB × executors and spike every
+    JVM heap. The synthetic entries collide with nothing, so the
+    result — and the oracle — is identical to decontam_docs; what this
+    gate adds is a driver-green row for the shuffle route itself
+    (route choice is pinned by tests/test_pipeline_ops.py via the
+    plan's broadcast hint)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    blocklist = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select("text")
+        .unionByName(
+            spark.range(1_200_000).select(
+                F.concat(
+                    F.lit("__blocklist_synthetic_entry_"),
+                    F.col("id"),
+                    F.lit("__"),
+                ).alias("text")
+            )
+        )
+    )
+    return (
+        decontaminate(docs, blocklist)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_group_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the rows-only (no-oracle) sketch/hash queries last. Every
     # callable is bound to the _acquire session boundary.
     q = {
+        # --- new in r05 (no driver row yet) --------------------------
+        "decontam_shuffle": q_decontam_shuffle,
         # --- latest driver row r03 (stalest oracle-backed) -----------
         "weighted_mix": q_weighted_mix,
         "repetition_stats": q_repetition_stats,
@@ -3070,6 +3125,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "decontam_docs": """
+            SELECT doc_id FROM documents
+            WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                  NOT IN (
+                SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            ORDER BY doc_id
+        """,
+        # decontam_shuffle: the 1.2M synthetic blocklist entries match
+        # no corpus fingerprint by construction, so the exclusion
+        # semantics — and therefore the oracle — are decontam_docs';
+        # the gate exists to drive the SHUFFLE route of the same
+        # operator.
+        "decontam_shuffle": """
             SELECT doc_id FROM documents
             WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
                   NOT IN (

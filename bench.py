@@ -2,8 +2,17 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 
-    {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": 0.1}
+    {"metric": "total_query_sec", "value": N, "engine_total": N,
+     "gate_total": N, "unit": "sec", "queries": {"<name>": sec, ...},
+     "sf": 0.1}
+
+``value`` (the grand total) = ``engine_total`` (engine throughput
+work) + ``gate_total`` (the contract/verification gates that
+deliberately recompute exact baselines — audit cost, not engine
+speed); regression comparisons should use ``engine_total``.
+``shared_warm`` lists queries whose per-query number is warmed by a
+shared persisted intermediate built earlier in the same run — their
+values are not standalone cold latencies (the totals are genuine).
 
 Each query is timed end-to-end (plan build + execution + collect).
 A warmup query first absorbs one-time JVM/session startup so the
@@ -21,6 +30,56 @@ import time
 
 import __spark_entry__ as entry_mod
 from wroclaw_bike_stats_spark.session import get_spark
+
+
+# Contract/verification gates (COVERAGE.md "Round-4 error-bound
+# gates"): their Spark-side work deliberately INCLUDES the exact /
+# brute-force comparison that certifies an approximate operator
+# (capless shingle CTE pairs, O(n²) bit_count scans, full chained
+# pipeline oracles). They are audit cost, not engine throughput —
+# summed separately as gate_total so the regression comparison can be
+# made on engine work alone.
+GATE_QUERIES = frozenset(
+    {
+        "minhash_recall",
+        "simhash_recall",
+        "salted_join_skew",
+        "curate_pipeline",
+        "decontam_ngram",
+        "incremental_neardup_recall",
+        "hll_bounds",
+        "skew_safe_distinct",
+        "approx_quantile_bounds",
+        "ivf_recall",
+        "simhash_exactdup_consistency",
+        # r05: shuffle-route decontamination against a manufactured
+        # 1.2M-entry blocklist — route audit, not engine throughput.
+        "decontam_shuffle",
+    }
+)
+
+# Queries whose in-bench timing is (by design) warmed by a shared
+# persisted intermediate built by a sibling query in the same run —
+# the explicit pair-graph/CC caches (__spark_entry__._ngram_pairs_shared,
+# _components_shared) and the plan-keyed shingle/fingerprint scratch
+# (operators/dedup._scratch_persist, operators/scratch.persist). The
+# TOTAL is genuine (each intermediate is built exactly once per run)
+# and correctness is order-independent (pinned in tests), but a
+# per-query value from this list is NOT a standalone cold latency.
+SHARED_WARM = frozenset(
+    {
+        "neardup_components",
+        "neardup_dedup_keep",
+        "ngram_jaccard",
+        "minhash_neardup",
+        "minhash_recall",
+        "incremental_neardup_recall",
+        "simhash_groups",
+        "simhash_neardup",
+        "simhash_recall",
+        "simhash_exactdup_consistency",
+    }
+)
 
 
 def main() -> None:
@@ -76,6 +135,10 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
+    gate_total = round(
+        sum(t for n, t in timings.items() if n in GATE_QUERIES), 3
+    )
+    engine_total = round(total - gate_total, 3)
     # Key order matters: the driver captures only the TAIL of stdout, so
     # the summary fields (metric/value/sf) must come AFTER the long
     # per-query maps or they get truncated away (BENCH_r03 was
@@ -90,14 +153,52 @@ def main() -> None:
             for name, t in timings.items()
             if name in anchor and anchor[name] > 0
         }
+    # Anchor succession: r02 covers only the original 68 queries, so
+    # also compare against the r04 anchor (reconstructed per-query
+    # seconds, BENCH_ANCHOR_r04.json) which covers all 91 — new gates
+    # get regression tracking too.
+    anchor_r04 = _load_anchor(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_ANCHOR_R04", "/root/repo/BENCH_ANCHOR_r04.json"
+        )
+    )
+    if anchor_r04:
+        out["vs_r04"] = {
+            name: round(t / anchor_r04[name], 2)
+            for name, t in timings.items()
+            if name in anchor_r04 and anchor_r04[name] > 0
+        }
+    out["shared_warm"] = sorted(SHARED_WARM & set(timings))
     if errors:
         out["errors"] = errors
-    out.update({"metric": "total_query_sec", "value": total, "unit": "sec", "sf": sf})
+    out.update(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "engine_total": engine_total,
+            "gate_total": gate_total,
+            "unit": "sec",
+            "sf": sf,
+        }
+    )
     print(json.dumps(out))
     # Short summary line LAST: guaranteed to fit whole inside any tail
     # window, so the driver's `tail.find('{"metric"')` always lands on a
     # complete JSON object even if the full line above is truncated.
-    print(json.dumps({"metric": "total_query_sec", "value": total, "unit": "sec", "n_queries": len(timings), "sf": sf}))
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "engine_total": engine_total,
+                "gate_total": gate_total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "n_gate_queries": sum(1 for n in timings if n in GATE_QUERIES),
+                "sf": sf,
+            }
+        )
+    )
 
 
 def _load_anchor(path: str) -> dict[str, float] | None:

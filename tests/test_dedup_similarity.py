@@ -412,3 +412,31 @@ def test_incremental_guard_legacy_untagged_tables_still_probed(spark, docs):
             num_hashes=32,
             old_signatures=legacy,
         )
+
+
+def test_raw_shingle_pass_shared_across_cap_variants(spark, docs):
+    """r04 verdict item: ngram_jaccard's cost swung 8× between rounds
+    because the persisted shingle table sat BELOW the df_cap anti-join
+    — a capless sibling (minhash_recall's exact side) could never hit
+    it. The raw pre-cap pass is now persisted first, so whichever
+    full-corpus variant runs first, the other's plan substitutes the
+    cached raw table (InMemoryTableScan) — order-independent sharing
+    by mechanism, not by lucky gate ordering."""
+    def _physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    D.release_scratch()
+    try:
+        # order A: capless first (the recall gates' exact side)
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+        assert "InMemoryTableScan" in _physical(
+            D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100)
+        ), "capped variant did not reuse the cached raw shingle pass"
+        D.release_scratch()
+        # order B: capped first (the ngram_jaccard gate itself)
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, df_cap=100).count()
+        assert "InMemoryTableScan" in _physical(
+            D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        ), "capless variant did not reuse the cached raw shingle pass"
+    finally:
+        D.release_scratch()

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import time
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -164,3 +166,28 @@ def test_keyed_state_redrain_emits_nothing_new(spark, tmp_path):
     n1 = stream_status_changes(spark, src, SCHEMA, sink, ckpt).count()
     n2 = stream_status_changes(spark, src, SCHEMA, sink, ckpt).count()
     assert n1 == n2 == 1  # u1 view→purchase only
+
+
+def test_tws_guard_fails_loud_without_protobuf(spark, tmp_path):
+    """Complement of the importorskip parity test above: in an env
+    WITHOUT protobuf the TWS operator must fail up front with the
+    actionable message (never a mid-query worker crash). In an env
+    WITH protobuf this test skips and the parity test runs — between
+    the two, the guard surface is always executed somewhere."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        pytest.skip("protobuf present — parity test covers the real path")
+    except ImportError:
+        pass
+    from wroclaw_bike_stats_spark.streaming.keyed_state import (
+        stream_status_changes_tws,
+    )
+
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        stream_status_changes_tws(
+            spark,
+            str(tmp_path / "src"),
+            SCHEMA,
+            str(tmp_path / "sink"),
+            str(tmp_path / "ckpt"),
+        )

@@ -232,3 +232,64 @@ def test_decontaminate_ngram_drops_partial_overlap(spark):
         r["doc_id"] for r in decontaminate(corpus, eval_set).collect()
     }
     assert exact_survivors == {1, 2, 3}
+
+
+def _has_broadcast_hint(df) -> bool:
+    """Route probe below AQE: the broadcast path attaches a ResolvedHint
+    to the logical plan; the shuffle path attaches none. Deterministic
+    regardless of what AQE later does with runtime sizes."""
+    return "strategy=broadcast" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_decontaminate_auto_route_flips_at_threshold(spark):
+    """broadcast=None must count the distinct exclusion fingerprints
+    and flip broadcast→shuffle exactly at broadcast_max_fps."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)  # 50 distinct fps
+    small = P.decontaminate(docs, eval_set, broadcast=None, broadcast_max_fps=50)
+    big = P.decontaminate(docs, eval_set, broadcast=None, broadcast_max_fps=49)
+    assert _has_broadcast_hint(small), "≤ threshold must broadcast"
+    assert not _has_broadcast_hint(big), "> threshold must shuffle"
+    # identical results either side of the flip
+    assert sorted(r.doc_id for r in small.collect()) == sorted(
+        r.doc_id for r in big.collect()
+    )
+
+
+def test_decontaminate_ngram_auto_route_flips_at_threshold(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    from wroclaw_bike_stats_spark.operators.dedup import _shingle_table
+
+    n_ev = (
+        _shingle_table(eval_set, "text", "doc_id", 5)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    small = P.decontaminate_ngram(
+        docs, eval_set, n=5, broadcast=None, broadcast_max_fps=n_ev
+    )
+    big = P.decontaminate_ngram(
+        docs, eval_set, n=5, broadcast=None, broadcast_max_fps=n_ev - 1
+    )
+    assert _has_broadcast_hint(small)
+    assert not _has_broadcast_hint(big)
+    assert sorted(r.doc_id for r in small.collect()) == sorted(
+        r.doc_id for r in big.collect()
+    )
+
+
+def test_decontam_shuffle_gate_takes_shuffle_route_and_matches_docs_gate(spark):
+    """The r05 gate query: its 1.2M-entry blocklist must push the auto
+    route onto the shuffle anti-join, and its result must equal the
+    plain decontam_docs gate (synthetic entries match nothing)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    shuffled = entry_mod.queries()["decontam_shuffle"](spark, sf)
+    assert not _has_broadcast_hint(shuffled), "blocklist gate must shuffle"
+    plain = entry_mod.queries()["decontam_docs"](spark, sf)
+    assert [r.doc_id for r in shuffled.collect()] == [
+        r.doc_id for r in plain.collect()
+    ]

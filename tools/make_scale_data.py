@@ -1,0 +1,143 @@
+"""Synthesize sf1 (~10x sf0.1) testdata for the scaling measurement.
+
+Every 100 TB design claim in COVERAGE.md rested on sf0.1 numbers plus
+plan-shape asserts (r04 verdict, 'What's missing' #1). This script
+manufactures a 10x corpus locally by replicating the sf0.1 parquet as
+id-offset shards (schemas from TESTDATA.md), with two perturbations
+chosen so that WORKLOAD DENSITY stays constant per shard — i.e. the
+interesting join outputs grow linearly with data size, the way a real
+10x corpus would, instead of quadratically the way verbatim clones
+would:
+
+- documents: every token in shard s>0 gets an ``_s<s>`` suffix. Within
+  a shard the shingle structure (and therefore every near-dup pair) is
+  EXACTLY the original's — a uniform token rewrite maps shingle sets
+  bijectively, preserving Jaccard. Across shards, shingle sets are
+  DISJOINT, so no cross-shard pairs: pair count scales exactly 10x.
+  (Verbatim clones would make each doc an exact dup of its 9 copies:
+  ~100x pairs — a different, quadratic workload.)
+- embeddings: shard s applies a deterministic per-(shard, dim) sign
+  flip — a diagonal orthogonal transform. Within-shard cosines are
+  preserved EXACTLY (|v| and v.w are sign-invariant when both sides
+  flip the same dims); cross-shard pairs decorrelate (~half the dims
+  flip between any two shards), so near-dup structure again scales
+  linearly.
+- events / orders / lineitem: id-offset replication (user_id,
+  o_orderkey/o_custkey, l_orderkey) — per-key group sizes unchanged,
+  10x groups.
+
+Run:  python tools/make_scale_data.py [--factor 10]
+Writes /root/repo/scale_data/sf1/*.parquet (never touches
+/root/testdata). ~170 MB; .gitignore'd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wroclaw_bike_stats_spark.session import get_spark  # noqa: E402
+
+ID_OFFSET = 10_000_000  # far above any sf0.1 key range
+
+
+def _shard_documents(df, s: int):
+    out = df.withColumn("doc_id", F.col("doc_id") + F.lit(s * ID_OFFSET))
+    if s == 0:
+        return out
+    # Suffix EVERY token: within-shard shingles rewrite 1:1 (Jaccard
+    # preserved), cross-shard shingle sets disjoint.
+    return out.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1_s{s}")
+    )
+
+
+def _shard_embeddings(df, s: int):
+    out = df.withColumn("vec_id", F.col("vec_id") + F.lit(s * ID_OFFSET))
+    if s == 0:
+        return out
+    # Deterministic diagonal +-1 per (shard, dim): orthogonal, so
+    # within-shard cosines are exact; cross-shard pairs decorrelate.
+    # Knuth-multiplied parity keeps the flip pattern different for
+    # every shard pair. All JVM-native (transform with index lambda).
+    return out.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                F.pmod((i + 1) * F.lit(s) * F.lit(2654435761), F.lit(2)) == 0,
+                x,
+            ).otherwise(-x),
+        ),
+    )
+
+
+def _shard_events(df, s: int):
+    return df.withColumn(
+        "event_id", F.col("event_id") + F.lit(s * ID_OFFSET)
+    ).withColumn("user_id", F.col("user_id") + F.lit(s * ID_OFFSET))
+
+
+def _shard_orders(df, s: int):
+    return df.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(s * ID_OFFSET)
+    ).withColumn("o_custkey", F.col("o_custkey") + F.lit(s * ID_OFFSET))
+
+
+def _shard_lineitem(df, s: int):
+    return df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(s * ID_OFFSET))
+
+
+SHARDERS = {
+    "documents": _shard_documents,
+    "embeddings": _shard_embeddings,
+    "events": _shard_events,
+    "orders": _shard_orders,
+    "lineitem": _shard_lineitem,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/root/repo/scale_data/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="make-scale-data",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # events.parquet stores INT64 TIMESTAMP(NANOS); surface as
+            # long and write back as plain long — __spark_entry__._t
+            # handles the bigint branch identically for both dirs.
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    os.makedirs(args.dst, exist_ok=True)
+    for table, shard in SHARDERS.items():
+        src = f"{args.src}/{table}.parquet"
+        base = spark.read.parquet(src)
+        out = shard(base, 0)
+        for s in range(1, args.factor):
+            out = out.unionByName(shard(base, s))
+        dst = f"{args.dst}/{table}.parquet"
+        out.write.mode("overwrite").parquet(dst)
+        n_base = base.count()
+        n_out = spark.read.parquet(dst).count()
+        assert n_out == n_base * args.factor, (table, n_base, n_out)
+        print(f"{table}: {n_base} -> {n_out}")
+    print(f"done: {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,21 @@ def ngram_jaccard_pairs(
         df = df.join(cand_ids, id_col, "left_semi")
 
     sh = _shingle_table(df, text_col, id_col, n)
+    if candidates is None:
+        # The RAW (pre-cap) shingle pass is the parameter-aligned unit
+        # of sharing across full-corpus callers: the capped near-dup
+        # gate and the capless exact sides of the recall/incremental
+        # gates all contain this exact subplan, so persisting it HERE
+        # (above the df_cap anti-join) lets Spark's plan-keyed cache
+        # substitute it into every such caller regardless of
+        # df_cap/threshold or execution order. Persisting only the
+        # post-cap table (pre-r05) made the first-runner pay the whole
+        # pass and cache a plan no differently-capped sibling could
+        # reuse — the r03↔r04 ngram_jaccard cost swing. The candidates
+        # path is excluded on purpose: it reduces the corpus BEFORE
+        # shingling (its production cost must stay ∝ candidates, never
+        # the full corpus).
+        sh = _scratch_persist(sh)
     if df_cap is not None:
         stop = (
             sh.groupBy("shingle")
@@ -147,12 +162,14 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
 
-    # The shingle table feeds sizes + both join sides (3 consumers);
-    # persist (memory-and-disk) so the explode runs once, not 3×.
-    # Registered as scratch — kept for plan-keyed reuse by repeat
-    # runs, dropped at release_scratch()/release_shared(), not leaked
-    # for the session lifetime.
-    sh = _scratch_persist(sh)
+    # The (post-cap / candidate-reduced) shingle table feeds sizes +
+    # both join sides (3 consumers); persist so the explode (or the
+    # stop-shingle anti-join) runs once, not 3×. Registered as
+    # scratch — kept for plan-keyed reuse by repeat runs, dropped at
+    # release_scratch()/release_shared(), not leaked for the session
+    # lifetime.
+    if df_cap is not None or candidates is not None:
+        sh = _scratch_persist(sh)
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -58,11 +58,21 @@ def hash_bucket(col, buckets: int = 100):
     return F.pmod(F.pmod(lo + hi, F.lit(_MOD)), F.lit(buckets))
 
 
+# Above this many distinct exclusion fingerprints, auto mode routes
+# decontamination through the shuffle anti-join instead of a forced
+# broadcast: ~1M 32-char md5 strings is ~100 MB as a broadcast hash
+# relation — shippable once, but at 1000 executors that's 100 GB of
+# aggregate network and a JVM-heap spike per executor, while the
+# shuffle route moves each side once, partitioned.
+BROADCAST_MAX_FPS = 1_000_000
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
     text_col: str = "text",
-    broadcast: bool = True,
+    broadcast: bool | None = None,
+    broadcast_max_fps: int = BROADCAST_MAX_FPS,
 ) -> DataFrame:
     """Drop corpus documents whose normalized-text fingerprint appears
     in the eval set (train/test leakage removal).
@@ -73,12 +83,18 @@ def decontaminate(
     ``broadcast=False`` when the exclusion list is itself huge (e.g.
     a billion-key blocklist) — the anti-join then shuffles both sides
     on the fingerprint instead of OOMing every executor on a forced
-    broadcast. Matching is exact on md5(normalized text); for fuzzy
-    decontamination compose with the near-dup operators (dedup.py)
-    using eval docs as one side of the candidate join.
+    broadcast. The default ``broadcast=None`` AUTO-SWITCHES: it counts
+    the distinct exclusion fingerprints (one map-side-combined agg
+    over the exclusion list — proportional to the blocklist, cheap
+    next to the join itself) and broadcasts only when the count is ≤
+    ``broadcast_max_fps``. Matching is exact on md5(normalized text);
+    for fuzzy decontamination compose with the near-dup operators
+    (dedup.py) using eval docs as one side of the candidate join.
     """
     fp = F.md5(norm_text(F.col(text_col)))
     eval_fps = eval_set.select(fp.alias("_fp")).distinct()
+    if broadcast is None:
+        broadcast = eval_fps.count() <= broadcast_max_fps
     if broadcast:
         eval_fps = F.broadcast(eval_fps)
     return corpus.withColumn("_fp", fp).join(
@@ -92,6 +108,8 @@ def decontaminate_ngram(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    broadcast: bool | None = None,
+    broadcast_max_fps: int = BROADCAST_MAX_FPS,
 ) -> DataFrame:
     """Drop corpus documents sharing ANY word ``n``-gram with the eval
     set — the standard contamination rule for benchmark protection
@@ -102,10 +120,14 @@ def decontaminate_ngram(
     broadcasts; the corpus side makes ONE narrow pass emitting its
     n-grams (Arrow-batched, same shingler as the dedup family) and a
     broadcast semi-join marks contaminated ids. No corpus shuffle;
-    cost is linear in corpus tokens. Documents shorter than ``n``
-    tokens emit a single whole-doc shingle (shingler contract), so a
-    short doc is dropped only if the eval set contains that exact
-    short text.
+    cost is linear in corpus tokens. The default ``broadcast=None``
+    auto-switches exactly like ``decontaminate``: an eval side whose
+    distinct n-gram set exceeds ``broadcast_max_fps`` (n-grams
+    multiply — 1M eval docs emit tens of millions) routes through the
+    shuffle semi-join instead of a forced broadcast. Documents shorter
+    than ``n`` tokens emit a single whole-doc shingle (shingler
+    contract), so a short doc is dropped only if the eval set contains
+    that exact short text.
     """
     from wroclaw_bike_stats_spark.operators.dedup import _shingle_table
 
@@ -114,9 +136,13 @@ def decontaminate_ngram(
         .select("shingle")
         .distinct()
     )
+    if broadcast is None:
+        broadcast = ev_grams.count() <= broadcast_max_fps
+    if broadcast:
+        ev_grams = F.broadcast(ev_grams)
     contaminated = (
         _shingle_table(corpus, text_col, id_col, n)
-        .join(F.broadcast(ev_grams), "shingle", "left_semi")
+        .join(ev_grams, "shingle", "left_semi")
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
