@@ -191,3 +191,88 @@ def test_tws_guard_fails_loud_without_protobuf(spark, tmp_path):
             str(tmp_path / "sink"),
             str(tmp_path / "ckpt"),
         )
+
+
+class _FakeValueState:
+    """Stand-in for the TWS ValueState handle (exists/get/update)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+
+class _FakeGroupState:
+    """Stand-in for aIPWS GroupState (.exists/.get properties)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_tws_processor_logic_parity_without_engine():
+    """The TWS processor's per-key logic — the part this repo owns —
+    must match the aIPWS detector exactly, including state carried
+    across micro-batches and the final persisted state tuple. Driven
+    with fake handles so it runs even where protobuf (needed only by
+    pyspark's TWS *runner*) is absent; the engine-wired twin is the
+    importorskip parity test above."""
+    import pandas as pd
+
+    from wroclaw_bike_stats_spark.streaming.keyed_state import (
+        ChangeDetectorProcessor,
+        _detect_changes,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    batch1 = pd.DataFrame(
+        [
+            (1, "u1", "view", _ts(0)),
+            (2, "u1", "view", _ts(1)),
+            (3, "u1", "purchase", _ts(2)),
+        ],
+        columns=cols,
+    )
+    batch2 = pd.DataFrame(
+        [(4, "u1", "view", _ts(5)), (5, "u1", "view", _ts(6))], columns=cols
+    )
+
+    proc = ChangeDetectorProcessor()
+    proc.init(_FakeHandle())
+    gs = _FakeGroupState()
+
+    for batch in (batch1, batch2):
+        got = pd.concat(
+            list(proc.handleInputRows(("u1",), [batch], None)),
+            ignore_index=True,
+        )
+        want = pd.concat(
+            list(_detect_changes(("u1",), [batch], gs)), ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert tuple(proc._last.get()) == tuple(gs.get)
+
+    assert gs.get[1] == "view"  # final state after batch2
+    proc.close()

@@ -47,7 +47,11 @@ def curate_corpus(
     reruns produce identical rows."""
     out = docs
     if eval_set is not None:
-        out = P.decontaminate(out, eval_set, text_col=text_col)
+        # broadcast pinned, not auto: auto mode counts the exclusion
+        # set eagerly to pick a route, which would break this plan's
+        # no-jobs-until-action contract. Curation decontaminates
+        # against an EVAL set (thousands of rows) — always broadcast.
+        out = P.decontaminate(out, eval_set, text_col=text_col, broadcast=True)
 
     # narrow quality predicates (no shuffle)
     n_tok = T.token_count_ws(F.col(text_col))

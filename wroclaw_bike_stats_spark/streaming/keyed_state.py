@@ -221,6 +221,54 @@ def stream_status_changes(
     return spark.read.parquet(sink_dir)
 
 
+try:  # the ABC imports without protobuf; only the RUNNER needs it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _TWS_BASE = StatefulProcessor
+except ImportError:  # pragma: no cover - older pyspark
+    _TWS_BASE = object
+
+
+class ChangeDetectorProcessor(_TWS_BASE):
+    """transformWithState twin of ``_detect_changes`` — module-level so
+    the per-key logic is unit-testable with a fake handle even when the
+    protobuf runner dependency is absent (tests/test_keyed_state.py
+    drives it against the aIPWS detector for parity)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._last = handle.getValueState("last", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._last.exists():
+            prev_us, prev_type = tuple(self._last.get())
+        else:
+            prev_us, prev_type = None, None
+        frames = [b for b in rows if len(b)]
+        cols = [f.name for f in CHANGE_SCHEMA.fields]
+        if not frames:
+            yield pd.DataFrame(columns=cols)
+            return
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out = []
+        for r in batch.itertuples(index=False):
+            curr = r.event_type
+            if prev_type is not None and curr != prev_type:
+                out.append((r.event_id, user_id, prev_type, curr, r.ts))
+            prev_type = curr
+            prev_us = int(pd.Timestamp(r.ts).value // 1000)
+        self._last.update((prev_us, prev_type))
+        yield pd.DataFrame(out, columns=cols)
+
+    def close(self) -> None:
+        pass
+
+
 def stream_status_changes_tws(
     spark: SparkSession,
     source_dir: str,
@@ -249,42 +297,6 @@ def stream_status_changes_tws(
             "stream_status_changes (applyInPandasWithState) instead"
         ) from e
 
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class _ChangeDetector(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._last = handle.getValueState("last", STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues):
-            (user_id,) = key
-            if self._last.exists():
-                prev_us, prev_type = tuple(self._last.get())
-            else:
-                prev_us, prev_type = None, None
-            frames = [b for b in rows if len(b)]
-            cols = [f.name for f in CHANGE_SCHEMA.fields]
-            if not frames:
-                yield pd.DataFrame(columns=cols)
-                return
-            batch = pd.concat(frames, ignore_index=True).sort_values(
-                ["ts", "event_id"], kind="mergesort"
-            )
-            out = []
-            for r in batch.itertuples(index=False):
-                curr = r.event_type
-                if prev_type is not None and curr != prev_type:
-                    out.append((r.event_id, user_id, prev_type, curr, r.ts))
-                prev_type = curr
-                prev_us = int(pd.Timestamp(r.ts).value // 1000)
-            self._last.update((prev_us, prev_type))
-            yield pd.DataFrame(out, columns=cols)
-
-        def close(self) -> None:
-            pass
-
     # transformWithState requires the RocksDB state store provider.
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -298,7 +310,7 @@ def stream_status_changes_tws(
         .parquet(source_dir)
     )
     changes = src.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_ChangeDetector(),
+        statefulProcessor=ChangeDetectorProcessor(),
         outputStructType=CHANGE_SCHEMA,
         outputMode="append",
         timeMode="none",
