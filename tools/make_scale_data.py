@@ -62,16 +62,19 @@ def _shard_embeddings(df, s: int):
     if s == 0:
         return out
     # Deterministic diagonal +-1 per (shard, dim): orthogonal, so
-    # within-shard cosines are exact; cross-shard pairs decorrelate.
-    # Knuth-multiplied parity keeps the flip pattern different for
-    # every shard pair. All JVM-native (transform with index lambda).
+    # within-shard cosines are exact; cross-shard pairs decorrelate
+    # (~half the dims flip between any two shards). The flip bit MUST
+    # come from a real hash of (shard, dim): any multiplicative scheme
+    # mod 2 collapses to parity (an odd constant contributes nothing),
+    # which made all even shards identical to shard 0 and all odd
+    # shards identical to each other — every vector an exact cross-
+    # shard dup, a quadratic workload. xxhash64 mixes both inputs.
     return out.withColumn(
         "embedding",
         F.transform(
             "embedding",
             lambda x, i: F.when(
-                F.pmod((i + 1) * F.lit(s) * F.lit(2654435761), F.lit(2)) == 0,
-                x,
+                F.pmod(F.xxhash64(i, F.lit(s)), F.lit(2)) == 0, x
             ).otherwise(-x),
         ),
     )
@@ -107,7 +110,16 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/scale_data/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset (default: all); e.g. the dedup "
+        "family's sf10 corpus only needs documents,embeddings",
+    )
     args = ap.parse_args()
+    tables = (
+        {t.strip() for t in args.tables.split(",")} if args.tables else None
+    )
 
     spark = get_spark(
         app_name="make-scale-data",
@@ -124,11 +136,50 @@ def main() -> int:
 
     os.makedirs(args.dst, exist_ok=True)
     for table, shard in SHARDERS.items():
+        if tables is not None and table not in tables:
+            continue
         src = f"{args.src}/{table}.parquet"
         base = spark.read.parquet(src)
-        out = shard(base, 0)
-        for s in range(1, args.factor):
-            out = out.unionByName(shard(base, s))
+        if table == "embeddings" and args.factor > 50:
+            # Fast path for big factors: an N-way unionByName is N
+            # subtrees for Catalyst to analyze; a crossJoin against
+            # range(N) is one. Semantics match the union path exactly
+            # (per-(shard,dim) xxhash sign flip, incl. shard 0 — any
+            # diagonal orthogonal transform preserves within-shard
+            # cosines, so flipping shard 0 too is equally valid).
+            out = base.crossJoin(
+                spark.range(args.factor).withColumnRenamed("id", "_s")
+            ).select(
+                (F.col("vec_id") + F.col("_s") * ID_OFFSET).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        F.pmod(F.xxhash64(i, F.col("_s")), F.lit(2)) == 0, x
+                    ).otherwise(-x),
+                ).alias("embedding"),
+                "label",
+            )
+        elif table == "documents" and args.factor > 50:
+            # Same fast path for documents: suffix EVERY token with the
+            # shard id (column replacement, Spark 3.5+). Suffixing
+            # shard 0 too is fine — a uniform token rewrite maps
+            # shingle sets bijectively (within-shard Jaccard exact),
+            # and shards stay pairwise disjoint.
+            out = base.crossJoin(
+                spark.range(args.factor).withColumnRenamed("id", "_s")
+            ).select(
+                (F.col("doc_id") + F.col("_s") * ID_OFFSET).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1_s"), F.col("_s").cast("string")),
+                ).alias("text"),
+                *[c for c in base.columns if c not in ("doc_id", "text")],
+            )
+        else:
+            out = shard(base, 0)
+            for s in range(1, args.factor):
+                out = out.unionByName(shard(base, s))
         dst = f"{args.dst}/{table}.parquet"
         out.write.mode("overwrite").parquet(dst)
         n_base = base.count()

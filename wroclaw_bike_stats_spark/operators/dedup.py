@@ -130,12 +130,16 @@ def ngram_jaccard_pairs(
         # (usually tiny) candidate set means the shingle generation,
         # not just the join, skips non-candidates. Per-doc shingle
         # sizes stay exact: the reduction is at doc granularity.
+        # The id set is BROADCAST: without the hint the semi-join has
+        # no size estimate for cand_ids and plans a sort-merge join
+        # that shuffles the whole corpus — a corpus-proportional cost
+        # the candidates path exists to avoid.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        df = df.join(cand_ids, id_col, "left_semi")
+        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
 
     sh = _shingle_table(df, text_col, id_col, n)
     if candidates is None:
@@ -322,6 +326,32 @@ def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
     )
 
 
+def minhash_band_table(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """The storable banded form of a signature table — (_id, band_idx,
+    band_hash) with the FULL provenance (MinHash parameterization from
+    the signature column plus the band count) riding on ``band_hash``
+    as schema metadata, so a parquet round-trip keeps it and
+    ``minhash_incremental_pairs(old_banded=...)`` can validate
+    compatibility with a zero-job schema check.
+
+    This is the resident corpus's standing dedup asset at scale: the
+    per-ingest run then neither re-shingles, re-hashes, NOR re-bands
+    the corpus — the old side is one narrow scan of this table."""
+    sig_meta = (
+        signatures.schema["signature"].metadata
+        if "signature" in signatures.columns
+        else {}
+    )
+    banded = _band_table(signatures, bands)
+    return banded.select(
+        "_id",
+        "band_idx",
+        F.col("band_hash").alias(
+            "band_hash", metadata={**sig_meta, "minhash_bands": bands}
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 8
 ) -> DataFrame:
@@ -389,32 +419,75 @@ def minhash_incremental_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     old_signatures: DataFrame | None = None,
+    old_banded: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Day-N incremental near-dup: verified pairs INVOLVING at least
     one new document (new↔new and new↔old; old↔old pairs were resolved
     when the old corpus was deduped — re-finding them is wasted work).
 
     The production shape this models: the resident corpus stores its
-    MinHash signatures next to the documents (pass them as
-    ``old_signatures``), so the incremental run shingles and hashes
-    ONLY the new batch — at 100 TB corpus / 100 GB daily increment,
-    per-ingest cost is proportional to the increment:
+    banded signature table next to the documents (``old_banded``, from
+    ``minhash_band_table``; or ``old_signatures``, re-banded on the fly
+    — a narrow map, but still a per-run pass over the corpus's
+    signatures), so the incremental run shingles and hashes ONLY the
+    new batch — at 100 TB corpus / 100 GB daily increment, per-ingest
+    cost is proportional to the increment plus ONE narrow scan of the
+    stored band table:
 
-    - banding: new-batch bands equi-join against (old ∪ new) bands —
-      the shuffle carries the whole band table but computes no old
-      signatures;
+    - banding: the new-batch band table is BROADCAST
+      (``broadcast_new``, default on — the daily increment is small by
+      contract) into the equi-join, so the corpus-size band table
+      never shuffles: it streams through the scan-side hash join and
+      only the candidate pairs move;
     - verification (exact Jaccard) touches only candidate documents,
       via the candidates-only path of ``ngram_jaccard_pairs``.
 
-    Without ``old_signatures`` the old side is signed on the fly
-    (correct, just not incremental). Pairs are normalized id_a < id_b.
-    Equivalence to the full-corpus run filtered to new-involving pairs
-    is pinned in tests/test_dedup_similarity.py.
+    Pass ``broadcast_new=False`` for a backfill-size "increment" that
+    would not fit in executor memory as a broadcast hash table; the
+    join then shuffles both sides on (band_idx, band_hash).
+
+    Without ``old_signatures``/``old_banded`` the old side is signed on
+    the fly (correct, just not incremental). Pairs are normalized
+    id_a < id_b. Equivalence to the full-corpus run filtered to
+    new-involving pairs is pinned in tests/test_dedup_similarity.py.
     """
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n
     )
-    if old_signatures is not None:
+    if old_banded is not None:
+        # Stored band tables are always written by minhash_band_table,
+        # which tags band_hash with the full parameterization; an
+        # untagged table is not trusted (a bands/hashes mismatch would
+        # silently miss every cross-batch duplicate).
+        meta = (
+            old_banded.schema["band_hash"].metadata
+            if "band_hash" in old_banded.columns
+            else {}
+        )
+        expected = {
+            "minhash_num_hashes": num_hashes,
+            "minhash_shingle_n": shingle_n,
+            "minhash_seed": 42,
+            "minhash_scheme": "blake2b8-affine-v1",
+            "minhash_bands": bands,
+        }
+        bad = {
+            k: (meta.get(k), v) for k, v in expected.items() if meta.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                "stored old_banded is untagged or was built with an "
+                "incompatible parameterization — cross-batch duplicates "
+                "would be silently missed (write it with "
+                "minhash_band_table): "
+                + ", ".join(
+                    f"{k}: stored={s!r} run={r!r}"
+                    for k, (s, r) in sorted(bad.items())
+                )
+            )
+        old_bands = old_banded.select("_id", "band_idx", "band_hash")
+    elif old_signatures is not None:
         # Stored signatures from a different parameterization (fewer
         # hashes, another shingle_n, a reseeded permutation family)
         # would make the band join silently find ~nothing — exactly
@@ -459,19 +532,20 @@ def minhash_incremental_pairs(
                     "would never collide and cross-batch duplicates would "
                     "be missed"
                 )
-        old_sigs = old_signatures
+        old_bands = _band_table(old_signatures, bands)
     else:
-        old_sigs = minhash_signatures(
-            old_docs, text_col, id_col, num_hashes, shingle_n
+        old_bands = _band_table(
+            minhash_signatures(old_docs, text_col, id_col, num_hashes, shingle_n),
+            bands,
         )
     new_bands = _band_table(new_sigs, bands)
-    all_bands = _band_table(old_sigs, bands).unionByName(new_bands)
+    all_bands = old_bands.unionByName(new_bands)
+    probe = new_bands.select("band_idx", "band_hash", F.col("_id").alias("_new"))
+    if broadcast_new:
+        probe = F.broadcast(probe)
     cands = _scratch_persist(
-        new_bands.select("band_idx", "band_hash", F.col("_id").alias("_new"))
-        .join(
-            all_bands.select("band_idx", "band_hash", F.col("_id").alias("_any")),
-            ["band_idx", "band_hash"],
-        )
+        all_bands.select("band_idx", "band_hash", F.col("_id").alias("_any"))
+        .join(probe, ["band_idx", "band_hash"])
         .filter(F.col("_new") != F.col("_any"))
         .select(
             F.least("_new", "_any").alias("id_a"),

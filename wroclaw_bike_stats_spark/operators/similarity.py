@@ -483,6 +483,18 @@ def hyperplane_band_candidates(
     i.e., uncorrelated vectors are pruned ~30×, near-identical ones
     are kept with high probability. Raise bands for recall, planes
     per band for pruning.
+
+    SIZE THE BITS PER BAND TO THE CORPUS: with b bits per band an
+    uncorrelated pair collides with probability ~2^-b per band, so
+    expected false candidates ≈ bands · n²/2 · 2^-b — quadratic in n
+    once n approaches 2^b. Keep bits_per_band ≳ log2(n) (e.g. a 1M-
+    vector corpus wants ≥ 20-bit bands: num_planes = bands × 20) so
+    the per-vector candidate list stays O(bands) and the verify stage
+    stays linear. Near-identical pairs (the dedup use case, s ≥ 0.99,
+    per-plane p ≈ 0.97) still band-collide with probability
+    1-(1-0.97^20)^8 ≈ 0.99 at 20-bit bands; recall for MODERATE
+    similarity (s ≈ 0.8) does drop with wider bands — add bands (not
+    bits) if that regime matters.
     """
     banded = hyperplane_band_table(corpus, num_planes, bands, id_col, vec_col)
     left = banded.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
@@ -501,10 +513,27 @@ def _cosine_verify(
     threshold: float,
     id_col: str,
     vec_col: str,
+    prune_corpus: bool = False,
 ) -> DataFrame:
     """Exact-cosine verification of candidate (id_a, id_b) pairs — the
     single verify implementation shared by the full and incremental
-    near-dup paths (a threshold/rounding change lands in one place)."""
+    near-dup paths (a threshold/rounding change lands in one place).
+
+    ``prune_corpus`` (the incremental path): first broadcast-semi-join
+    the corpus down to candidate ids — one scan, NO corpus shuffle —
+    before the id joins. Without it the two vector-lookup joins are
+    planned as shuffles of the WHOLE corpus (cands has no size
+    estimate), which charges the incremental path a corpus-
+    proportional cost its contract forbids. The full path keeps the
+    default: its candidate set can approach corpus size, where a
+    broadcast id set would be the wrong call."""
+    if prune_corpus:
+        ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .union(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        corpus = corpus.join(F.broadcast(ids), id_col, "left_semi")
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
@@ -525,6 +554,7 @@ def embedding_incremental_neardup(
     num_planes: int = 64,
     bands: int = 8,
     old_banded: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Day-N incremental embedding near-dup: cosine ≥ threshold pairs
     involving at least one NEW vector (new↔new and new↔old; old↔old
@@ -593,16 +623,25 @@ def embedding_incremental_neardup(
     all_banded = (
         old_banded if old_banded is not None else _band(old)
     ).unionByName(new_banded)
-    cands = (
-        new_banded.select(
-            "band_idx", "band_hash", F.col("_id").alias("_new")
+    # The daily increment is small by contract -> broadcast its band
+    # table, so the corpus-size stored band table streams through a
+    # scan-side hash join instead of shuffling (same rationale as
+    # dedup.minhash_incremental_pairs; pass broadcast_new=False for a
+    # backfill-size increment).
+    probe = new_banded.select("band_idx", "band_hash", F.col("_id").alias("_new"))
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    # persisted: the verify consumes cands TWICE (the prune's id set +
+    # the pair joins) — without scratch-persist the corpus-size band
+    # join would execute twice (measured as incremental slower than
+    # the full recompute at the sf100e scaling point)
+    from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
+
+    cands = _sp(
+        all_banded.select(
+            "band_idx", "band_hash", F.col("_id").alias("_any")
         )
-        .join(
-            all_banded.select(
-                "band_idx", "band_hash", F.col("_id").alias("_any")
-            ),
-            ["band_idx", "band_hash"],
-        )
+        .join(probe, ["band_idx", "band_hash"])
         .filter(F.col("_new") != F.col("_any"))
         .select(
             F.least("_new", "_any").alias("id_a"),
@@ -611,7 +650,9 @@ def embedding_incremental_neardup(
         .distinct()
     )
     corpus = new.select(id_col, vec_col).unionByName(old.select(id_col, vec_col))
-    return _cosine_verify(cands, corpus, threshold, id_col, vec_col)
+    return _cosine_verify(
+        cands, corpus, threshold, id_col, vec_col, prune_corpus=True
+    )
 
 
 def embedding_neardup_pairs(

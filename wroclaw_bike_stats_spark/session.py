@@ -49,7 +49,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the driver JVM IS the cluster: all 32 task
+        # threads share this one heap for execution + storage +
+        # broadcast build. 8g was enough through sf1 but OOM'd a
+        # broadcast build at the sf10 scaling point; 24g leaves
+        # headroom on the 128 GiB box while costing nothing at small
+        # sf (heap is reserved lazily). On a real cluster this setting
+        # governs only the driver — executors size independently.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
