@@ -67,14 +67,15 @@ EMB_BANDS = 8
 
 # dedup family: which sf points each query runs at
 DEDUP_POINTS = ("sf0.1", "sf1", "sf10", "sf100")
-# entry family: events/orders exist only through sf1; the CC fixpoint
-# (documents) is measured through sf10 (at sf100 its ~10 iterations
-# over a 256k-edge graph would dominate the bench's wall clock).
+# entry family: events/orders are replicated through sf10 (10M events /
+# 15M orders); the CC fixpoint (documents) is measured through sf10
+# too (at sf100 its ~10 iterations over a 2.5M-edge graph would
+# dominate the bench's wall clock).
 ENTRY_POINTS = {
     "neardup_components": ("sf0.1", "sf1", "sf10"),
-    "sessionize": ("sf0.1", "sf1"),
-    "group_quota_cap": ("sf0.1", "sf1"),
-    "asof_last_purchase": ("sf0.1", "sf1"),
+    "sessionize": ("sf0.1", "sf1", "sf10"),
+    "group_quota_cap": ("sf0.1", "sf1", "sf10"),
+    "asof_last_purchase": ("sf0.1", "sf1", "sf10"),
 }
 
 
@@ -194,12 +195,28 @@ def _cold() -> None:
         pass
 
 
+def _materialize(df) -> int:
+    """Row count via an aggregate that hashes EVERY output column.
+
+    A bare count() lets Catalyst legitimately skip the operator's real
+    work — measured: the as-of join is ELIMINATED under count (its
+    build side is unique-keyed, so row count = probe count; 0.2 s flat
+    from sf0.1 to sf10). Great optimizer behavior, wrong thing to put
+    on a scaling curve. The hash-sum forces full materialization of
+    the result, uniformly for every query."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash(*df.columns).cast("long")).alias("chk"),
+    ).first()
+    return row["n"]
+
+
 def _time(fn, spark, sf_dir, runs: int = 2) -> tuple[float, int]:
     best, n = None, -1
     for _ in range(runs):
         _cold()
         start = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        n = _materialize(fn(spark, sf_dir))
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
     return round(best, 3), n

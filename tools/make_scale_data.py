@@ -176,6 +176,24 @@ def main() -> int:
                 ).alias("text"),
                 *[c for c in base.columns if c not in ("doc_id", "text")],
             )
+        elif args.factor > 50:
+            # Generic fast path for the id-offset tables: same
+            # crossJoin-vs-N-way-union rationale as above.
+            offset_cols = {
+                "events": ["event_id", "user_id"],
+                "orders": ["o_orderkey", "o_custkey"],
+                "lineitem": ["l_orderkey"],
+            }[table]
+            out = base.crossJoin(
+                spark.range(args.factor).withColumnRenamed("id", "_s")
+            ).select(
+                *[
+                    (F.col(c) + F.col("_s") * ID_OFFSET).alias(c)
+                    if c in offset_cols
+                    else c
+                    for c in base.columns
+                ]
+            )
         else:
             out = shard(base, 0)
             for s in range(1, args.factor):

@@ -52,6 +52,25 @@ def cosine(a, b):
     return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
 
 
+
+def _vec_matrix(series, np):
+    """Series of array<float> cells -> (n, dim) float64 matrix.
+
+    Arrow hands pandas_udfs each array cell as a numpy array already;
+    ``np.stack`` over those is a single buffer copy. The old
+    ``np.asarray(series.tolist())`` boxed every element through Python
+    (measured ~2.5 s for 40k x 128 floats — dominating the band-hash
+    UDF). float32 -> float64 widening is exact, so results are
+    bit-identical to the tolist path. Falls back for ragged input
+    (np.stack raises) so malformed rows still fail with the same
+    downstream error as before."""
+    vals = series.to_numpy()
+    try:
+        return np.stack(vals).astype(np.float64, copy=False)
+    except ValueError:
+        return np.asarray(series.tolist(), dtype=np.float64)
+
+
 def _make_cosine_udf():
     """Arrow-batched cosine for HIGH-VOLUME verification paths (LSH
     candidate pairs): one matmul-shaped numpy op per batch instead of
@@ -68,8 +87,8 @@ def _make_cosine_udf():
 
         if a.empty:
             return pd.Series([], dtype="float64")
-        A = np.asarray(a.tolist(), dtype=np.float64)
-        B = np.asarray(b.tolist(), dtype=np.float64)
+        A = _vec_matrix(a, np)
+        B = _vec_matrix(b, np)
         num = (A * B).sum(axis=1)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -135,7 +154,7 @@ def _make_assign_udf(cent_ids, cent_vecs, id_type: str):
     def nearest(embs: pd.Series) -> pd.Series:
         if embs.empty:
             return pd.Series([], dtype=object)
-        E = np.asarray(embs.tolist(), dtype=np.float64)
+        E = _vec_matrix(embs, np)
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (E / norms) @ Cn.T
@@ -412,7 +431,7 @@ def _make_band_hash_udf(num_planes: int, bands: int, seed: int = 42):
 
         if embs.empty:
             return pd.Series([], dtype=object)
-        E = np.asarray(embs.tolist(), dtype=np.float64)
+        E = _vec_matrix(embs, np)
         dim = E.shape[1]
         planes = plane_cache.get(dim)
         if planes is None:
@@ -703,7 +722,7 @@ def _make_quantize_udf():
 
         if embs.empty:
             return pd.Series([], dtype=object)
-        E = np.asarray(embs.tolist(), dtype=np.float64)
+        E = _vec_matrix(embs, np)
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             Q = np.rint(E / norms * 127.0)
