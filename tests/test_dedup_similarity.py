@@ -393,15 +393,57 @@ def test_embedding_incremental_matches_full_run(spark, emb):
         F.col("vec_id").alias("_id"),
         F.posexplode(bh(F.col("embedding"))).alias("band_idx", "band_hash"),
     )
-    got2 = sorted(
+    inc = SIM.embedding_incremental_neardup(
+        new, old, threshold=0.4, old_banded=old_banded
+    )
+    got2 = sorted(map(tuple, inc.collect()))
+    assert got2 == expected
+    # the new-batch probe must be broadcast so the stored band table
+    # never shuffles (the scale contract of the incremental path)
+    assert "strategy=broadcast" in inc._jdf.queryExecution().analyzed().toString()
+
+    # backfill route (broadcast_new=False): same answer via shuffles
+    got3 = sorted(
         map(
             tuple,
             SIM.embedding_incremental_neardup(
-                new, old, threshold=0.4, old_banded=old_banded
+                new, old, threshold=0.4, old_banded=old_banded, broadcast_new=False
             ).collect(),
         )
     )
-    assert got2 == expected
+    assert got3 == expected
+
+
+def test_vec_matrix_unboxing_parity():
+    """_vec_matrix (np.stack over Arrow-delivered cells) must be
+    bit-identical to the tolist path it replaced, and fall back for
+    ragged input instead of crashing differently."""
+    import numpy as np
+    import pandas as pd
+
+    from wroclaw_bike_stats_spark.operators.similarity import _vec_matrix
+
+    # typical Arrow shape: Series of float32 numpy arrays
+    cells = [np.array([0.1, 0.2, 0.3], dtype=np.float32) for _ in range(5)]
+    s = pd.Series(cells)
+    fast = _vec_matrix(s, np)
+    slow = np.asarray(s.tolist(), dtype=np.float64)
+    assert fast.dtype == np.float64
+    assert np.array_equal(fast, slow)
+
+    # plain-list cells (non-Arrow callers) work too
+    s2 = pd.Series([[1.0, 2.0], [3.0, 4.0]])
+    assert np.array_equal(_vec_matrix(s2, np), np.array([[1.0, 2.0], [3.0, 4.0]]))
+
+    # ragged input falls back to the tolist path -> same numpy error
+    # class as before the optimization
+    s3 = pd.Series([np.array([1.0, 2.0]), np.array([1.0])], dtype=object)
+    try:
+        _vec_matrix(s3, np)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
 
 
 def test_incremental_guard_validates_full_parameterization(spark, docs, emb):
