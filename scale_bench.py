@@ -68,9 +68,10 @@ EMB_BANDS = 8
 # dedup family: which sf points each query runs at
 DEDUP_POINTS = ("sf0.1", "sf1", "sf10", "sf100")
 # entry family: events/orders are replicated through sf10 (10M events /
-# 15M orders); the CC fixpoint (documents) is measured through sf10
-# too (at sf100 its ~10 iterations over a 2.5M-edge graph would
-# dominate the bench's wall clock).
+# 15M orders). The CC fixpoint at sf100 (~2.5M-edge graph, O(diameter)
+# shuffle rounds) takes several minutes — opt in with
+# SPARK_GRAFT_CC_SF100=1 (single run, no min-of-2) rather than paying
+# it on every bench.
 ENTRY_POINTS = {
     "neardup_components": ("sf0.1", "sf1", "sf10"),
     "sessionize": ("sf0.1", "sf1", "sf10"),
@@ -257,8 +258,13 @@ def main() -> int:
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
     for name, points in ENTRY_POINTS.items():
         fn = queries[name]
+        if name == "neardup_components" and os.environ.get(
+            "SPARK_GRAFT_CC_SF100"
+        ):
+            points = points + ("sf100",)
         for tag in points:
-            sec, rows = _time(fn, spark, sf_dir_of(tag))
+            runs = 1 if (name, tag) == ("neardup_components", "sf100") else 2
+            sec, rows = _time(fn, spark, sf_dir_of(tag), runs=runs)
             results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
     _cold()

@@ -66,7 +66,11 @@ def main(path: str) -> int:
         "new batch (2% of corpus, a daily-ingest shape) is its own",
         "parquet table, as a real ingest would be. Embedding LSH sized",
         "to the largest corpus (24-bit bands ≈ log2(2M)+3) at every",
-        "point.",
+        "point. neardup_components@sf100 is a SINGLE cold run (opt-in",
+        "via SPARK_GRAFT_CC_SF100=1 — the fixpoint takes ~12 min there,",
+        "with visible GC pressure: the ~17× step from sf10 is local-",
+        "mode heap strain, not plan shape; a cluster sizes executor",
+        "memory to the iteration working set).",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
