@@ -1974,65 +1974,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-5 order: the 34
-    # oracle-backed queries whose latest driver row is r03 (pushed
-    # past the r04 window) come first, then the 50 verified in r04,
+    # prefix; see COVERAGE.md "gate window"). Round-6 order: the 35
+    # oracle-backed queries whose latest driver row is r04 (pushed
+    # past the r05 window) come first, then the 50 verified in r05,
     # then the rows-only (no-oracle) sketch/hash queries last. Every
     # callable is bound to the _acquire session boundary.
     q = {
-        # --- new in r05 (no driver row yet) --------------------------
-        "decontam_shuffle": q_decontam_shuffle,
-        # --- latest driver row r03 (stalest oracle-backed) -----------
-        "weighted_mix": q_weighted_mix,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "seq_packing": q_seq_packing,
-        "global_index": q_global_index,
-        "table_diff_docs": q_table_diff,
-        "skew_orders": q_skew_orders,
-        "validate_orders": q_validate_orders,
-        "pricing_summary": q_pricing_summary,
-        "revenue_topk": q_revenue_topk,
-        "region_nation_revenue": q_region_nation_revenue,
-        "topk_customers": q_topk_customers,
-        "filter_project_part": q_filter_project_part,
-        "hourly_histogram": q_hourly_histogram,
-        "daily_event_metrics": q_daily_event_metrics,
-        "user_traffic_fullouter": q_user_traffic_fullouter,
-        "status_change_events": q_status_change_events,
-        "top_transitions": q_top_transitions,
-        "union_distinct_users": q_union_distinct_users,
-        "user_first_last": q_user_first_last,
-        "intersect_users": q_intersect_users,
-        "except_users": q_except_users,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_with_orders": q_customers_with_orders,
-        "rollup_order_stats": q_rollup_order_stats,
-        "order_count_distribution": q_order_count_distribution,
-        "large_orders_having": q_large_orders_having,
-        "suppliers_above_avg": q_suppliers_above_avg,
-        "rich_customers_by_nation": q_rich_customers_by_nation,
-        "promo_revenue_share": q_promo_revenue_share,
-        "order_priority_late": q_order_priority_late,
-        "shipping_volume_nations": q_shipping_volume_nations,
-        "revenue_rank_by_nation": q_revenue_rank_by_nation,
-        "running_customer_revenue": q_running_customer_revenue,
-        # --- driver-verified in r04 ----------------------------------
-        "minhash_recall": q_minhash_recall,
-        "simhash_recall": q_simhash_recall,
-        "salted_join_skew": q_salted_join_skew,
-        "curate_pipeline": q_curate_pipeline,
-        "decontam_ngram": q_decontam_ngram,
-        "incremental_neardup_recall": q_incremental_neardup_recall,
-        "hll_bounds": q_hll_bounds,
-        "skew_safe_distinct": q_skew_safe_distinct,
-        "approx_quantile_bounds": q_approx_quantile_bounds,
-        "ivf_recall": q_ivf_recall,
-        "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
-        "pivot_priority_status": q_pivot_priority_status,
-        "distinct_event_dates": q_distinct_event_dates,
-        "latest_event_date": q_latest_event_date,
-        "range_reagg_busiest": q_range_reagg_busiest,
+        # --- latest driver row r04 (stalest oracle-backed; pushed past
+        #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
         "range_hist_avg": q_range_hist_avg,
         "range_reagg_routes": q_range_reagg_routes,
@@ -2068,6 +2017,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "group_quota_cap": q_group_quota_cap,
         "hash_split": q_hash_split,
+        # --- driver-verified in r05 ----------------------------------
+        "decontam_shuffle": q_decontam_shuffle,
+        "weighted_mix": q_weighted_mix,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "seq_packing": q_seq_packing,
+        "global_index": q_global_index,
+        "table_diff_docs": q_table_diff,
+        "skew_orders": q_skew_orders,
+        "validate_orders": q_validate_orders,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "region_nation_revenue": q_region_nation_revenue,
+        "topk_customers": q_topk_customers,
+        "filter_project_part": q_filter_project_part,
+        "hourly_histogram": q_hourly_histogram,
+        "daily_event_metrics": q_daily_event_metrics,
+        "user_traffic_fullouter": q_user_traffic_fullouter,
+        "status_change_events": q_status_change_events,
+        "top_transitions": q_top_transitions,
+        "union_distinct_users": q_union_distinct_users,
+        "user_first_last": q_user_first_last,
+        "intersect_users": q_intersect_users,
+        "except_users": q_except_users,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_orders": q_customers_with_orders,
+        "rollup_order_stats": q_rollup_order_stats,
+        "order_count_distribution": q_order_count_distribution,
+        "large_orders_having": q_large_orders_having,
+        "suppliers_above_avg": q_suppliers_above_avg,
+        "rich_customers_by_nation": q_rich_customers_by_nation,
+        "promo_revenue_share": q_promo_revenue_share,
+        "order_priority_late": q_order_priority_late,
+        "shipping_volume_nations": q_shipping_volume_nations,
+        "revenue_rank_by_nation": q_revenue_rank_by_nation,
+        "running_customer_revenue": q_running_customer_revenue,
+        "minhash_recall": q_minhash_recall,
+        "simhash_recall": q_simhash_recall,
+        "salted_join_skew": q_salted_join_skew,
+        "curate_pipeline": q_curate_pipeline,
+        "decontam_ngram": q_decontam_ngram,
+        "incremental_neardup_recall": q_incremental_neardup_recall,
+        "hll_bounds": q_hll_bounds,
+        "skew_safe_distinct": q_skew_safe_distinct,
+        "approx_quantile_bounds": q_approx_quantile_bounds,
+        "ivf_recall": q_ivf_recall,
+        "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
+        "pivot_priority_status": q_pivot_priority_status,
+        "distinct_event_dates": q_distinct_event_dates,
+        "latest_event_date": q_latest_event_date,
+        "range_reagg_busiest": q_range_reagg_busiest,
         # --- rows-only by design (sketch/hash internals; each has a
         #     sibling oracle-backed contract gate above) --------------
         "user_count_hll": q_user_count_hll,

@@ -35,9 +35,45 @@ def test_long_path_converges(spark):
 
 
 def test_max_iter_failure_is_loud(spark):
+    """hashmin's round count is exactly the propagation distance, so a
+    12-node path cannot converge in 2 rounds. (twophase contracts the
+    path inside partitions first — its bound applies to the contracted
+    graph, which can legitimately converge faster; see below.)"""
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_pairs(spark, [(i, i + 1) for i in range(1, 12)]),
-                             max_iter=2)
+                             max_iter=2, method="hashmin")
+
+
+def test_twophase_single_partition_needs_no_fixpoint(spark):
+    """With all edges in one partition, union-find resolves everything
+    locally — even max_iter=0 succeeds (no contracted fixpoint runs)."""
+    edges = _pairs(spark, [(i, i + 1) for i in range(1, 12)]).repartition(1)
+    got = _comp_map(connected_components(edges, max_iter=0))
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_twophase_matches_hashmin(spark):
+    """Differential: the two-phase scheme and the plain fixpoint agree
+    on a graph mixing chains, cliques and singles, at two different
+    input partitionings (result must be partitioning-invariant)."""
+    edges = (
+        [(i, i + 1) for i in range(1, 8)]          # chain 1..8
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+        + [(50, 51), (60, 61), (60, 62)]
+    )
+    want = _comp_map(
+        connected_components(_pairs(spark, edges), method="hashmin")
+    )
+    for n_parts in (1, 7, 32):
+        got = _comp_map(
+            connected_components(_pairs(spark, edges).repartition(n_parts))
+        )
+        assert got == want
+
+
+def test_unknown_method_raises(spark):
+    with pytest.raises(ValueError, match="unknown method"):
+        connected_components(_pairs(spark, [(1, 2)]), method="bfs")
 
 
 def test_orientation_and_duplicates_ignored(spark):

@@ -41,6 +41,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# sf10/sf100 generation unions hundreds of shards over one local heap;
+# the library's 8g default is sized for tests/CLI, not this.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 from wroclaw_bike_stats_spark.session import get_spark  # noqa: E402
 
 ID_OFFSET = 10_000_000  # far above any sf0.1 key range
@@ -113,8 +117,10 @@ def main() -> int:
     ap.add_argument(
         "--tables",
         default=None,
-        help="comma-separated subset (default: all); e.g. the dedup "
-        "family's sf10 corpus only needs documents,embeddings",
+        help="comma-separated subset (default: all); e.g. the sf100 "
+        "point is dedup-only and needs just documents,embeddings "
+        "(sf1/sf10 also run the entry family — they need events, "
+        "orders and lineitem too)",
     )
     args = ap.parse_args()
     tables = (

@@ -5,29 +5,58 @@ The near-dup operators (``dedup.ngram_jaccard_pairs``,
 ``minhash_dedup_pairs``, ``simhash_neardup_pairs``,
 ``similarity.embedding_neardup_pairs``) emit PAIRS; a dedup pipeline
 needs CLUSTERS and one kept representative per cluster. That closure
-is a connected-components problem — this module solves it with
-iterative hash-min label propagation expressed as DataFrame ops:
-every round, each node's label becomes the minimum label in its
-closed neighborhood; at fixpoint, each node carries the minimum node
-id of its component (the deterministic canonical representative).
+is a connected-components problem — solved here with a TWO-PHASE
+scheme (default) built for the shape near-dup graphs actually have
+(sparse, quasi-clique components with tiny diameters), with the plain
+iterative hash-min label propagation kept as the ``method="hashmin"``
+fallback and as the phase-2 engine over the contracted graph:
 
-Scale design (100 TB corpus → billions of nodes, but near-dup graphs
-are sparse and their components are quasi-cliques with tiny
-diameters):
+1. **Partition-local union-find** (``mapInPandas``): each edge
+   partition collapses its subgraph with classic union-find
+   (path compression, union-by-min-id) and emits ``(node,
+   local_root)``. Every edge lives in exactly one partition, so every
+   edge is FULLY resolved locally — after this pass the only
+   unresolved links are nodes that appear in more than one partition
+   (their several local roots must be the same component).
+   One narrow pass, no shuffle; per-partition memory is O(nodes in
+   the partition) — bounded by ``spark.sql.files.maxPartitionBytes``,
+   never by graph size. This is the charter's sanctioned use of
+   imperative per-partition logic: union-find has no efficient
+   relational form, and the alternative (the r05 global fixpoint)
+   held the FULL label set live across O(diameter) shuffle rounds —
+   measured at the sf100 scaling point (2.5M-edge graph) as a 12-min
+   GC-bound run; this scheme resolves ~all edges in phase 1 and runs
+   the fixpoint on a boundary graph orders of magnitude smaller.
 
-- one round = one shuffle (edges ⋈ labels, then groupBy-min keyed by
-  node) — no driver-side graph, no collect;
-- rounds needed = O(component diameter): 2–4 in practice for near-dup
-  clusters, ``max_iter`` bounds pathological chains;
-- ``localCheckpoint`` after every round truncates lineage — without
-  it the plan doubles per iteration and the optimizer, not the data,
-  becomes the bottleneck (the classic iterative-Spark failure);
-- the convergence probe is ``limit(1)`` over changed labels — it
-  short-circuits instead of counting every change.
+2. **Boundary contraction + fixpoint**: nodes with >1 distinct local
+   root yield link edges between those roots (≤ appearances-1 links
+   per boundary node — proportional to partition-crossing nodes, NOT
+   to edges). The hash-min fixpoint then runs over this contracted
+   graph only; its labels are the graph's local roots, a set that is
+   orders of magnitude smaller than the node set for near-dup
+   workloads.
+
+3. **Re-expansion**: ``(node, local_root)`` joined to the contracted
+   components (AQE picks broadcast when the boundary set is small —
+   the common case) gives the final ``(node, component_id)`` with
+   ``component_id`` = global min node id of the component, exactly
+   the hash-min semantics (the global min is its own local root in
+   every partition that sees it, so the contracted fixpoint's min is
+   the true global min).
+
+Scale design (100 TB corpus → billions of nodes):
+- phase 1 is embarrassingly parallel and shuffle-free;
+- the mapping (one row per (partition, node) appearance) moves
+  through ONE shuffle (the boundary groupBy) — comparable to a
+  single round of the old scheme, after which all remaining work is
+  on the contracted graph;
+- fixpoint rounds on the contracted graph keep the old guards:
+  ``localCheckpoint`` lineage truncation per round and a ``limit(1)``
+  convergence probe.
 
 Not GraphX/GraphFrames: neither ships with a plain PySpark install,
-and the DataFrame formulation keeps the operator inside Catalyst/AQE
-like everything else in this engine.
+and this formulation keeps the operator inside Catalyst/AQE like
+everything else in this engine.
 """
 
 from __future__ import annotations
@@ -38,21 +67,14 @@ from pyspark.sql import functions as F
 from wroclaw_bike_stats_spark.operators import scratch
 
 
-def connected_components(
-    pairs: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 30,
+def _hashmin_fixpoint(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
-    """Resolve an undirected pair graph to ``(node, component_id)``
-    where ``component_id`` is the minimum node id in the component.
-
-    Only nodes that appear in ``pairs`` are returned — callers decide
-    whether absent nodes are singletons (see ``keep_canonical``).
-    Raises if ``max_iter`` rounds don't reach the fixpoint (a diameter
-    larger than ``max_iter`` means the input isn't a near-dup graph —
-    fail loudly rather than return wrong components).
-    """
+    """Iterative hash-min label propagation: every round, each node's
+    label becomes the min label in its closed neighborhood; at
+    fixpoint each node carries the component's min node id. One
+    shuffle per round; rounds = O(component diameter). Raises if
+    ``max_iter`` rounds don't converge."""
     # Both union branches read `pairs` — persist it or the (possibly
     # expensive) upstream pair join runs twice.
     pairs = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
@@ -113,6 +135,142 @@ def connected_components(
     )
 
 
+def _local_union_find(pairs: DataFrame) -> DataFrame:
+    """Phase 1: per-partition union-find over the edge list.
+
+    Emits one ``(node, root)`` row per (partition, node) appearance;
+    ``root`` is the MIN node id of the node's component within that
+    partition (union-by-min + full path compression keeps the
+    representative the minimum seen, so re-expansion stays
+    deterministic). Narrow — mapInPandas preserves partitioning."""
+    import pandas as pd
+
+    t = pairs.schema["u"].dataType.simpleString()
+
+    def part_uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        nodes = list(parent)
+        # chunked emission: one partition can hold millions of nodes;
+        # Arrow slices them out without one giant frame allocation
+        for i in range(0, len(nodes), 1 << 20):
+            chunk = nodes[i : i + (1 << 20)]
+            yield pd.DataFrame(
+                {"node": chunk, "root": [find(x) for x in chunk]}
+            )
+
+    return pairs.mapInPandas(part_uf, schema=f"node {t}, root {t}")
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    method: str = "twophase",
+) -> DataFrame:
+    """Resolve an undirected pair graph to ``(node, component_id)``
+    where ``component_id`` is the minimum node id in the component.
+
+    Only nodes that appear in ``pairs`` are returned — callers decide
+    whether absent nodes are singletons (see ``keep_canonical``).
+
+    ``method="twophase"`` (default): partition-local union-find, then
+    the hash-min fixpoint over the contracted boundary graph only —
+    see the module docstring for why this is the extreme-scale shape.
+    ``method="hashmin"``: the plain global fixpoint (one shuffle of
+    the FULL edge list per round) — kept for differential testing and
+    for callers that need its strict round-count semantics.
+
+    ``max_iter`` bounds the fixpoint rounds (over the contracted
+    graph under ``twophase``); exceeding it raises rather than
+    returning wrong components. Under ``twophase`` the contracted
+    diameter is ≤ the raw diameter (usually far smaller — a path
+    that fits one partition contracts to a point), so convergence is
+    at least as fast as ``hashmin`` for the same bound.
+    """
+    if method == "hashmin":
+        return _hashmin_fixpoint(pairs, src, dst, max_iter)
+    if method != "twophase":
+        raise ValueError(f"unknown method {method!r}")
+
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # mapping feeds the boundary groupBy AND the final re-expansion
+    # join — persist so phase 1 (and the upstream pair join) runs once.
+    # Released below once the final result is checkpointed; callers
+    # get a MATERIALIZED frame (same contract as the hashmin route's
+    # checkpointed labels) they can cache/reuse freely.
+    mapping = _local_union_find(edges).persist()
+
+    # Boundary links: a node seen in >1 partition with differing local
+    # roots links those roots. min(root) as the hub keeps links-per-
+    # node linear (star, not clique, over its roots).
+    links = (
+        mapping.groupBy("node")
+        .agg(
+            F.min("root").alias("r0"),
+            F.collect_set("root").alias("roots"),
+        )
+        .filter(F.size("roots") > 1)
+        .select("r0", F.explode("roots").alias("r"))
+        .filter(F.col("r") != F.col("r0"))
+    )
+
+    if links.limit(1).count() == 0:
+        # every component resolved within a single partition
+        result = mapping.groupBy("node").agg(
+            F.min("root").alias("component_id")
+        )
+        final, _ids = scratch.checkpoint_tracked(result)
+        mapping.unpersist()
+        return final
+
+    root_comp = _hashmin_fixpoint(links, "r0", "r", max_iter).select(
+        F.col("node").alias("root"), F.col("component_id").alias("_rc")
+    )
+    # Re-expansion: roots absent from the boundary graph keep
+    # themselves; boundary roots take the contracted component's min.
+    # AQE broadcasts root_comp when the boundary set is small (the
+    # common case); no forced hint — heavy-dup graphs can have a
+    # large boundary.
+    result = (
+        mapping.join(root_comp, "root", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_rc"), F.col("root")).alias("comp"),
+        )
+        .groupBy("node")
+        .agg(F.min("comp").alias("component_id"))
+    )
+    # checkpoint = eager materialization + lineage cut: the mapping
+    # cache and the fixpoint's final checkpoint become releasable, and
+    # repeat consumers (the shared-CC gates) read blocks, not plans.
+    # The blocks themselves go to ContextCleaner when the caller drops
+    # the frame.
+    final, _ids = scratch.checkpoint_tracked(result)
+    mapping.unpersist()
+    return final
+
+
 def keep_canonical(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -130,10 +288,10 @@ def keep_canonical(
     fraction of the corpus when duplication is heavy — don't force a
     broadcast).
 
-    Provide EITHER ``pairs`` (the fixpoint runs here) OR a precomputed
-    ``comps`` (a ``connected_components`` result — its checkpoints are
-    already materialized, so reuse costs nothing); ``src``/``dst``/
-    ``max_iter`` apply only to the ``pairs`` route."""
+    Provide EITHER ``pairs`` (the components run here) OR a
+    precomputed ``comps`` (a ``connected_components`` result — reuse
+    costs nothing); ``src``/``dst``/``max_iter`` apply only to the
+    ``pairs`` route."""
     if (pairs is None) == (comps is None):
         raise ValueError("provide exactly one of `pairs` or `comps`")
     if comps is None:

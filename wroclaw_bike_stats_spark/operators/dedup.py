@@ -84,13 +84,46 @@ def _make_shingle_udf(n: int):
     return shingles
 
 
+def _make_hashed_shingle_udf(n: int):
+    """Arrow-batched distinct word shingles as 64-BIT HASHES
+    (``_base_hash64_batch`` — one C siphash pass per batch, same
+    scheme as MinHash's base hash, reinterpreted as signed long for
+    the LONG column type). At corpus scale the (id, shingle) inverted
+    index is the biggest intermediate of the exact-Jaccard join —
+    hashing shrinks each entry from a ~40-byte string to 8 bytes
+    (≈3× less shuffle/persist volume at the sf100 point, where the
+    string index measured in the tens of GB) and makes every
+    downstream comparison a long equality instead of a string one."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        if texts.empty:
+            return pd.Series([], dtype=object)
+        all_sh, counts = _flat_shingles(texts, n)
+        h = _base_hash64_batch(all_sh, np).astype(np.int64)
+        out, pos = [], 0
+        for c in counts:
+            out.append(h[pos : pos + c])
+            pos += c
+        return pd.Series(out)
+
+    return shingles
+
+
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc. ``hashed`` swaps the
+    string shingle for its 64-bit hash (see _make_hashed_shingle_udf);
+    set membership and counts — everything Jaccard consumes — are
+    preserved up to 64-bit collisions (P[any collision] ≈ d²/2⁶⁵ for
+    d distinct shingles: ~0.003 even at the 5M-doc sf100 point)."""
+    make = _make_hashed_shingle_udf if hashed else _make_shingle_udf
     return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_make_shingle_udf(n)(F.col(text_col))).alias("shingle"),
+        F.explode(make(n)(F.col(text_col))).alias("shingle"),
     )
 
 
@@ -102,8 +135,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     candidates: DataFrame | None = None,
+    broadcast_candidates: bool = True,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted shingle index.
+
+    ``hash_shingles`` (default on): the inverted index carries 64-bit
+    shingle hashes instead of strings — ~3× less shuffle and persist
+    volume for the index, which at the sf100 scaling point is the
+    dominant intermediate of the full self-join. Jaccard from hashed
+    shingles equals string Jaccard up to 64-bit collisions
+    (P ≈ d²/2⁶⁵ over the whole corpus — see _shingle_table); pass
+    False to force exact string comparison.
 
     Docs sharing ≥1 shingle become candidates (equi-join on shingle —
     a shuffle keyed by shingle, NOT an all-pairs cross join); Jaccard
@@ -130,18 +173,27 @@ def ngram_jaccard_pairs(
         # (usually tiny) candidate set means the shingle generation,
         # not just the join, skips non-candidates. Per-doc shingle
         # sizes stay exact: the reduction is at doc granularity.
-        # The id set is BROADCAST: without the hint the semi-join has
-        # no size estimate for cand_ids and plans a sort-merge join
-        # that shuffles the whole corpus — a corpus-proportional cost
-        # the candidates path exists to avoid.
+        # The id set is BROADCAST by default: without the hint the
+        # semi-join has no size estimate for cand_ids and plans a
+        # sort-merge join that shuffles the whole corpus — a corpus-
+        # proportional cost the candidates path exists to avoid.
+        # ``broadcast_candidates=False`` is the escape hatch for
+        # callers whose candidate set can be corpus-proportional
+        # (heavy-duplication full dedup, backfill-size increments) —
+        # a forced broadcast there bypasses
+        # autoBroadcastJoinThreshold and can OOM the driver; without
+        # the hint AQE sizes the join from the persisted candidates'
+        # actual statistics.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        df = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        if broadcast_candidates:
+            cand_ids = F.broadcast(cand_ids)
+        df = df.join(cand_ids, id_col, "left_semi")
 
-    sh = _shingle_table(df, text_col, id_col, n)
+    sh = _shingle_table(df, text_col, id_col, n, hashed=hash_shingles)
     if candidates is None:
         # The RAW (pre-cap) shingle pass is the parameter-aligned unit
         # of sharing across full-corpus callers: the capped near-dup
@@ -224,35 +276,57 @@ def _py_shingles(text: str | None, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(n_sh)}
 
 
-def _base_hash64(shingles) -> "object":
-    """Deterministic 64-bit base hash per shingle (blake2b-8; NEVER
-    Python ``hash()``, which is salted per process)."""
-    import hashlib
+#: Base-hash + permutation scheme tag. Rides on stored signature /
+#: band tables as schema metadata so an incompatible stored table
+#: fails LOUD instead of silently missing every cross-batch dup.
+#: v2 = whole-batch pandas siphash (pd.util.hash_array, fixed key —
+#: deterministic across processes/executors, verified in tests) +
+#: the same odd-multiplier affine permutation family. v1 (blake2b-8
+#: per shingle in a Python loop) was measured as the dominant cost of
+#: every full MinHash pass at the sf100 scaling point (SCALING.md) —
+#: one C hashing pass per Arrow batch replaces |shingles| Python
+#: hashlib calls.
+MINHASH_SCHEME = "pdhash64-affine-v2"
 
-    import numpy as np
 
-    return np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-            )
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+def _flat_shingles(texts, n: int):
+    """Shingle a batch of docs into ONE flat list + per-doc counts —
+    the layout the vectorized hash/segment-min passes below consume.
+    Set order within a doc is irrelevant: every consumer reduces with
+    an order-free min/sum."""
+    all_sh: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        s = _py_shingles(t, n)
+        all_sh.extend(s)
+        counts.append(len(s))
+    return all_sh, counts
+
+
+def _base_hash64_batch(shingles: list, np) -> "object":
+    """Deterministic 64-bit base hash for a FLAT shingle batch in one
+    C pass (pandas' fixed-key siphash over an object array — NEVER
+    Python ``hash()``, which is salted per process). Returns uint64
+    (len(shingles),)."""
+    import pandas as pd
+
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(shingles, dtype=object))
 
 
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
-    """Arrow-batched MinHash signatures.
+    """Arrow-batched MinHash signatures, vectorized ACROSS the batch.
 
-    One base hash per shingle + ``num_hashes`` affine permutations
-    h_i = a_i·h + b_i (mod 2⁶⁴, a_i odd → bijective), min over
-    shingles — all vectorized in numpy. A native-expression version
-    (transform + array_min over xxhash64) is semantically identical
-    but runs in Spark's INTERPRETED higher-order-function evaluator:
-    num_hashes × |shingles| expression evals per row vs one matrix op
-    per Arrow batch here. Narrow map either way — no shuffle.
+    All shingles of the batch flatten into one array → ONE base-hash
+    pass (``_base_hash64_batch``) → per permutation h_i = a_i·h + b_i
+    (mod 2⁶⁴, a_i odd → bijective) a segment-min back per doc
+    (``np.minimum.reduceat`` over the doc offsets). Per-shingle cost
+    is a few C ops; no per-doc Python loop beyond shingling itself.
+    A native-expression version (transform + array_min over xxhash64)
+    is semantically similar but runs in Spark's INTERPRETED
+    higher-order-function evaluator: num_hashes × |shingles|
+    expression evals per row. Narrow map either way — no shuffle.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -261,16 +335,23 @@ def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     def signatures(texts: pd.Series) -> pd.Series:
         import numpy as np
 
+        if texts.empty:
+            return pd.Series([], dtype=object)
         rng = np.random.default_rng(seed)
         a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
         b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
-        out = []
-        for t in texts:
-            base = _base_hash64(_py_shingles(t, shingle_n))
-            with np.errstate(over="ignore"):
-                perms = a[:, None] * base[None, :] + b[:, None]
-            out.append(perms.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        all_sh, counts = _flat_shingles(texts, shingle_n)
+        base = _base_hash64_batch(all_sh, np)
+        # _py_shingles guarantees >= 1 shingle per doc, so offsets are
+        # strictly within bounds and reduceat segments are non-empty
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=offsets[1:])
+        mins = np.empty((num_hashes, len(counts)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(num_hashes):
+                mins[i] = np.minimum.reduceat(a[i] * base + b[i], offsets)
+        sig = mins.T.astype(np.int64)  # (docs, num_hashes)
+        return pd.Series(list(sig))
 
     return signatures
 
@@ -300,7 +381,7 @@ def minhash_signatures(
                 "minhash_num_hashes": num_hashes,
                 "minhash_shingle_n": shingle_n,
                 "minhash_seed": 42,
-                "minhash_scheme": "blake2b8-affine-v1",
+                "minhash_scheme": MINHASH_SCHEME,
             },
         ),
     )
@@ -387,6 +468,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification of CANDIDATES ONLY.
@@ -396,6 +478,12 @@ def minhash_dedup_pairs(
     the corpus-wide shingle self-join never runs. Candidates that fail
     the exact check drop out; pairs LSH missed stay missed — that's
     the approximation contract.
+
+    ``broadcast_candidates=False``: drop the broadcast hint on the
+    candidate id set in the verify prune — use when duplication is so
+    heavy that candidates approach corpus size (a forced broadcast
+    there can OOM; AQE then sizes the join from the persisted
+    candidates' statistics).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # The candidate set feeds three downstream consumers (the two id
@@ -405,7 +493,13 @@ def minhash_dedup_pairs(
     # so caching them is bounded and saves two full recomputations.
     cands = _scratch_persist(minhash_lsh_candidates(sigs, bands))
     return ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, threshold, candidates=cands
+        df,
+        text_col,
+        id_col,
+        shingle_n,
+        threshold,
+        candidates=cands,
+        broadcast_candidates=broadcast_candidates,
     )
 
 
@@ -445,7 +539,10 @@ def minhash_incremental_pairs(
 
     Pass ``broadcast_new=False`` for a backfill-size "increment" that
     would not fit in executor memory as a broadcast hash table; the
-    join then shuffles both sides on (band_idx, band_hash).
+    join then shuffles both sides on (band_idx, band_hash), AND the
+    verify stage's candidate-id prune drops its broadcast hint too
+    (candidates are increment-proportional — the same reason the band
+    probe can't be broadcast makes the id set unsafe to force).
 
     Without ``old_signatures``/``old_banded`` the old side is signed on
     the fly (correct, just not incremental). Pairs are normalized
@@ -469,7 +566,7 @@ def minhash_incremental_pairs(
             "minhash_num_hashes": num_hashes,
             "minhash_shingle_n": shingle_n,
             "minhash_seed": 42,
-            "minhash_scheme": "blake2b8-affine-v1",
+            "minhash_scheme": MINHASH_SCHEME,
             "minhash_bands": bands,
         }
         bad = {
@@ -506,7 +603,7 @@ def minhash_incremental_pairs(
                 "minhash_num_hashes": num_hashes,
                 "minhash_shingle_n": shingle_n,
                 "minhash_seed": 42,
-                "minhash_scheme": "blake2b8-affine-v1",
+                "minhash_scheme": MINHASH_SCHEME,
             }
             bad = {
                 k: (meta.get(k), v)
@@ -557,17 +654,25 @@ def minhash_incremental_pairs(
         old_docs.select(id_col, text_col)
     )
     return ngram_jaccard_pairs(
-        corpus, text_col, id_col, shingle_n, threshold, candidates=cands
+        corpus,
+        text_col,
+        id_col,
+        shingle_n,
+        threshold,
+        candidates=cands,
+        broadcast_candidates=broadcast_new,
     )
 
 
 def _make_simhash_udf(shingle_n: int):
     """Arrow-batched 64-bit SimHash (Charikar 2002): bit b of the
     fingerprint is the sign of the sum of ±1 votes from bit b of each
-    shingle's base hash. Vectorized: unpack the (|shingles| × 64) bit
-    matrix with one shift-and-mask, column-sum, threshold at strict
-    majority (votes > 0 ⟺ 2·ones > n), repack. Same
-    interpreted-HOF-vs-numpy rationale as ``_make_minhash_udf``."""
+    shingle's base hash. Vectorized ACROSS the batch like
+    ``_make_minhash_udf``: one flat base-hash pass, then per bit
+    position a segment-sum of that bit over each doc's shingles
+    (``np.add.reduceat``), thresholded at strict majority
+    (votes > 0 ⟺ 2·ones > n). The per-bit loop keeps peak memory at
+    O(|batch shingles|) instead of the (shingles × 64) bit matrix."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -575,18 +680,20 @@ def _make_simhash_udf(shingle_n: int):
     def simhash(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        shifts = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            base = _base_hash64(_py_shingles(t, shingle_n))
-            bits = (base[:, None] >> shifts[None, :]) & np.uint64(1)
-            ones = bits.sum(axis=0)
-            fp_bits = (2 * ones > len(base)).astype(np.uint64)
-            fp = np.uint64(0)
-            with np.errstate(over="ignore"):
-                fp = (fp_bits << shifts).sum(dtype=np.uint64)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        if texts.empty:
+            return pd.Series([], dtype="int64")
+        all_sh, counts = _flat_shingles(texts, shingle_n)
+        base = _base_hash64_batch(all_sh, np)
+        cnt = np.asarray(counts, dtype=np.int64)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offsets[1:])
+        fp = np.zeros(len(counts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(64):
+                bit = ((base >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bit, offsets)
+                fp |= (2 * ones > cnt).astype(np.uint64) << np.uint64(b)
+        return pd.Series(fp.astype(np.int64))
 
     return simhash
 

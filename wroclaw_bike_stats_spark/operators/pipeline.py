@@ -154,19 +154,50 @@ def cap_per_group(
     group_col: str,
     order_cols: list[str],
     n: int,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, deterministically — the
     domain-quota step that stops a single source/domain from dominating
     a training mix. Ordering must be a total order (include a unique
-    tie-breaker column) so reruns keep the same rows."""
+    tie-breaker column) so reruns keep the same rows.
+
+    ``two_phase`` (default): count rows per group first (a cheap
+    key-only aggregate with map-side combine), then run the
+    rank-filter window ONLY over groups that exceed the quota; rows in
+    under-quota groups pass through a broadcast anti-join untouched.
+    The naive single-window form shuffles every WIDE row to rank rows
+    it will all keep — in a realistic training mix most groups are
+    under quota, so the window's sort pays for nothing (measured 44×
+    at the 100× scaling point, output-volume + window-sort driven;
+    SCALING.md). Two-phase moves only the over-quota slice through
+    the wide sort. The over-quota group list is broadcast: it is
+    bounded by |distinct groups| and over-quota groups are the
+    minority by construction — if EVERY group blows its quota, pass
+    ``two_phase=False`` (one window beats three passes when nothing
+    can be skipped)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    if not two_phase:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    over = F.broadcast(
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > n)
+        .select(group_col)
+    )
+    under_rows = df.join(over, group_col, "left_anti")
+    capped = (
+        df.join(over, group_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+    return under_rows.unionByName(capped)
 
 
 def hash_split_assign(

@@ -533,26 +533,46 @@ def _cosine_verify(
     id_col: str,
     vec_col: str,
     prune_corpus: bool = False,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """Exact-cosine verification of candidate (id_a, id_b) pairs — the
     single verify implementation shared by the full and incremental
     near-dup paths (a threshold/rounding change lands in one place).
 
-    ``prune_corpus`` (the incremental path): first broadcast-semi-join
-    the corpus down to candidate ids — one scan, NO corpus shuffle —
+    ``prune_corpus`` (the incremental path): first semi-join the
+    corpus down to candidate ids — one scan, NO corpus shuffle —
     before the id joins. Without it the two vector-lookup joins are
     planned as shuffles of the WHOLE corpus (cands has no size
     estimate), which charges the incremental path a corpus-
     proportional cost its contract forbids. The full path keeps the
     default: its candidate set can approach corpus size, where a
-    broadcast id set would be the wrong call."""
+    broadcast id set would be the wrong call.
+
+    ``broadcast_ids``: hint the pruning id set as a broadcast. A
+    caller passing ``broadcast_new=False`` upstream (backfill-size
+    increment) must pass False here too — an id set proportional to a
+    too-big-to-broadcast increment is itself too big to force past
+    autoBroadcastJoinThreshold; AQE then plans the semi-join from the
+    persisted candidates' actual size."""
     if prune_corpus:
         ids = (
             cands.select(F.col("id_a").alias(id_col))
             .union(cands.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        corpus = corpus.join(F.broadcast(ids), id_col, "left_semi")
+        if broadcast_ids:
+            ids = F.broadcast(ids)
+        # The pruned corpus feeds BOTH pair-side lookups (vec_a, vec_b)
+        # below; without a persist each side re-scans the full corpus
+        # parquet through its own semi-join — TWO corpus-width scans
+        # per incremental run, measured as the dominant term of the
+        # incremental path's cost floor at the sf100 scaling point.
+        # The pruned frame is candidate-ids-sized (tiny by the
+        # incremental contract), so caching it is bounded; the corpus
+        # parquet is now read once.
+        from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
+
+        corpus = _sp(corpus.join(ids, id_col, "left_semi"))
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     sim = _make_cosine_udf()(F.col("vec_a"), F.col("vec_b"))
@@ -670,7 +690,13 @@ def embedding_incremental_neardup(
     )
     corpus = new.select(id_col, vec_col).unionByName(old.select(id_col, vec_col))
     return _cosine_verify(
-        cands, corpus, threshold, id_col, vec_col, prune_corpus=True
+        cands,
+        corpus,
+        threshold,
+        id_col,
+        vec_col,
+        prune_corpus=True,
+        broadcast_ids=broadcast_new,
     )
 
 

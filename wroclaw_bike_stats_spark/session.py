@@ -51,13 +51,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # In local mode the driver JVM IS the cluster: all 32 task
         # threads share this one heap for execution + storage +
-        # broadcast build. 8g was enough through sf1 but OOM'd a
-        # broadcast build at the sf10 scaling point; 24g leaves
-        # headroom on the 128 GiB box while costing nothing at small
-        # sf (heap is reserved lazily). On a real cluster this setting
+        # broadcast build. 8g is the LIBRARY default (tests, CLI,
+        # small interactive runs — a bigger default would invite
+        # swap/OOM-killer pressure on smaller hosts); the sf10+ scale
+        # harnesses, which OOM'd a broadcast build at 8g, export
+        # SPARK_DRIVER_MEMORY=24g themselves (scale_bench.py,
+        # tools/make_scale_data.py). On a real cluster this setting
         # governs only the driver — executors size independently.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
         )
         .config("spark.ui.enabled", "false")
     )
