@@ -101,8 +101,13 @@ def main() -> None:
 
     # Warmup: first touch of each parquet footer + codegen warm paths,
     # plus one pandas-UDF query so Python worker/Arrow startup is paid
-    # here and not by whichever UDF query happens to run first.
-    for wname in ("pricing_summary", "simhash_groups"):
+    # here and not by whichever UDF query happens to run first, plus
+    # one daily-metrics-family query so that family's one-time plan
+    # compile/JIT isn't billed to whichever family member the round's
+    # gate rotation happens to put first (r06: rotation moved the
+    # range queries to the front and their numbers absorbed ~0.2 s of
+    # family cold cost that daily_event_metrics used to pay).
+    for wname in ("pricing_summary", "simhash_groups", "daily_event_metrics"):
         try:
             queries[wname](spark, sf_dir).collect()
         except Exception:

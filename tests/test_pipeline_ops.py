@@ -49,6 +49,45 @@ def test_cap_per_group_deterministic(spark):
     assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0)]
 
 
+def test_cap_per_group_strategies_agree_and_shape_plans(spark):
+    """All strategy combinations keep the same rows; the default
+    suppresses Spark's map-side WindowGroupLimit (pure overhead at
+    high group cardinality — measured 3× at the 100× point), while
+    group_limit_pushdown=True re-enables it for few-giant-groups
+    workloads."""
+    df = spark.createDataFrame(
+        [(f"g{i % 7}", j, f"p{i}-{j}") for i in range(21) for j in range(i % 5 + 1)],
+        ["grp", "ord", "payload"],
+    )
+    want = sorted(
+        map(tuple, P.cap_per_group(df, "grp", ["ord", "payload"], 2).collect())
+    )
+    for tp in (False, True):
+        for pd_ in (False, True):
+            got = sorted(
+                map(
+                    tuple,
+                    P.cap_per_group(
+                        df, "grp", ["ord", "payload"], 2,
+                        two_phase=tp, group_limit_pushdown=pd_,
+                    ).collect(),
+                )
+            )
+            assert got == want, (tp, pd_)
+
+    def plan_of(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    assert "WindowGroupLimit" not in plan_of(
+        P.cap_per_group(df, "grp", ["ord", "payload"], 2)
+    )
+    assert "WindowGroupLimit" in plan_of(
+        P.cap_per_group(
+            df, "grp", ["ord", "payload"], 2, group_limit_pushdown=True
+        )
+    )
+
+
 def test_hash_split_stable_and_partitioning_invariant(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = {

@@ -279,21 +279,32 @@ def _py_shingles(text: str | None, n: int) -> set[str]:
 #: Base-hash + permutation scheme tag. Rides on stored signature /
 #: band tables as schema metadata so an incompatible stored table
 #: fails LOUD instead of silently missing every cross-batch dup.
-#: v2 = whole-batch pandas siphash (pd.util.hash_array, fixed key —
-#: deterministic across processes/executors, verified in tests) +
-#: the same odd-multiplier affine permutation family. v1 (blake2b-8
-#: per shingle in a Python loop) was measured as the dominant cost of
-#: every full MinHash pass at the sf100 scaling point (SCALING.md) —
-#: one C hashing pass per Arrow batch replaces |shingles| Python
-#: hashlib calls.
-MINHASH_SCHEME = "pdhash64-affine-v2"
+#: v3 = token-level whole-batch pandas siphash (pd.util.hash_array,
+#: fixed key — deterministic across processes/executors, verified in
+#: tests) + polynomial combination of the n token hashes per shingle
+#: (vectorized over the flat token array) + the odd-multiplier affine
+#: permutation family. History: v1 hashed every shingle STRING with
+#: blake2b in a per-doc Python loop — measured as the dominant cost
+#: of every full MinHash pass at the sf100 scaling point; v2 hashed
+#: shingle strings batch-at-once (2×); v3 stops building shingle
+#: strings at all — ~100 short token hashes per doc and a few numpy
+#: ops replace ~100 ``" ".join`` allocations + long-string hashes
+#: (another 2.5× on the UDF, measured in-round). Shingle MULTISET
+#: (not set) feeds the min — identical under min, so v3 signatures
+#: keep the v1/v2 contract semantics.
+MINHASH_SCHEME = "tokenhash64-affine-v3"
+
+#: odd 64-bit mixing constant for the shingle polynomial (golden-ratio
+#: constant, same one splitmix64 uses — public domain folklore)
+_POLY = 0x9E3779B97F4A7C15
 
 
 def _flat_shingles(texts, n: int):
     """Shingle a batch of docs into ONE flat list + per-doc counts —
-    the layout the vectorized hash/segment-min passes below consume.
-    Set order within a doc is irrelevant: every consumer reduces with
-    an order-free min/sum."""
+    the layout the vectorized hash/segment passes consume. Set order
+    within a doc is irrelevant: every consumer reduces with an
+    order-free min/sum. (String form — used by the hashed inverted
+    index, where per-doc DISTINCT counts feed exact Jaccard.)"""
     all_sh: list[str] = []
     counts: list[int] = []
     for t in texts:
@@ -304,25 +315,87 @@ def _flat_shingles(texts, n: int):
 
 
 def _base_hash64_batch(shingles: list, np) -> "object":
-    """Deterministic 64-bit base hash for a FLAT shingle batch in one
+    """Deterministic 64-bit base hash for a FLAT string batch in one
     C pass (pandas' fixed-key siphash over an object array — NEVER
-    Python ``hash()``, which is salted per process). Returns uint64
-    (len(shingles),)."""
+    Python ``hash()``, which is salted per process; categorize=False
+    because near-dup shingles are mostly unique, where the factorize
+    pre-pass costs ~1.6× for nothing). Returns uint64 (len,)."""
     import pandas as pd
 
     if not shingles:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(shingles, dtype=object))
+    return pd.util.hash_array(
+        np.asarray(shingles, dtype=object), categorize=False
+    )
+
+
+def _shingle_hash_batch(texts, n: int, np):
+    """v3 shingle hashing for a batch: tokenize each doc (the only
+    per-doc Python work), hash ALL tokens in one C pass, then build
+    each shingle's hash as a degree-(n-1) polynomial in ``_POLY`` over
+    its n token hashes — one numpy multiply-add per position in the
+    shingle, vectorized over the whole flat token array. Docs shorter
+    than n tokens get one whole-doc shingle (the polynomial over all
+    their tokens), mirroring ``_py_shingles``. Returns
+    (uint64 shingle hashes grouped by doc, int64 per-doc counts)."""
+    import re as _re
+
+    import pandas as pd
+
+    splitter = _re.compile(r"\s+", _re.ASCII)
+    toks_flat: list[str] = []
+    tcounts: list[int] = []
+    for t in texts:
+        tk = splitter.split((t or "").strip(" ").lower())
+        toks_flat.extend(tk)
+        tcounts.append(len(tk))
+    th = pd.util.hash_array(
+        np.asarray(toks_flat, dtype=object), categorize=False
+    )
+    tc = np.asarray(tcounts, dtype=np.int64)
+    ends = np.cumsum(tc)
+    out_counts = np.maximum(tc - (n - 1), 1)
+    P = np.uint64(_POLY)
+    with np.errstate(over="ignore"):
+        # poly[i] over token positions i..i+n-1; tail positions whose
+        # window crosses a doc boundary are masked out below
+        poly = th.copy()
+        for k in range(1, n):
+            poly = poly * P
+            poly[: len(th) - k] += th[k:]
+        poly = poly[: max(len(th) - (n - 1), 0)]
+    idx = np.arange(len(poly))
+    doc_of = np.repeat(np.arange(len(tc)), tc)[: len(poly)]
+    valid = idx <= ends[doc_of] - n  # window stays inside the doc
+    out = np.empty(int(out_counts.sum()), dtype=np.uint64)
+    long_slots = np.repeat(tc >= n, out_counts)
+    out[long_slots] = poly[valid]
+    # short docs (< n tokens): polynomial over all their tokens —
+    # a Python loop over just those docs (rare in real corpora)
+    short_idx = np.nonzero(tc < n)[0]
+    if short_idx.size:
+        starts = ends - tc
+        shorts = np.empty(short_idx.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j, d in enumerate(short_idx):
+                h = np.uint64(0)
+                first = True
+                for p in range(int(starts[d]), int(ends[d])):
+                    h = th[p] if first else h * P + th[p]
+                    first = False
+                shorts[j] = h
+        out[~long_slots] = shorts
+    return out, out_counts
 
 
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     """Arrow-batched MinHash signatures, vectorized ACROSS the batch.
 
-    All shingles of the batch flatten into one array → ONE base-hash
-    pass (``_base_hash64_batch``) → per permutation h_i = a_i·h + b_i
+    One token-hash pass + polynomial shingle combination
+    (``_shingle_hash_batch``) → per permutation h_i = a_i·h + b_i
     (mod 2⁶⁴, a_i odd → bijective) a segment-min back per doc
     (``np.minimum.reduceat`` over the doc offsets). Per-shingle cost
-    is a few C ops; no per-doc Python loop beyond shingling itself.
+    is a few C ops; the only per-doc Python work is tokenization.
     A native-expression version (transform + array_min over xxhash64)
     is semantically similar but runs in Spark's INTERPRETED
     higher-order-function evaluator: num_hashes × |shingles|
@@ -340,12 +413,11 @@ def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
         rng = np.random.default_rng(seed)
         a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
         b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
-        all_sh, counts = _flat_shingles(texts, shingle_n)
-        base = _base_hash64_batch(all_sh, np)
-        # _py_shingles guarantees >= 1 shingle per doc, so offsets are
-        # strictly within bounds and reduceat segments are non-empty
+        base, counts = _shingle_hash_batch(texts, shingle_n, np)
+        # every doc yields >= 1 shingle, so offsets are strictly
+        # within bounds and reduceat segments are non-empty
         offsets = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=offsets[1:])
+        np.cumsum(counts[:-1], out=offsets[1:])
         mins = np.empty((num_hashes, len(counts)), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for i in range(num_hashes):

@@ -154,36 +154,55 @@ def cap_per_group(
     group_col: str,
     order_cols: list[str],
     n: int,
-    two_phase: bool = True,
+    two_phase: bool = False,
+    group_limit_pushdown: bool = False,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group, deterministically — the
     domain-quota step that stops a single source/domain from dominating
     a training mix. Ordering must be a total order (include a unique
     tie-breaker column) so reruns keep the same rows.
 
-    ``two_phase`` (default): count rows per group first (a cheap
-    key-only aggregate with map-side combine), then run the
-    rank-filter window ONLY over groups that exceed the quota; rows in
-    under-quota groups pass through a broadcast anti-join untouched.
-    The naive single-window form shuffles every WIDE row to rank rows
-    it will all keep — in a realistic training mix most groups are
-    under quota, so the window's sort pays for nothing (measured 44×
-    at the 100× scaling point, output-volume + window-sort driven;
-    SCALING.md). Two-phase moves only the over-quota slice through
-    the wide sort. The over-quota group list is broadcast: it is
-    bounded by |distinct groups| and over-quota groups are the
-    minority by construction — if EVERY group blows its quota, pass
-    ``two_phase=False`` (one window beats three passes when nothing
-    can be skipped)."""
+    Strategy knobs, all measured at the 100× scaling point (15M
+    orders, 1.5M customer groups, 93% over quota; SCALING.md r06):
+
+    ``group_limit_pushdown=False`` (default): suppress Spark's
+    WindowGroupLimit rewrite for the rank filter. That rule inserts a
+    MAP-SIDE per-group top-n (an extra full sort of every input
+    partition) before the shuffle — a huge win when a few giant
+    groups dominate, but pure overhead when group cardinality is
+    comparable to row count (domains/users/sources — this operator's
+    stated regime): most groups appear once per input partition, so
+    nothing prunes and the extra sort triples the cost (measured
+    16.6 s → 5.5 s suppressed). Suppression is expressed as an
+    ``isin`` rank filter (semantically identical for row_number ≥ 1)
+    because the rule pattern-matches binary comparisons; for n > 1024
+    the literal list would bloat the plan, so the plain filter — and
+    with it Spark's rewrite — is used regardless. Pass True when the
+    workload IS few-giant-groups.
+
+    ``two_phase=True``: count rows per group first (key-only
+    aggregate, map-side combined), broadcast the over-quota group
+    list, window ONLY those groups; under-quota rows pass through a
+    broadcast anti-join — a MAP-SIDE pass, so rows in under-quota
+    groups are never shuffled at all. Wins when over-quota groups are
+    sparse (measured 4.6 s vs 19.1 s naive window with zero groups
+    over quota); loses when most groups exceed quota (12.0 s vs 5.5 s
+    at 93% over — three passes that skip nothing). Keep it off unless
+    the quota is rarely hit."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
+
+    def _rank_filter(d: DataFrame) -> DataFrame:
+        d = d.withColumn("_rn", F.row_number().over(w))
+        if not group_limit_pushdown and n <= 1024:
+            d = d.filter(F.col("_rn").isin(list(range(1, n + 1))))
+        else:
+            d = d.filter(F.col("_rn") <= n)
+        return d.drop("_rn")
+
     if not two_phase:
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .drop("_rn")
-        )
+        return _rank_filter(df)
     over = F.broadcast(
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -191,12 +210,7 @@ def cap_per_group(
         .select(group_col)
     )
     under_rows = df.join(over, group_col, "left_anti")
-    capped = (
-        df.join(over, group_col, "left_semi")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
-    )
+    capped = _rank_filter(df.join(over, group_col, "left_semi"))
     return under_rows.unionByName(capped)
 
 
