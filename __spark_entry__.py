@@ -1771,6 +1771,26 @@ def q_group_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quota_cap_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-PHASE quota route (operators/pipeline.py cap_per_group
+    two_phase=True): with a quota most groups never hit (12/customer),
+    under-quota rows pass through the broadcast anti-join untouched —
+    a map-side pass, no shuffle — and only over-quota groups see the
+    window. Same oracle shape as `group_quota_cap`; together the two
+    gates driver-verify both strategy routes."""
+    from wroclaw_bike_stats_spark.operators.pipeline import cap_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cap_per_group(
+            orders, "o_custkey", ["o_orderdate", "o_orderkey"], 12,
+            two_phase=True,
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by Knuth
     multiplicative hash of doc_id — reproducible from the id alone,
@@ -1980,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the rows-only (no-oracle) sketch/hash queries last. Every
     # callable is bound to the _acquire session boundary.
     q = {
+        # --- new in r06 (no driver row yet) --------------------------
+        "group_quota_cap_sparse": q_group_quota_cap_sparse,
         # --- latest driver row r04 (stalest oracle-backed; pushed past
         #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
@@ -3160,6 +3182,19 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM orders
             ) WHERE rn <= 5
+            ORDER BY o_orderkey
+        """,
+        # same cap semantics at a rarely-hit quota — drives the
+        # two-phase (broadcast anti-join + over-quota-only window)
+        # strategy route on the Spark side
+        "group_quota_cap_sparse": """
+            SELECT o_orderkey, o_custkey FROM (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                           AS rn
+                FROM orders
+            ) WHERE rn <= 12
             ORDER BY o_orderkey
         """,
         "hash_split": """

@@ -84,7 +84,7 @@ def main(path: str) -> int:
         "hashmin measured 3.9 s isolated at sf100). ~99% of the",
         "pipeline row (neardup_components — pair generation + CC) is",
         "the upstream corpus-wide exact n-gram Jaccard join, which",
-        "round 6 cut 723 → ~560 s via the 64-bit hashed shingle index;",
+        "round 6 cut 723 → ~496 s via the 64-bit hashed shingle index;",
         "neardup_components@sf100 stays a SINGLE cold run (opt-in via",
         "SPARK_GRAFT_CC_SF100=1).",
         "",
