@@ -64,6 +64,61 @@ def test_df_cap_drops_stop_shingles(spark):
     assert capped.count() == 0
 
 
+def test_prefix_filter_equals_plain_self_join(docs):
+    """prefix_filter=True is an EXACT optimization: identical
+    (id_a, id_b, jaccard) rows as the plain self-join, at several
+    thresholds and with/without the df_cap guard."""
+    for threshold in (0.3, 0.5, 0.8):
+        for cap in (None, 100):
+            plain = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(
+                    docs, n=3, threshold=threshold, df_cap=cap
+                ).collect()
+            }
+            pref = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(
+                    docs,
+                    n=3,
+                    threshold=threshold,
+                    df_cap=cap,
+                    prefix_filter=True,
+                ).collect()
+            }
+            assert pref == plain, (threshold, cap)
+    assert plain, "fixture corpus should contain near-dup pairs"
+
+
+def test_prefix_filter_skewed_frequencies(spark):
+    """Adversarial shape for prefix filtering: a stop-like shingle in
+    every doc plus planted high-jaccard pairs. The frequent shingle
+    must not cost candidates (it never lands in a prefix) and the
+    planted pairs must all survive (no false negatives)."""
+    rows = []
+    for i in range(30):
+        base = f"alpha beta gamma u{i} v{i} w{i} x{i} y{i} z{i}"
+        rows.append((2 * i, base))
+        # near-dup: one trailing token changed
+        rows.append((2 * i + 1, base.rsplit(" ", 1)[0] + f" q{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            df, n=3, threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert pref == plain
+    # every planted (2i, 2i+1) pair found
+    assert {(2 * i, 2 * i + 1) for i in range(30)} <= {
+        (a, b) for a, b, _ in pref
+    }
+
+
 def test_simhash_neardup_exact_recall_vs_bruteforce(spark, docs):
     """Pigeonhole guarantee: with 4 bands and max_hamming 3, banded
     candidates + verify must equal the brute-force hamming join."""

@@ -90,6 +90,22 @@ def test_pair_and_series_diffs_agree(flat, pair_events):
     assert pair_set == series_set
 
 
+def test_series_diff_survives_downstream_filter(flat):
+    """Regression (round 6): filtering the series-diff OUTPUT threw
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the _extract_* nested-JSON
+    aliases under the old three-branch union plan (Spark's nested-
+    schema pruning rewrote the per-branch scans inconsistently). The
+    single-pass emission must compose with any downstream filter."""
+    ser = diff_snapshot_series(flat)
+    one_bike = ser.filter(F.col("bike_id") == "590066").collect()
+    assert sorted((r["event_type"], r["station_name"]) for r in one_bike) == [
+        ("arrived", "Wrocław Leśnica, stacja kolejowa"),
+        ("departed", "freestanding"),
+    ]
+    # arbitrary predicate over a lagged-info column also composes
+    assert ser.filter(F.col("station_name").isNotNull()).count() > 0
+
+
 def test_freestanding_electric_minimal_snapshot(spark, tmp_path):
     """Reference tests/test_bike_status_changes.py:97–132: a minimal
     FREESTANDING_ELECTRIC_BIKE place normalizes to

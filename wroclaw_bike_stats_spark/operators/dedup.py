@@ -85,15 +85,26 @@ def _make_shingle_udf(n: int):
 
 
 def _make_hashed_shingle_udf(n: int):
-    """Arrow-batched distinct word shingles as 64-BIT HASHES
-    (``_base_hash64_batch`` — one C siphash pass per batch, same
-    scheme as MinHash's base hash, reinterpreted as signed long for
-    the LONG column type). At corpus scale the (id, shingle) inverted
-    index is the biggest intermediate of the exact-Jaccard join —
-    hashing shrinks each entry from a ~40-byte string to 8 bytes
-    (≈3× less shuffle/persist volume at the sf100 point, where the
-    string index measured in the tens of GB) and makes every
-    downstream comparison a long equality instead of a string one."""
+    """Arrow-batched distinct word shingles as 64-BIT HASHES. At
+    corpus scale the (id, shingle) inverted index is the biggest
+    intermediate of the exact-Jaccard join — hashing shrinks each
+    entry from a ~40-byte string to 8 bytes (≈3× less shuffle/persist
+    volume at the sf100 point, where the string index measured in the
+    tens of GB) and makes every downstream comparison a long equality
+    instead of a string one.
+
+    Hash scheme = the MinHash v3 base (``_shingle_hash_batch``): one
+    C token-hash pass per batch + a vectorized degree-(n-1)
+    polynomial per shingle — no shingle STRING is ever built. That
+    pass emits the shingle MULTISET, so per-doc distinctness (which
+    Jaccard's set semantics need) is restored here with one lexsort +
+    adjacent-dup drop over the flat hash array, all C-side. Measured
+    (round 6, sf1 probe): the index pass was ~80% of the whole exact
+    join's cost under the v2 string-building scheme; v3 removes the
+    ``" ".join`` allocations and long-string hashes exactly as it did
+    for MinHash signatures. Distinct-by-hash equals distinct-by-
+    string up to 64-bit collisions, already the module's documented
+    tolerance."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -101,11 +112,17 @@ def _make_hashed_shingle_udf(n: int):
     def shingles(texts: pd.Series) -> pd.Series:
         if texts.empty:
             return pd.Series([], dtype=object)
-        all_sh, counts = _flat_shingles(texts, n)
-        h = _base_hash64_batch(all_sh, np).astype(np.int64)
+        h, counts = _shingle_hash_batch(texts, n, np)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((h, doc_of))
+        hs, ds = h[order], doc_of[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        hs, ds = hs[keep].astype(np.int64), ds[keep]
+        new_counts = np.bincount(ds, minlength=len(counts))
         out, pos = [], 0
-        for c in counts:
-            out.append(h[pos : pos + c])
+        for c in new_counts:
+            out.append(hs[pos : pos + c])
             pos += c
         return pd.Series(out)
 
@@ -137,6 +154,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     broadcast_candidates: bool = True,
     hash_shingles: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted shingle index.
 
@@ -167,6 +185,34 @@ def ngram_jaccard_pairs(
     docs, then each pair is expanded by doc-a's shingles and matched
     against doc-b's on (id_b, shingle). Cost is O(|candidates| × doc
     shingles), never corpus-quadratic.
+
+    ``prefix_filter`` — full-self-join path only (ignored when
+    ``candidates`` is given): AllPairs/PPJoin-style prefix filtering
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08). Shingles get a
+    global total order (ascending document frequency, rarest first —
+    ties broken by shingle value); only each doc's first
+    ``n - ceil(t·n) + 1`` shingles under that order are indexed for
+    candidate generation. EXACT: Jaccard(A,B) ≥ t implies
+    |A∩B| ≥ ceil(t·|A|), so the intersection cannot live entirely in
+    the ``ceil(t·|A|) - 1``-element suffix — any qualifying pair
+    shares a prefix shingle (no false negatives; same argument per
+    side). Candidate pairs then pass the length filter
+    (t·|A| ≤ |B| ≤ |A|/t) and are verified with full intersection
+    counts over the complete shingle table. The candidate join then
+    touches only the RAREST ~(1-t) fraction of each doc's shingles,
+    so the per-shingle pair blowup Σ C(df,2) runs over small dfs.
+
+    MEASURED ADJUDICATION (round 6, sf0.1/sf1/sf10, capped AND
+    capless): on this corpus family the plain self-join WINS at every
+    point (sf1: 3.4 s vs 21 s; sf10: 26 s vs 171 s) — its pre-agg
+    pair volume is only ~5 rows per index entry (12.7M pairs at sf1),
+    while frequency-ordered prefixes still emit a 3.1M-pair candidate
+    set whose expansion-verify (|cand| × ~|doc shingles| rows) costs
+    more than the aggregation it avoids. Default therefore stays
+    False. The option earns its keep where the blowup genuinely
+    dominates: heavy mid-frequency shingle mass (boilerplate-laden
+    web corpora), low thresholds, or no df_cap guard — regimes where
+    Σ C(df,2) is orders of magnitude above |index|.
     """
     if candidates is not None:
         # Reduce the corpus to candidate docs BEFORE shingling — the
@@ -209,13 +255,16 @@ def ngram_jaccard_pairs(
         # shingling (its production cost must stay ∝ candidates, never
         # the full corpus).
         sh = _scratch_persist(sh)
+    # One document-frequency aggregation serves BOTH the stop-shingle
+    # guard and the prefix-filter ordering: the two consumers are
+    # complementary filters over the same agg, so its shuffle is
+    # planned once (ReusedExchange) instead of re-aggregating the
+    # index per consumer. Per-shingle df is invariant under the
+    # stop-shingle anti-join (it removes whole shingle groups), so
+    # the pre-cap agg filtered to ``<= df_cap`` IS the post-cap df.
+    dffull = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if df_cap is not None:
-        stop = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("shingle")
-        )
+        stop = dffull.filter(F.col("_df") > df_cap).select("shingle")
         sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
 
     # The (post-cap / candidate-reduced) shingle table feeds sizes +
@@ -228,6 +277,54 @@ def ngram_jaccard_pairs(
         sh = _scratch_persist(sh)
 
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if candidates is None and prefix_filter:
+        # Candidate generation from document-frequency-ordered
+        # prefixes (see docstring); ``dffull`` above supplies the
+        # ordering key (filtered to surviving shingles when the cap is
+        # on — same agg, shared shuffle). The rank window shuffles the
+        # (entry, df) rows by _id once. The 1e-9 slack on ceil()/the
+        # length filter only ever LENGTHENS the prefix / widens the
+        # bound — FP error can admit a spurious candidate (verified
+        # away), never drop a true pair.
+        from pyspark.sql import Window
+
+        dfreq = (
+            dffull.filter(F.col("_df") <= df_cap)
+            if df_cap is not None
+            else dffull
+        )
+        by_doc = Window.partitionBy("_id")
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn(
+                "_rnk",
+                F.row_number().over(by_doc.orderBy("_df", "shingle")),
+            )
+            .withColumn("_n", F.count(F.lit(1)).over(by_doc))
+        )
+        prefix = ranked.filter(
+            F.col("_rnk")
+            <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - 1e-9)
+            + 1
+        )
+        pa = prefix.select(
+            F.col("_id").alias("id_a"), "shingle", F.col("_n").alias("_na")
+        )
+        pb = prefix.select(
+            F.col("_id").alias("id_b"), "shingle", F.col("_n").alias("_nb")
+        )
+        candidates = (
+            pa.join(pb, "shingle")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("_na") * threshold <= F.col("_nb") + 1e-9)
+                & (F.col("_nb") * threshold <= F.col("_na") + 1e-9)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
     b = sh.select(F.col("_id").alias("id_b"), "shingle")

@@ -157,32 +157,44 @@ def diff_snapshot_series(bike_snapshots: DataFrame) -> DataFrame:
         F.col("n_idx").isNull() & (F.col("snap_idx") < F.col("max_idx"))
     ) | (F.col("n_idx") > F.col("snap_idx") + 1)
 
-    arrived = seq.filter(appeared | moved).select(
-        F.col("snapshot_ts").alias("timestamp"),
-        "bike_id",
-        F.lit("arrived").alias("event_type"),
-        *_INFO_COLS,
-    )
-    departed_moved = seq.filter(moved).select(
-        F.col("snapshot_ts").alias("timestamp"),
-        "bike_id",
-        F.lit("departed").alias("event_type"),
-        *[F.col(f"p_{c}").alias(c) for c in _INFO_COLS],
-    )
-    # Disappearances are stamped with the ts of the snapshot the bike
-    # went missing from — join (snap_idx + 1) back to the index.
+    # Disappearance events are stamped with the ts of the snapshot the
+    # bike went missing from — left-join (snap_idx + 1) back to the
+    # index up front so all three event kinds emit from ONE pass.
     next_ts = snap_idx.select(
         F.col("snap_idx").alias("_next_idx"), F.col("snapshot_ts").alias("_next_ts")
     )
-    departed_absent = (
-        seq.filter(absent_next)
-        .withColumn("_next_idx", F.col("snap_idx") + 1)
-        .join(F.broadcast(next_ts), "_next_idx")
-        .select(
-            F.col("_next_ts").alias("timestamp"),
-            "bike_id",
-            F.lit("departed").alias("event_type"),
-            *_INFO_COLS,
-        )
+    seq = seq.withColumn("_next_idx", F.col("snap_idx") + 1).join(
+        F.broadcast(next_ts), "_next_idx", "left"
     )
-    return departed_moved.unionByName(departed_absent).unionByName(arrived)
+
+    # Single-pass emission, same array-of-structs + explode pattern as
+    # diff_snapshot_pair: one scan, one window, no union. (The earlier
+    # three-branch union re-scanned the nested-JSON flatten per branch
+    # and tripped Spark's nested-schema pruning when a consumer
+    # filtered the result — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the
+    # _extract_* aliases; single-scan emission is both the faster plan
+    # and immune to that rewrite.)
+    def ev(ts_col, kind, cols):
+        return F.struct(
+            ts_col.alias("timestamp"),
+            F.lit(kind).alias("event_type"),
+            *[F.col(c).alias(a) for c, a in cols],
+        )
+
+    own = [(c, c) for c in _INFO_COLS]
+    lagged = [(f"p_{c}", c) for c in _INFO_COLS]
+    evs = F.filter(
+        F.array(
+            F.when(moved, ev(F.col("snapshot_ts"), "departed", lagged)),
+            F.when(absent_next, ev(F.col("_next_ts"), "departed", own)),
+            F.when(appeared | moved, ev(F.col("snapshot_ts"), "arrived", own)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    events = seq.select("bike_id", F.explode(evs).alias("ev"))
+    return events.select(
+        F.col("ev.timestamp").alias("timestamp"),
+        "bike_id",
+        F.col("ev.event_type").alias("event_type"),
+        *[F.col(f"ev.{c}").alias(c) for c in _INFO_COLS],
+    )
