@@ -138,11 +138,14 @@ def prepare_stores(spark, sf_dir) -> None:
     # production the pair table is exactly this kind of standing
     # asset: the near-dup join's output, stored next to the corpus,
     # consumed by the clustering step.
+    # _SUCCESS, not the bare directory: a crashed prior run leaves a
+    # partial parquet dir that Spark would silently read, corrupting
+    # the recorded cc_fixpoint measurements.
     pp = _p(sf_dir, "pairs")
-    if not os.path.exists(pp):
+    if not os.path.exists(os.path.join(pp, "_SUCCESS")):
         import __spark_entry__ as _e
 
-        _e.q_ngram_jaccard(spark, sf_dir).write.parquet(pp)
+        _e.q_ngram_jaccard(spark, sf_dir).write.mode("overwrite").parquet(pp)
         _cold()
 
 

@@ -155,6 +155,25 @@ def test_bmp_decoder_rejects_garbage_loudly():
         decode_image_real(b"BM" + b"\x00" * 20)
 
 
+def test_bmp_decoder_rejects_degenerate_dimensions():
+    """Regression (round-6 review): a zero-height (or zero/negative
+    width) header passed the truncation check with an empty pixel
+    array and produced NaN features instead of an error."""
+    for w, h in ((4, 0), (0, 3), (-4, 3)):
+        with pytest.raises(ValueError, match="degenerate|unsupported"):
+            decode_image_real(_golden_bmp(width=w, height=h) if w > 0 and h > 0
+                              else _degenerate_bmp(w, h))
+
+
+def _degenerate_bmp(width, height) -> bytes:
+    import struct
+
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      0, 2835, 2835, 0, 0)
+    return bytes(hdr + dib)
+
+
 def test_wav_decoder_features():
     from wroclaw_bike_stats_spark.operators.multimodal import (
         decode_audio_real,

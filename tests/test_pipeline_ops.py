@@ -88,6 +88,34 @@ def test_cap_per_group_strategies_agree_and_shape_plans(spark):
     )
 
 
+def test_cap_per_group_null_group_is_capped_on_every_route(spark):
+    """Regression (round-6 review): the two-phase route's equi-joins
+    never matched a NULL group key, so null-key rows bypassed the
+    quota entirely while the window route capped them. The null-safe
+    join must make all strategies agree: NULL is one group like any
+    other."""
+    df = spark.createDataFrame(
+        [(None, i, f"n{i}") for i in range(5)]
+        + [("g", i, f"g{i}") for i in range(5)],
+        "grp string, ord int, payload string",
+    )
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    want = sorted(
+        ((r.grp, r.ord)
+         for r in P.cap_per_group(df, "grp", ["ord"], 2).collect()),
+        key=key,
+    )
+    assert want == [(None, 0), (None, 1), ("g", 0), ("g", 1)]
+    got = sorted(
+        ((r.grp, r.ord)
+         for r in P.cap_per_group(
+             df, "grp", ["ord"], 2, two_phase=True
+         ).collect()),
+        key=key,
+    )
+    assert got == want
+
+
 def test_hash_split_stable_and_partitioning_invariant(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = {

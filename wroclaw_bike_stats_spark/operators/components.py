@@ -224,6 +224,9 @@ def connected_components(
     # Boundary links: a node seen in >1 partition with differing local
     # roots links those roots. min(root) as the hub keeps links-per-
     # node linear (star, not clique, over its roots).
+    # links is consumed up to three times (the emptiness probe, then
+    # the fixpoint's own persist pass) — persist so the boundary
+    # aggregation over the full mapping runs once, not per consumer.
     links = (
         mapping.groupBy("node")
         .agg(
@@ -233,42 +236,47 @@ def connected_components(
         .filter(F.size("roots") > 1)
         .select("r0", F.explode("roots").alias("r"))
         .filter(F.col("r") != F.col("r0"))
-    )
+    ).persist()
 
-    if links.limit(1).count() == 0:
-        # every component resolved within a single partition
-        result = mapping.groupBy("node").agg(
-            F.min("root").alias("component_id")
+    # try/finally: checkpoint_tracked materializes the result eagerly,
+    # so the caches are dead weight the moment we return — and must
+    # not leak for the session lifetime if the fixpoint raises
+    # (max_iter non-convergence) and a resident caller catches it.
+    try:
+        if links.limit(1).count() == 0:
+            # every component resolved within a single partition
+            result = mapping.groupBy("node").agg(
+                F.min("root").alias("component_id")
+            )
+            final, _ids = scratch.checkpoint_tracked(result)
+            return final
+
+        root_comp = _hashmin_fixpoint(links, "r0", "r", max_iter).select(
+            F.col("node").alias("root"), F.col("component_id").alias("_rc")
         )
+        # Re-expansion: roots absent from the boundary graph keep
+        # themselves; boundary roots take the contracted component's
+        # min. AQE broadcasts root_comp when the boundary set is small
+        # (the common case); no forced hint — heavy-dup graphs can
+        # have a large boundary.
+        result = (
+            mapping.join(root_comp, "root", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_rc"), F.col("root")).alias("comp"),
+            )
+            .groupBy("node")
+            .agg(F.min("comp").alias("component_id"))
+        )
+        # checkpoint = eager materialization + lineage cut: repeat
+        # consumers (the shared-CC gates) read blocks, not plans. The
+        # blocks themselves go to ContextCleaner when the caller drops
+        # the frame.
         final, _ids = scratch.checkpoint_tracked(result)
-        mapping.unpersist()
         return final
-
-    root_comp = _hashmin_fixpoint(links, "r0", "r", max_iter).select(
-        F.col("node").alias("root"), F.col("component_id").alias("_rc")
-    )
-    # Re-expansion: roots absent from the boundary graph keep
-    # themselves; boundary roots take the contracted component's min.
-    # AQE broadcasts root_comp when the boundary set is small (the
-    # common case); no forced hint — heavy-dup graphs can have a
-    # large boundary.
-    result = (
-        mapping.join(root_comp, "root", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("_rc"), F.col("root")).alias("comp"),
-        )
-        .groupBy("node")
-        .agg(F.min("comp").alias("component_id"))
-    )
-    # checkpoint = eager materialization + lineage cut: the mapping
-    # cache and the fixpoint's final checkpoint become releasable, and
-    # repeat consumers (the shared-CC gates) read blocks, not plans.
-    # The blocks themselves go to ContextCleaner when the caller drops
-    # the frame.
-    final, _ids = scratch.checkpoint_tracked(result)
-    mapping.unpersist()
-    return final
+    finally:
+        links.unpersist()
+        mapping.unpersist()
 
 
 def keep_canonical(

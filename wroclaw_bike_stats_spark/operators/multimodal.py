@@ -129,6 +129,11 @@ def decode_bmp(payload: bytes):
         )
     top_down = height < 0
     height = abs(height)
+    # zero/negative width or zero height would sail through the
+    # truncation check (need == pix_off) and yield an empty pixel
+    # array → NaN features downstream; raise loudly instead
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     row_stride = (width * 3 + 3) & ~3
     need = pix_off + row_stride * height
     if len(payload) < need:

@@ -203,14 +203,21 @@ def cap_per_group(
 
     if not two_phase:
         return _rank_filter(df)
+    # Null-safe join condition: a NULL group key is one group too
+    # (the window path caps it — partitionBy puts all nulls in one
+    # partition), so the over-quota routing must match it. A plain
+    # equi-join on the key never matches NULL and silently exempted
+    # null-key rows from the quota on this route (round-6 review
+    # finding, regression-tested).
     over = F.broadcast(
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") > n)
-        .select(group_col)
+        .select(F.col(group_col).alias("_over_g"))
     )
-    under_rows = df.join(over, group_col, "left_anti")
-    capped = _rank_filter(df.join(over, group_col, "left_semi"))
+    cond = F.col(group_col).eqNullSafe(F.col("_over_g"))
+    under_rows = df.join(over, cond, "left_anti")
+    capped = _rank_filter(df.join(over, cond, "left_semi"))
     return under_rows.unionByName(capped)
 
 
