@@ -84,7 +84,10 @@ def main(path: str) -> int:
         "hashmin measured 3.9 s isolated at sf100). ~99% of the",
         "pipeline row (neardup_components — pair generation + CC) is",
         "the upstream corpus-wide exact n-gram Jaccard join, which",
-        "round 6 cut 723 → ~496 s via the 64-bit hashed shingle index;",
+        "round 6 cut 723 s → ~500-640 s via the 64-bit hashed shingle",
+        "index (two official single-run points: 495.7 / 642.5 s — the",
+        "multi-minute single-cold-run point swings ~30% with JVM/page-",
+        "cache state, so treat it as a band, not a point);",
         "neardup_components@sf100 stays a SINGLE cold run (opt-in via",
         "SPARK_GRAFT_CC_SF100=1).",
         "",
