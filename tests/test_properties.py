@@ -231,3 +231,37 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     expected = {(n, comp_min[find(n)]) for n in parent}
     assert got == expected
+
+
+# word-ish docs: a few tokens from a small vocabulary so random pairs
+# actually share shingles at assorted df skews
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(st.lists(_words, min_size=2, max_size=25), st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_equals_plain_on_random_corpora(spark, docs, threshold):
+    """PPJoin prefix filtering is an exact rewrite: identical
+    (id_a, id_b, jaccard) sets as the plain self-join on random
+    small-vocabulary corpora (high shingle-df skew by construction),
+    across thresholds."""
+    from wroclaw_bike_stats_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    plain = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, prefix_filter=True
+        ).collect()
+    }
+    assert pref == plain
