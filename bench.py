@@ -173,6 +173,19 @@ def main() -> None:
             for name, t in timings.items()
             if name in anchor_r04 and anchor_r04[name] > 0
         }
+    # ...and the round-5 closing anchor (92 queries) for round-over-
+    # round tracking; BENCH_ANCHOR_r06.json succeeds it next round.
+    anchor_r05 = _load_anchor(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_ANCHOR_R05", "/root/repo/BENCH_ANCHOR_r05.json"
+        )
+    )
+    if anchor_r05:
+        out["vs_r05"] = {
+            name: round(t / anchor_r05[name], 2)
+            for name, t in timings.items()
+            if name in anchor_r05 and anchor_r05[name] > 0
+        }
     out["shared_warm"] = sorted(SHARED_WARM & set(timings))
     if errors:
         out["errors"] = errors
