@@ -1810,6 +1810,21 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (operators/pipeline.py
+    chunk_documents): chunk i covers whitespace tokens
+    [i*stride, i*stride+max) with stride = max - overlap; last chunk
+    may be short; every doc emits >= 1 chunk. Narrow map + generate,
+    no shuffle; the chunk strings are assembled inside one transform
+    before the explode so an n-token doc costs O(n), not O(n^2)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: keep 50% of 'web' docs and 25% of
     'books' docs (sources derived from doc_id parity for determinism)
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- new in r06 (no driver row yet) --------------------------
         "group_quota_cap_sparse": q_group_quota_cap_sparse,
+        "chunk_documents": q_chunk_documents,
         # --- latest driver row r04 (stalest oracle-backed; pushed past
         #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
@@ -3196,6 +3212,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rn <= 12
             ORDER BY o_orderkey
+        """,
+        # chunk i covers 1-based token positions
+        # [i*stride+1, i*stride+max]; DuckDB list slicing is 1-based
+        # inclusive, matching Spark's slice(arr, start, length)
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       greatest(CAST(ceil((len(toks) - 8) / 24.0) AS INT), 1)
+                           AS nc
+                FROM t
+            ), g AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, nc - 1)) AS chunk_id
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(
+                       toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '
+                   ) AS chunk_text,
+                   CAST(least(32, len(toks) - chunk_id * 24) AS INT)
+                       AS n_tokens
+            FROM g
+            ORDER BY doc_id, chunk_id
         """,
         "hash_split": """
             WITH b AS (

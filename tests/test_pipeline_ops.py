@@ -6,6 +6,7 @@ shapes."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wroclaw_bike_stats_spark.operators import pipeline as P
@@ -360,3 +361,49 @@ def test_decontam_shuffle_gate_takes_shuffle_route_and_matches_docs_gate(spark):
     assert [r.doc_id for r in shuffled.collect()] == [
         r.doc_id for r in plain.collect()
     ]
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Window arithmetic: chunk i covers tokens [i*stride, i*stride+max);
+    last chunk short; docs at/below max emit one chunk; empty doc emits
+    one empty chunk (tokenizer contract: '' is one empty token)."""
+    toks = lambda k: " ".join(f"t{j}" for j in range(k))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(4)), (3, toks(11)), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in P.chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    # doc 1: 10 tokens, stride 3 -> ceil(9/3)=3 chunks: [0,4) [3,7) [6,10)
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    # doc 2: exactly max -> one chunk
+    assert got[(2, 0)] == ("t0 t1 t2 t3", 4)
+    assert (2, 1) not in got
+    # doc 3: 11 tokens -> ceil(10/3)=4 chunks, last one short ([9,11))
+    assert got[(3, 3)] == ("t9 t10", 2)
+    # doc 4: empty -> one chunk of the single empty token
+    assert got[(4, 0)] == ("", 1)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for mt, ov in ((4, 4), (4, 5), (4, -1)):
+        with pytest.raises(ValueError):
+            P.chunk_documents(df, max_tokens=mt, overlap=ov)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a narrow map + generate: no Exchange in the plan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        P.chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -221,6 +221,65 @@ def cap_per_group(
     return under_rows.unionByName(capped)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the chunking step between corpus curation and training-example
+    assembly (long docs exceed the context budget; overlap preserves
+    boundary context). Chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; the last chunk may be shorter;
+    every doc yields >= 1 chunk (tokenizer contract: an
+    empty/whitespace doc is one empty token).
+
+    Output: (id, chunk_id, chunk_text, n_tokens), deterministic.
+
+    Scale shape: a narrow map + generate, NO shuffle. The chunk
+    strings are assembled INSIDE one ``transform`` over the chunk
+    index sequence and only then exploded — exploding first and
+    slicing after would copy the doc's full token array into every
+    output row (O(n²/stride) bytes for an n-token doc; a 100k-token
+    doc would amplify 1000×). Work per doc is
+    O(n · max_tokens/stride), i.e. linear with a small overlap
+    factor. SQL-oracle-expressible (list slicing + generate_series).
+    """
+    from wroclaw_bike_stats_spark.operators.text import tokens
+
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(max_tokens), n - i * stride).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_c"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )
+
+
 def hash_split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
