@@ -3219,7 +3219,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
                 FROM documents
             ), c AS (
                 SELECT doc_id, toks,

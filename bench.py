@@ -149,43 +149,24 @@ def main() -> None:
     # per-query maps or they get truncated away (BENCH_r03 was
     # parsed:null for exactly this reason).
     out = {"queries": timings}
-    anchor = _load_anchor(
-        os.environ.get("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_r02.json")
-    )
-    if anchor:
-        out["vs_r02"] = {
-            name: round(t / anchor[name], 2)
-            for name, t in timings.items()
-            if name in anchor and anchor[name] > 0
-        }
-    # Anchor succession: r02 covers only the original 68 queries, so
-    # also compare against the r04 anchor (reconstructed per-query
-    # seconds, BENCH_ANCHOR_r04.json) which covers all 91 — new gates
-    # get regression tracking too.
-    anchor_r04 = _load_anchor(
-        os.environ.get(
-            "SPARK_GRAFT_BENCH_ANCHOR_R04", "/root/repo/BENCH_ANCHOR_r04.json"
-        )
-    )
-    if anchor_r04:
-        out["vs_r04"] = {
-            name: round(t / anchor_r04[name], 2)
-            for name, t in timings.items()
-            if name in anchor_r04 and anchor_r04[name] > 0
-        }
-    # ...and the round-5 closing anchor (92 queries) for round-over-
-    # round tracking; BENCH_ANCHOR_r06.json succeeds it next round.
-    anchor_r05 = _load_anchor(
-        os.environ.get(
-            "SPARK_GRAFT_BENCH_ANCHOR_R05", "/root/repo/BENCH_ANCHOR_r05.json"
-        )
-    )
-    if anchor_r05:
-        out["vs_r05"] = {
-            name: round(t / anchor_r05[name], 2)
-            for name, t in timings.items()
-            if name in anchor_r05 and anchor_r05[name] > 0
-        }
+    # Anchor succession: r02 is the long baseline (the driver's 2x gate
+    # has no external one, so r02 IS it) but covers only the original
+    # 68 queries; later closing anchors cover the full set so new gates
+    # get regression tracking too. Adding a round = one tuple here.
+    for env, path, key in (
+        ("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_r02.json", "vs_r02"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R04",
+         "/root/repo/BENCH_ANCHOR_r04.json", "vs_r04"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R05",
+         "/root/repo/BENCH_ANCHOR_r05.json", "vs_r05"),
+    ):
+        anchor = _load_anchor(os.environ.get(env, path))
+        if anchor:
+            out[key] = {
+                name: round(t / anchor[name], 2)
+                for name, t in timings.items()
+                if name in anchor and anchor[name] > 0
+            }
     out["shared_warm"] = sorted(SHARED_WARM & set(timings))
     if errors:
         out["errors"] = errors

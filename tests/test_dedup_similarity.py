@@ -87,7 +87,10 @@ def test_prefix_filter_equals_plain_self_join(docs):
                 ).collect()
             }
             assert pref == plain, (threshold, cap)
-    assert plain, "fixture corpus should contain near-dup pairs"
+            # non-vacuity per combination: the loosest threshold must
+            # have pairs, or the comparison proves nothing
+            if threshold == 0.3:
+                assert plain, (threshold, cap)
 
 
 def test_prefix_filter_skewed_frequencies(spark):

@@ -161,8 +161,7 @@ def test_bmp_decoder_rejects_degenerate_dimensions():
     array and produced NaN features instead of an error."""
     for w, h in ((4, 0), (0, 3), (-4, 3)):
         with pytest.raises(ValueError, match="degenerate|unsupported"):
-            decode_image_real(_golden_bmp(width=w, height=h) if w > 0 and h > 0
-                              else _degenerate_bmp(w, h))
+            decode_image_real(_degenerate_bmp(w, h))
 
 
 def _degenerate_bmp(width, height) -> bytes:

@@ -390,6 +390,20 @@ def test_chunk_documents_windows_and_edges(spark):
     assert got[(4, 0)] == ("", 1)
 
 
+def test_chunk_documents_null_text_behaves_like_empty(spark):
+    """Regression (round-6 review): text=NULL made size(tokens) = -1
+    and emitted a (NULL, -1) chunk; NULL must behave like '' — one
+    empty-token chunk — honoring the >= 1 chunk contract."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id int, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in P.chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    assert got == {(1, 0): ("", 1), (2, 0): ("a b", 2)}
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     for mt, ov in ((4, 4), (4, 5), (4, -1)):

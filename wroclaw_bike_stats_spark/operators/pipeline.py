@@ -255,7 +255,10 @@ def chunk_documents(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
         )
     stride = max_tokens - overlap
-    toks = tokens(F.col(text_col))
+    # NULL text behaves like empty text (one empty-token chunk) —
+    # without the coalesce, size(NULL) = -1 would emit a garbage
+    # (NULL, -1) chunk instead of honoring the >= 1 chunk contract
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
