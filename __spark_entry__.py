@@ -1825,6 +1825,44 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span detection (operators/span_dedup.py
+    duplicate_spans, Lee et al. ACL 2022 semantics): maximal token
+    spans covered by 13-token windows whose content occurs at >= 2
+    sites corpus-wide, both occurrences marked. One groupBy(hash)
+    shuffle + one per-doc islands merge — no suffix array, no
+    all-pairs."""
+    from wroclaw_bike_stats_spark.operators.span_dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=13).orderBy("doc_id", "span_start")
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage (duplicate_span_stats): the
+    dup-fraction filter signal (RefinedWeb/Dolma-style thresholds) —
+    every doc gets a row, zero coverage when nothing duplicates."""
+    from wroclaw_bike_stats_spark.operators.span_dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, k=13).orderBy("doc_id")
+
+
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first span removal (strip_duplicate_spans): canonical =
+    globally min (doc, pos) per window content survives; every other
+    occurrence's coverage is stripped token-wise and the text rebuilt
+    map-side."""
+    from wroclaw_bike_stats_spark.operators.span_dedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, k=13).orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: keep 50% of 'web' docs and 25% of
     'books' docs (sources derived from doc_id parity for determinism)
@@ -2018,6 +2056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r06 (no driver row yet) --------------------------
         "group_quota_cap_sparse": q_group_quota_cap_sparse,
         "chunk_documents": q_chunk_documents,
+        "span_dup_detect": q_span_dup_detect,
+        "span_dup_stats": q_span_dup_stats,
+        "span_strip": q_span_strip,
         # --- latest driver row r04 (stalest oracle-backed; pushed past
         #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
@@ -3241,6 +3282,140 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens
             FROM g
             ORDER BY doc_id, chunk_id
+        """,
+        "span_dup_detect": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(u.p AS INTEGER) AS pos,
+                       array_to_string(toks[u.p + 1 : u.p + 13], ' ') AS win
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 12)) AS p) u
+                WHERE len(toks) >= 13
+            ), c AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY win) AS cnt
+                FROM s
+            ), d AS (
+                SELECT doc_id, pos FROM c WHERE cnt >= 2
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER w + 13 THEN 1
+                            ELSE 0 END AS brk
+                FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS isl
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS INTEGER) AS span_start,
+                   CAST(max(pos) + 13 AS INTEGER) AS span_end,
+                   count(*) AS n_sites
+            FROM g GROUP BY doc_id, isl
+            ORDER BY doc_id, span_start
+        """,
+        "span_dup_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(u.p AS INTEGER) AS pos,
+                       array_to_string(toks[u.p + 1 : u.p + 13], ' ') AS win
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 12)) AS p) u
+                WHERE len(toks) >= 13
+            ), c AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY win) AS cnt
+                FROM s
+            ), d AS (
+                SELECT doc_id, pos FROM c WHERE cnt >= 2
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER w + 13 THEN 1
+                            ELSE 0 END AS brk
+                FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS isl
+                FROM b
+            ), sp AS (
+                SELECT doc_id, min(pos) AS st, max(pos) + 13 AS en
+                FROM g GROUP BY doc_id, isl
+            ), cov AS (
+                SELECT doc_id, sum(en - st) AS dup_tokens
+                FROM sp GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS INTEGER) AS n_tokens,
+                   CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   coalesce(cov.dup_tokens, 0) / greatest(len(t.toks), 1)
+                       AS dup_frac
+            FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+            ORDER BY t.doc_id
+        """,
+        "span_strip": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(u.p AS INTEGER) AS pos,
+                       array_to_string(toks[u.p + 1 : u.p + 13], ' ') AS win
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 12)) AS p) u
+                WHERE len(toks) >= 13
+            ), c AS (
+                SELECT doc_id, pos, cnt,
+                       row_number() OVER (PARTITION BY win
+                                          ORDER BY doc_id, pos) AS rn
+                FROM (SELECT *, count(*) OVER (PARTITION BY win) AS cnt
+                      FROM s)
+            ), r AS (
+                SELECT doc_id, pos FROM c WHERE cnt >= 2 AND rn > 1
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER w + 13 THEN 1
+                            ELSE 0 END AS brk
+                FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS isl
+                FROM b
+            ), sp AS (
+                SELECT doc_id, min(pos) AS st, max(pos) + 13 AS en
+                FROM g GROUP BY doc_id, isl
+            ), tok AS (
+                SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+                       toks[u.i + 1] AS tok
+                FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) u
+            ), kept AS (
+                SELECT k.doc_id, k.i, k.tok
+                FROM tok k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id
+                      AND sp.st <= k.i AND k.i < sp.en
+                )
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.text_clean, '') AS text_clean,
+                   CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS INTEGER)
+                       AS n_removed
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
         """,
         "hash_split": """
             WITH b AS (

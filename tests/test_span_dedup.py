@@ -1,0 +1,158 @@
+"""Exact substring-span dedup (operators/span_dedup.py): duplicated
+window detection, per-doc coverage stats, and keep-first span
+removal. End-to-end values are oracle-verified in the driver gate
+(test_entry_oracle); these pin the operator contracts, edge cases,
+and plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import span_dedup as S
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # canonical copy of window a..e
+            (2, "x a b c d e y z"),  # non-canonical copy, offset 1
+            (3, "q w e r t"),  # unique content, exactly k tokens
+            (4, None),  # NULL text
+            (5, "a b c"),  # shorter than k — no windows
+            (6, "p p p p p p p p p p"),  # one content, 6 internal sites
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_duplicate_spans_detects_all_occurrences(docs):
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_sites)
+        for r in S.duplicate_spans(docs, k=K).collect()
+    }
+    # detection marks BOTH copies (doc 1 and doc 2), and doc 6's six
+    # identical windows merge into one maximal span covering the doc
+    assert got == {(1, 0, 5, 1), (2, 1, 6, 1), (6, 0, 10, 6)}
+
+
+def test_span_stats_covers_every_doc(docs):
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, round(r.dup_frac, 4))
+        for r in S.duplicate_span_stats(docs, k=K).collect()
+    }
+    assert got == {
+        1: (8, 5, 0.625),
+        2: (8, 5, 0.625),
+        3: (5, 0, 0.0),
+        4: (1, 0, 0.0),  # NULL text tokenizes to one empty token
+        5: (3, 0, 0.0),
+        6: (10, 10, 1.0),
+    }
+
+
+def test_strip_keeps_first_occurrence(docs):
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(docs, k=K).collect()
+    }
+    # canonical (min (doc, pos)) site survives: doc 1 intact, doc 2
+    # stripped; doc 6 keeps exactly the canonical window's start token
+    # run minus positions covered by removable windows
+    assert got == {
+        1: ("a b c d e f g h", 0),
+        2: ("x y z", 5),
+        3: ("q w e r t", 0),
+        4: ("", 0),
+        5: ("a b c", 0),
+        6: ("p", 9),
+    }
+
+
+def test_strip_is_idempotent(spark, docs):
+    """A second pass over cleaned text finds nothing new to strip —
+    removal eliminated every non-canonical window occurrence."""
+    once = S.strip_duplicate_spans(docs, k=K).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = S.strip_duplicate_spans(once, k=K)
+    assert twice.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_intra_doc_duplicates_count(spark):
+    """Two sites of one content inside a SINGLE doc are duplicates
+    too (Lee et al. dedups within documents as well as across)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e z z a b c d e")], "doc_id int, text string"
+    )
+    spans = {
+        (r.span_start, r.span_end)
+        for r in S.duplicate_spans(df, k=K).collect()
+    }
+    assert spans == {(0, 5), (7, 12)}
+    r = S.strip_duplicate_spans(df, k=K).collect()[0]
+    assert (r.text_clean, r.n_removed) == ("a b c d e z z", 5)
+
+
+def test_adjacent_spans_merge_exactly(spark):
+    """Sites within k of each other merge into one span; sites
+    exactly one past the coverage boundary do not."""
+    # doc 10/11 duplicate windows at pos 0 and pos k (adjacent —
+    # coverage [0,k) + [k,2k) merges); doc 12/13 at pos 0 and k+1
+    # (gap of one token between coverages — two spans)
+    a = "a b c d e f g h i j"  # pos 0..5 with k=5
+    df = spark.createDataFrame(
+        [
+            (10, a),
+            (11, a),
+            (12, "a b c d e x f g h i j"),
+            (13, "a b c d e y f g h i j"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in S.duplicate_spans(df, k=K).collect()
+    }
+    # docs 10/11: every window duplicated -> one merged span [0,10)
+    assert (10, 0, 10) in got and (11, 0, 10) in got
+    # docs 12/13: shared windows a..e at 0 and f..j at 6 -> two spans
+    assert (12, 0, 5) in got and (12, 6, 11) in got
+
+
+def test_no_duplicates_is_identity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id int, text string"
+    )
+    assert S.duplicate_spans(df, k=K).count() == 0
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(df, k=K).collect()
+    }
+    assert got == {1: ("a b c d e", 0), 2: ("f g h i j", 0)}
+
+
+def test_site_table_is_narrow_no_python(docs):
+    """The site projection stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython) and has no Exchange — hashing is codegen work."""
+    plan = (
+        S._site_table(docs, "text", "doc_id", K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_strip_rebuild_is_python_free(docs):
+    plan = (
+        S.strip_duplicate_spans(docs, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
