@@ -1863,6 +1863,26 @@ def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(docs, k=13).orderBy("doc_id")
 
 
+def q_span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N incremental span removal (span_dedup.strip_duplicate_
+    spans_incremental): docs with doc_id % 5 == 0 arrive as the new
+    batch against the stored window_index of the rest. Corpus-resident
+    content is stripped from every new occurrence; batch-new content
+    keeps its batch-canonical site. The corpus is touched only via
+    one streamed scan of its aggregated index — never re-hashed."""
+    from wroclaw_bike_stats_spark.operators.span_dedup import (
+        strip_duplicate_spans_incremental,
+        window_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return strip_duplicate_spans_incremental(
+        new, window_index(old, k=13), k=13
+    ).orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: keep 50% of 'web' docs and 25% of
     'books' docs (sources derived from doc_id parity for determinism)
@@ -2059,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_detect": q_span_dup_detect,
         "span_dup_stats": q_span_dup_stats,
         "span_strip": q_span_strip,
+        "span_strip_incremental": q_span_strip_incremental,
         # --- latest driver row r04 (stalest oracle-backed; pushed past
         #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
@@ -3415,6 +3436,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS INTEGER)
                        AS n_removed
             FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
+        "span_strip_incremental": """
+            WITH t AS (
+                SELECT doc_id, (doc_id % 5 = 0) AS is_new,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, is_new, CAST(u.p AS INTEGER) AS pos,
+                       array_to_string(toks[u.p + 1 : u.p + 13], ' ') AS win
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 12)) AS p) u
+                WHERE len(toks) >= 13
+            ), c AS (
+                SELECT doc_id, pos, is_new,
+                       count(*) FILTER (WHERE NOT is_new)
+                           OVER (PARTITION BY win) AS cnt_old,
+                       count(*) FILTER (WHERE is_new)
+                           OVER (PARTITION BY win) AS cnt_new,
+                       row_number() OVER (PARTITION BY win, is_new
+                                          ORDER BY doc_id, pos) AS rn
+                FROM s
+            ), r AS (
+                SELECT doc_id, pos FROM c
+                WHERE is_new
+                  AND (cnt_old >= 1 OR (cnt_new >= 2 AND rn > 1))
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER w + 13 THEN 1
+                            ELSE 0 END AS brk
+                FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS isl
+                FROM b
+            ), sp AS (
+                SELECT doc_id, min(pos) AS st, max(pos) + 13 AS en
+                FROM g GROUP BY doc_id, isl
+            ), tok AS (
+                SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+                       toks[u.i + 1] AS tok
+                FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) u
+                WHERE is_new
+            ), kept AS (
+                SELECT k.doc_id, k.i, k.tok
+                FROM tok k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id
+                      AND sp.st <= k.i AND k.i < sp.en
+                )
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.text_clean, '') AS text_clean,
+                   CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS INTEGER)
+                       AS n_removed
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            WHERE t.is_new
             ORDER BY t.doc_id
         """,
         "hash_split": """

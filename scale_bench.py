@@ -49,6 +49,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from wroclaw_bike_stats_spark.operators import components as C
 from wroclaw_bike_stats_spark.operators import dedup as D
 from wroclaw_bike_stats_spark.operators import similarity as SIM
+from wroclaw_bike_stats_spark.operators import span_dedup as SD
 from wroclaw_bike_stats_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
@@ -118,6 +119,13 @@ def prepare_stores(spark, sf_dir) -> None:
     D.minhash_band_table(D.minhash_signatures(old)).write.mode(
         "overwrite"
     ).parquet(_p(sf_dir, "minhash_bands"))
+    # Span-dedup standing asset: the resident corpus's aggregated
+    # window index (one row per distinct window content). Written
+    # once per sf like the band tables; the incremental strip's only
+    # corpus-side touch is one streamed scan of this.
+    SD.window_index(old, k=13).write.mode("overwrite").parquet(
+        _p(sf_dir, "window_index")
+    )
 
     emb = _emb(spark, sf_dir)
     emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
@@ -192,6 +200,16 @@ def embedding_incremental(spark, sf_dir):
     )
 
 
+def span_strip_full(spark, sf_dir):
+    return SD.strip_duplicate_spans(_docs(spark, sf_dir), k=13)
+
+
+def span_strip_incremental(spark, sf_dir):
+    new = spark.read.parquet(_p(sf_dir, "new_docs"))
+    stored = spark.read.parquet(_p(sf_dir, "window_index"))
+    return SD.strip_duplicate_spans_incremental(new, stored, k=13)
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -207,6 +225,8 @@ FAMILY = {
     "minhash_neardup_incremental": minhash_incremental,
     "embedding_neardup_full": embedding_full,
     "embedding_neardup_incremental": embedding_incremental,
+    "span_strip_full": span_strip_full,
+    "span_strip_incremental": span_strip_incremental,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
@@ -214,6 +234,7 @@ FAMILY = {
 INCREMENTAL_OF = {
     "minhash_neardup_incremental": "minhash_neardup_full",
     "embedding_neardup_incremental": "embedding_neardup_full",
+    "span_strip_incremental": "span_strip_full",
 }
 
 RATIO_KEY = {

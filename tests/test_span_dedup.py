@@ -135,6 +135,142 @@ def test_no_duplicates_is_identity(spark):
     assert got == {1: ("a b c d e", 0), 2: ("f g h i j", 0)}
 
 
+def test_incremental_equals_full_on_id_ordered_split(spark):
+    """With old ids < new ids (ingest-time ordering), the day-N strip
+    against the stored window_index equals the full-corpus strip
+    restricted to the new batch: global canonicals land in the old
+    side exactly when content is corpus-resident."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 25)
+    new = docs.filter(F.col("doc_id") >= 25)
+    idx = S.window_index(old, k=13)
+    inc = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans_incremental(new, idx, k=13).collect()
+    }
+    full = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(docs, k=13)
+        .filter(F.col("doc_id") >= 25)
+        .collect()
+    }
+    assert inc == full and inc  # non-vacuous: sf0.001 has dup windows
+
+    spans_inc = {
+        (r.doc_id, r.span_start, r.span_end, r.n_sites)
+        for r in S.duplicate_spans_incremental(new, idx, k=13).collect()
+    }
+    spans_full = {
+        (r.doc_id, r.span_start, r.span_end, r.n_sites)
+        for r in S.duplicate_spans(docs, k=13)
+        .filter(F.col("doc_id") >= 25)
+        .collect()
+    }
+    # detection spans agree; n_sites counts only new-batch sites on
+    # the incremental side, so compare positions
+    assert {t[:3] for t in spans_inc} == {t[:3] for t in spans_full}
+
+
+def test_incremental_strips_all_corpus_resident_occurrences(spark):
+    """Content already in the resident corpus is stripped from EVERY
+    new occurrence (the kept copy lives in the corpus), even when the
+    new batch has only one occurrence of it."""
+    old = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "x a b c d e y"), (11, "fresh unique tokens only here")],
+        "doc_id int, text string",
+    )
+    idx = S.window_index(old, k=K)
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans_incremental(new, idx, k=K).collect()
+    }
+    assert got == {
+        10: ("x y", 5),
+        11: ("fresh unique tokens only here", 0),
+    }
+
+
+def test_incremental_batch_internal_dups_keep_first(spark):
+    """Content new to the batch keeps its batch-canonical site."""
+    old = spark.createDataFrame([(1, "q w e r t")], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "a b c d e")], "doc_id int, text string"
+    )
+    idx = S.window_index(old, k=K)
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans_incremental(new, idx, k=K).collect()
+    }
+    assert got == {10: ("a b c d e", 0), 11: ("", 5)}
+
+
+def test_merge_window_index_is_monoid_fold(spark):
+    """index(A ∪ B) == merge(index(A), index(B)) — counts add,
+    canonicals take the min."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos)
+        for r in S.merge_window_index(
+            S.window_index(a, k=13), S.window_index(b, k=13)
+        ).collect()
+    }
+    whole = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos)
+        for r in S.window_index(docs, k=13).collect()
+    }
+    assert merged == whole
+
+
+def test_index_metadata_guard_rejects_mismatched_k(spark):
+    old = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    idx = S.window_index(old, k=7)
+    with pytest.raises(ValueError, match="incompatible"):
+        S.strip_duplicate_spans_incremental(
+            spark.createDataFrame([(2, "a b")], "doc_id int, text string"),
+            idx,
+            k=K,
+        )
+    with pytest.raises(ValueError, match="span_scheme"):
+        S.strip_duplicate_spans_incremental(
+            spark.createDataFrame([(2, "a b")], "doc_id int, text string"),
+            old.selectExpr("xxhash64(text) AS h", "1 AS cnt",
+                           "doc_id AS canon_id", "0 AS canon_pos"),
+            k=K,
+        )
+
+
+def test_index_survives_parquet_roundtrip(spark, tmp_path):
+    """The parameterization metadata rides the parquet footer — a
+    stored index re-read from disk still passes the guard."""
+    old = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    path = str(tmp_path / "widx")
+    S.window_index(old, k=K).write.parquet(path)
+    idx = spark.read.parquet(path)
+    new = spark.createDataFrame([(10, "z a b c d e")], "doc_id int, text string")
+    got = S.strip_duplicate_spans_incremental(new, idx, k=K).collect()[0]
+    assert (got.text_clean, got.n_removed) == ("z", 5)
+
+
+def test_incremental_corpus_side_never_shuffles(spark):
+    """Plan shape (broadcast_new=True): the stored index is consumed
+    by broadcast joins only — no Exchange on the index scan side."""
+    old = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = S.window_index(old, k=13)
+    new = old.filter(F.col("doc_id") >= 45)
+    plan = (
+        S.strip_duplicate_spans_incremental(new, idx, k=13)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_site_table_is_narrow_no_python(docs):
     """The site projection stays JVM-side (no BatchEvalPython /
     ArrowEvalPython) and has no Exchange — hashing is codegen work."""

@@ -31,29 +31,38 @@ concatenated in one address space — a non-starter at 100 TB):
   (P ≈ d²/2⁶⁵ over d distinct windows — the false-positive rate at
   5 B windows is ~1e-3 and a collision costs one stripped span, not
   a wrong join).
-- **Duplicate windows**: ONE shuffle — ``groupBy(hash)`` with
-  map-side partial counts — yields occurrence count and the
-  canonical (min ``(doc, pos)``) site per content. Windows with
-  count >= 2 are typically a small fraction of the corpus, so the
-  join marking duplicate sites broadcasts under AQE when it can and
-  degrades to a keyed shuffle when duplication is heavy — never
-  all-pairs.
+- **Duplicate windows**: ONE shuffle of the site table keyed by
+  window hash; occurrence count and the canonical (min
+  ``(doc, pos)``) site come from unordered window functions in a
+  single WindowExec pass over that shuffle — not groupBy +
+  join-back, which would shuffle by hash twice and recompute the
+  site projection per consumer. Per-hash groups are a handful of
+  rows, so nothing meaningful buffers.
 - **Span merge**: sites sorted per doc; because all windows share
   length ``k``, coverage ends are monotone in position and the
   classic gaps-and-islands break (``pos > lag(pos) + k``) merges
-  overlapping/adjacent sites exactly. One shuffle keyed by doc.
-- **Strip**: spans collect per doc (bounded by doc length / k) and
+  overlapping/adjacent sites exactly. One shuffle keyed by doc
+  (the island window, span groupBys and per-doc span collect all
+  ride the same partitioning — no further exchange).
+- **Strip**: collected spans join back to the docs (AQE broadcasts
+  the span side when duplication is sparse — the common case) and
   the cleaned text is rebuilt with ``filter``/``array_join`` over
   the token array — map-side, codegen'd, no Python.
 
-Total: two keyed shuffles of linear volume + narrow maps. No
-suffix array, no global sort, no driver materialization.
+Total: two linear-volume keyed shuffles + the doc-side span join.
+No suffix array, no global sort, no driver materialization.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Window-hash scheme tag stored with a ``window_index`` table; the
+#: incremental path refuses an index built under a different scheme
+#: or ``k`` (the hashes would never collide — cross-batch duplicate
+#: spans would be silently missed).
+SPAN_SCHEME = "ws-token-xxhash64-v1"
 
 
 def _site_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
@@ -195,6 +204,240 @@ def duplicate_span_stats(
     )
 
 
+def window_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """The resident corpus's storable span-dedup asset: one row per
+    DISTINCT window content — (``h``, ``cnt``, ``canon_id``,
+    ``canon_pos``) with occurrence count and the canonical (min
+    ``(doc, pos)``) site. Orders of magnitude smaller than the raw
+    site table (no positions, one row per content), and exactly what
+    the incremental path needs: a new-batch window is duplicated iff
+    ``cnt_old + cnt_new >= 2``.
+
+    The parameterization (``k``, hash scheme) rides on ``h`` as
+    schema metadata — Spark serializes field metadata into the
+    parquet footer, so a stored index carries its own provenance and
+    the incremental operators validate compatibility with a zero-job
+    schema check (same contract as ``dedup.minhash_band_table``).
+    One groupBy(hash) shuffle to build; maintain after each ingest
+    with ``merge_window_index``."""
+    agg = (
+        _site_table(df, text_col, id_col, k)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("_id", "pos")).alias("_canon"),
+        )
+    )
+    return agg.select(
+        F.col("h").alias(
+            "h", metadata={"span_k": k, "span_scheme": SPAN_SCHEME}
+        ),
+        "cnt",
+        F.col("_canon._id").alias("canon_id"),
+        F.col("_canon.pos").alias("canon_pos"),
+    )
+
+
+def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
+    """Fold a new batch's ``window_index`` into the stored one —
+    (count, canonical-site) is a monoid, so maintenance is one
+    groupBy over the union: counts add, canonicals take the min.
+    Both sides must carry the same parameterization metadata."""
+    for side in (old_index, new_index):
+        _check_index_meta(side, None)
+    ma = old_index.schema["h"].metadata
+    mb = new_index.schema["h"].metadata
+    if ma != mb:
+        raise ValueError(
+            f"window_index parameterizations differ: {ma!r} vs {mb!r}"
+        )
+    merged = (
+        old_index.unionByName(new_index)
+        .groupBy("h")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min(F.struct(F.col("canon_id").alias("_id"), F.col("canon_pos").alias("pos"))).alias("_canon"),
+        )
+    )
+    return merged.select(
+        F.col("h").alias("h", metadata={**ma}),
+        "cnt",
+        F.col("_canon._id").alias("canon_id"),
+        F.col("_canon.pos").alias("canon_pos"),
+    )
+
+
+def _check_index_meta(index: DataFrame, k: int | None) -> None:
+    """Refuse a stored index whose parameterization does not match
+    this run — a silent mismatch finds ~no collisions and passes
+    every duplicate through (same loud-guard contract as the
+    minhash/hyperplane band tables)."""
+    meta = index.schema["h"].metadata if "h" in index.columns else {}
+    if not meta.get("span_scheme"):
+        raise ValueError(
+            "old_index has no span_scheme metadata — not a "
+            "window_index table (or a legacy rebuild is required)"
+        )
+    expected = {"span_scheme": SPAN_SCHEME}
+    if k is not None:
+        expected["span_k"] = k
+    bad = {
+        key: (meta.get(key), want)
+        for key, want in expected.items()
+        if meta.get(key) != want
+    }
+    if bad:
+        raise ValueError(
+            "stored window_index was built with an incompatible "
+            "parameterization — cross-batch duplicate spans would be "
+            "silently missed: "
+            + ", ".join(
+                f"{key}: stored={s!r} run={r!r}"
+                for key, (s, r) in sorted(bad.items())
+            )
+        )
+
+
+def _incremental_sites(
+    new: DataFrame,
+    old_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    broadcast_new: bool,
+) -> DataFrame:
+    """New-batch site table annotated with corpus-wide duplication:
+    (``_id``, ``pos``, ``_dup`` — content occurs >= 2 times across
+    old ∪ new, ``_removable`` — duplicated and not the global
+    canonical occurrence).
+
+    Keep-first across ingest time: the resident corpus was already
+    deduplicated when its index was built, so EVERY new occurrence of
+    an old content is removable (the kept copy lives in the corpus);
+    content new to this batch keeps its batch-canonical (min
+    ``(doc, pos)``) site. The corpus never shuffles: the batch's
+    distinct hashes probe the stored index (broadcast under
+    ``broadcast_new``, the daily-ingest contract; pass False for a
+    backfill-size batch and AQE plans from actual sizes), and the
+    hit set — bounded by the batch's distinct windows — joins back
+    to the batch sites."""
+    new_sites = _site_table(new, text_col, id_col, k)
+    w = Window.partitionBy("h")
+    new_marked = new_sites.withColumn(
+        "_cnt_new", F.count(F.lit(1)).over(w)
+    ).withColumn("_canon_new", F.min(F.struct("_id", "pos")).over(w))
+
+    probe = new_sites.select("h").distinct()
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    hits = old_index.join(probe, "h").select("h", F.col("cnt").alias("_cnt_old"))
+    if broadcast_new:
+        hits = F.broadcast(hits)
+    joined = new_marked.join(hits, "h", "left")
+    in_old = F.col("_cnt_old").isNotNull()
+    batch_dup = F.col("_cnt_new") >= 2
+    non_canon = (F.col("_id") != F.col("_canon_new._id")) | (
+        F.col("pos") != F.col("_canon_new.pos")
+    )
+    return joined.select(
+        "_id",
+        "pos",
+        (in_old | batch_dup).alias("_dup"),
+        (in_old | (batch_dup & non_canon)).alias("_removable"),
+    )
+
+
+def duplicate_spans_incremental(
+    new: DataFrame,
+    old_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Day-N span detection: maximal duplicated spans in the NEW
+    batch only, where duplication counts occurrences across the
+    resident corpus (via its stored ``window_index``) AND within the
+    batch. Same output shape as ``duplicate_spans``. The corpus is
+    touched only by one streamed scan of the stored index."""
+    _check_index_meta(old_index, k)
+    sites = _incremental_sites(
+        new, old_index, text_col, id_col, k, broadcast_new
+    )
+    return _merge_spans(
+        sites.filter("_dup").select("_id", "pos"), k
+    ).select(F.col("_id").alias(id_col), "span_start", "span_end", "n_sites")
+
+
+def strip_duplicate_spans_incremental(
+    new: DataFrame,
+    old_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Day-N keep-first span removal over the NEW batch: strips every
+    new occurrence of corpus-resident content (the kept copy is
+    already in the corpus) and all but the batch-canonical occurrence
+    of batch-new content. Same output shape as
+    ``strip_duplicate_spans``; equivalence to the full-corpus run
+    restricted to new docs is pinned in tests. After the batch is
+    admitted, fold its ``window_index`` into the stored one with
+    ``merge_window_index`` — per-ingest cost stays proportional to
+    the batch plus one narrow index scan, never corpus re-hashing."""
+    _check_index_meta(old_index, k)
+    sites = _incremental_sites(
+        new, old_index, text_col, id_col, k, broadcast_new
+    )
+    return _strip_with_sites(
+        new, sites.filter("_removable"), text_col, id_col, k
+    )
+
+
+def _strip_with_sites(
+    df: DataFrame,
+    removable: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared rebuild tail of the full and incremental strips:
+    removable sites → merged spans collected per doc → map-side
+    token filter + re-join. One row per input doc."""
+    from wroclaw_bike_stats_spark.operators.text import tokens
+
+    spans = (
+        _merge_spans(removable.select("_id", "pos"), k)
+        .groupBy("_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+        ),
+    )
+    return df.join(spans.withColumnRenamed("_id", id_col), id_col, "left").select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    )
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -215,33 +458,5 @@ def strip_duplicate_spans(
     spans of *other* contents — the same caveat as Lee et al. §4.1.
     Rebuild is map-side (``filter`` over the token array against the
     doc's own collected span list, bounded by len/k spans)."""
-    from wroclaw_bike_stats_spark.operators.text import tokens
-
     _, removable = _dup_sites(df, text_col, id_col, k)
-    spans = (
-        _merge_spans(removable.select("_id", "pos"), k)
-        .groupBy("_id")
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
-        )
-    )
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    spans_arr = F.coalesce(
-        F.col("_spans"),
-        F.array().cast("array<struct<span_start:int,span_end:int>>"),
-    )
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.exists(
-            spans_arr,
-            lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
-        ),
-    )
-    return (
-        df.join(spans.withColumnRenamed("_id", id_col), id_col, "left")
-        .select(
-            id_col,
-            F.array_join(kept, " ").alias("text_clean"),
-            (F.size(toks) - F.size(kept)).alias("n_removed"),
-        )
-    )
+    return _strip_with_sites(df, removable, text_col, id_col, k)
