@@ -257,18 +257,60 @@ def test_index_survives_parquet_roundtrip(spark, tmp_path):
 
 
 def test_incremental_corpus_side_never_shuffles(spark):
-    """Plan shape (broadcast_new=True): the stored index is consumed
-    by broadcast joins only — no Exchange on the index scan side."""
+    """Plan shape (broadcast_new=True): in the candidate stage both
+    index-touching joins are broadcast — a shuffled join anywhere
+    there means the stored index (corpus-scale) is being exchanged,
+    which breaks the incremental cost model."""
     old = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     idx = S.window_index(old, k=13)
     new = old.filter(F.col("doc_id") >= 45)
     plan = (
-        S.strip_duplicate_spans_incremental(new, idx, k=13)
+        S._incremental_sites(new, idx, "text", "doc_id", 13, True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_null_doc_id_duplicates_still_strip(spark):
+    """Regression (round-6 review): a NULL id sorts first in the
+    canonical struct-min, and a plain != against it yields SQL NULL —
+    the removable filter silently kept the duplicate. Null-safe
+    comparison strips it."""
+    df = spark.createDataFrame(
+        [(None, "a b c d e"), (7, "a b c d e")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(df, k=K).collect()
+    }
+    # NULL-id doc is canonical (sorts first); doc 7 must be stripped
+    assert got[7] == ("", 5)
+
+
+def test_agg_method_equals_window_method(spark):
+    """The hot-content-safe agg route and the default window route
+    are the same operator — differential over the fixture corpus
+    plus a manufactured hot window content."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hot = spark.range(40).select(
+        (F.col("id") + 10_000).cast("int").alias("doc_id"),
+        F.concat(F.lit("boiler plate licence line one two "),
+                 F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("x").alias("source"),
+        F.lit(0).alias("n_chars"),
+    )
+    corpus = docs.unionByName(hot)
+    for fn in (S.duplicate_spans, S.strip_duplicate_spans):
+        a = sorted(map(tuple, fn(corpus, k=K, method="window").collect()))
+        b = sorted(map(tuple, fn(corpus, k=K, method="agg").collect()))
+        assert a == b and a, fn.__name__
+    with pytest.raises(ValueError, match="unknown method"):
+        S.duplicate_spans(docs, k=K, method="nope")
 
 
 def test_site_table_is_narrow_no_python(docs):

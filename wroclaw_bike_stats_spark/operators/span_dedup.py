@@ -114,32 +114,73 @@ def _merge_spans(sites: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _non_canonical(annotated: DataFrame) -> DataFrame:
+    """Duplicate sites that are not their content's canonical site.
+    Null-safe on purpose: a NULL ``_id`` sorts first in the struct
+    min, and a plain ``!=`` against it yields SQL NULL — the filter
+    would then silently DROP every other occurrence at the canonical
+    position, leaving duplicates unstripped with no error. ``<=>``
+    keeps the comparison total (NULL ids are tolerated, though joins
+    downstream still can't match them — don't feed NULL ids if you
+    care about their rows)."""
+    return annotated.filter(
+        ~(
+            F.col("_id").eqNullSafe(F.col("_canon._id"))
+            & F.col("pos").eqNullSafe(F.col("_canon.pos"))
+        )
+    )
+
+
 def _dup_sites(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, method: str = "window"
 ) -> tuple[DataFrame, DataFrame]:
     """(all duplicate sites, removable duplicate sites): sites whose
     window content occurs >= 2 times corpus-wide; removable drops the
     canonical (globally min ``(doc, pos)``) occurrence per content.
 
-    Shape: ONE shuffle of the site table keyed by window hash, with
-    occurrence count and canonical site computed as unordered window
-    functions in a single WindowExec pass — not groupBy + join-back,
-    which would shuffle by ``h`` twice AND recompute the (O(n·k)
-    hashing) site projection for each consumer. Per-``h`` groups are
-    tiny (a handful of occurrences), so the window buffers nothing
-    of consequence."""
+    ``method="window"`` (default): ONE shuffle of the site table
+    keyed by window hash, with occurrence count and canonical site
+    computed as unordered window functions in a single WindowExec
+    pass — not groupBy + join-back, which would shuffle by ``h``
+    twice AND recompute the (O(n·k) hashing) site projection for
+    each consumer. Right when per-``h`` groups are small (ordinary
+    corpora: a handful of occurrences per duplicated content).
+
+    ``method="agg"`` — the hot-content escape: a single window
+    content occurring millions of times (a license sentence, a
+    boilerplate footer) makes the window route buffer that entire
+    group in one task. The agg route computes (count, canonical) by
+    aggregation — partial combine collapses hot keys MAP-SIDE, so
+    the shuffle moves per-partition partials, skew-proof — then
+    joins the cnt>=2 verdicts back to a persisted site table (AQE
+    picks broadcast when the duplicated-content set is small and
+    splits skewed joins otherwise). Costs a persist of the site
+    table; choose it when the corpus has boilerplate-heavy content.
+    Both routes are differentially pinned in tests."""
     sites = _site_table(df, text_col, id_col, k)
-    w = Window.partitionBy("h")
-    marked = (
-        sites.withColumn("_cnt", F.count(F.lit(1)).over(w))
-        .withColumn("_canon", F.min(F.struct("_id", "pos")).over(w))
-        .filter(F.col("_cnt") >= 2)
-    )
-    removable = marked.filter(
-        (F.col("_id") != F.col("_canon._id"))
-        | (F.col("pos") != F.col("_canon.pos"))
-    )
-    return marked, removable
+    if method == "window":
+        w = Window.partitionBy("h")
+        marked = (
+            sites.withColumn("_cnt", F.count(F.lit(1)).over(w))
+            .withColumn("_canon", F.min(F.struct("_id", "pos")).over(w))
+            .filter(F.col("_cnt") >= 2)
+        )
+    elif method == "agg":
+        from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
+
+        sites = _sp(sites)
+        dup = (
+            sites.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min(F.struct("_id", "pos")).alias("_canon"),
+            )
+            .filter(F.col("_cnt") >= 2)
+        )
+        marked = sites.join(dup, "h")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return marked, _non_canonical(marked)
 
 
 def duplicate_spans(
@@ -147,6 +188,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    method: str = "window",
 ) -> DataFrame:
     """Detect corpus-duplicated token spans: every maximal span of
     positions covered by length-``k`` windows whose content occurs at
@@ -158,8 +200,10 @@ def duplicate_spans(
 
     ``k`` defaults to 13 to match ``decontaminate_ngram``'s collision
     rule; Lee et al. use 50 BPE tokens — pass what your tokenizer
-    budget means. See the module docstring for the scale shape."""
-    marked, _ = _dup_sites(df, text_col, id_col, k)
+    budget means. ``method``: see ``_dup_sites`` (pass ``"agg"`` for
+    boilerplate-heavy corpora with hot window contents). See the
+    module docstring for the scale shape."""
+    marked, _ = _dup_sites(df, text_col, id_col, k, method)
     return _merge_spans(marked.select("_id", "pos"), k).select(
         F.col("_id").alias(id_col), "span_start", "span_end", "n_sites"
     )
@@ -170,6 +214,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    method: str = "window",
 ) -> DataFrame:
     """Per-document duplication measurement: (``id_col``,
     ``n_tokens``, ``dup_tokens``, ``dup_frac``) where ``dup_tokens``
@@ -179,10 +224,17 @@ def duplicate_span_stats(
     (zero coverage when nothing is duplicated or the doc is shorter
     than ``k``) — this is the filter signal pipelines threshold on
     (e.g. drop docs with dup_frac > 0.5) before committing to
-    span-level surgery."""
+    span-level surgery.
+
+    ``n_tokens`` = ``size(tokens(text))`` — positions in the token
+    array the spans index into, so an empty/NULL doc counts 1 (the
+    single empty token; the ``chunk_documents`` tokenizer contract).
+    This deliberately differs from ``text.token_count_ws`` (which
+    reports 0 for empty docs): the denominator here must match the
+    coordinate space of ``span_start``/``span_end``."""
     from wroclaw_bike_stats_spark.operators.text import tokens
 
-    marked, _ = _dup_sites(df, text_col, id_col, k)
+    marked, _ = _dup_sites(df, text_col, id_col, k, method)
     cov = (
         _merge_spans(marked.select("_id", "pos"), k)
         .groupBy("_id")
@@ -248,8 +300,8 @@ def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
     (count, canonical-site) is a monoid, so maintenance is one
     groupBy over the union: counts add, canonicals take the min.
     Both sides must carry the same parameterization metadata."""
-    for side in (old_index, new_index):
-        _check_index_meta(side, None)
+    _check_index_meta(old_index, None, what="old_index")
+    _check_index_meta(new_index, None, what="new_index")
     ma = old_index.schema["h"].metadata
     mb = new_index.schema["h"].metadata
     if ma != mb:
@@ -272,15 +324,18 @@ def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
     )
 
 
-def _check_index_meta(index: DataFrame, k: int | None) -> None:
+def _check_index_meta(
+    index: DataFrame, k: int | None, what: str = "old_index"
+) -> None:
     """Refuse a stored index whose parameterization does not match
     this run — a silent mismatch finds ~no collisions and passes
     every duplicate through (same loud-guard contract as the
-    minhash/hyperplane band tables)."""
+    minhash/hyperplane band tables). ``what`` names the offending
+    argument in the error (merge validates both of its inputs)."""
     meta = index.schema["h"].metadata if "h" in index.columns else {}
     if not meta.get("span_scheme"):
         raise ValueError(
-            "old_index has no span_scheme metadata — not a "
+            f"{what} has no span_scheme metadata — not a "
             "window_index table (or a legacy rebuild is required)"
         )
     expected = {"span_scheme": SPAN_SCHEME}
@@ -325,8 +380,14 @@ def _incremental_sites(
     ``broadcast_new``, the daily-ingest contract; pass False for a
     backfill-size batch and AQE plans from actual sizes), and the
     hit set — bounded by the batch's distinct windows — joins back
-    to the batch sites."""
-    new_sites = _site_table(new, text_col, id_col, k)
+    to the batch sites. The batch site table feeds BOTH the window
+    pass and the probe — scratch-persisted so the batch's O(n·k)
+    tokenize+hash projection runs once per ingest, not per consumer
+    (the review finding this fixes: the module's own single-
+    computation rule applied to the full path but not here)."""
+    from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
+
+    new_sites = _sp(_site_table(new, text_col, id_col, k))
     w = Window.partitionBy("h")
     new_marked = new_sites.withColumn(
         "_cnt_new", F.count(F.lit(1)).over(w)
@@ -341,8 +402,10 @@ def _incremental_sites(
     joined = new_marked.join(hits, "h", "left")
     in_old = F.col("_cnt_old").isNotNull()
     batch_dup = F.col("_cnt_new") >= 2
-    non_canon = (F.col("_id") != F.col("_canon_new._id")) | (
-        F.col("pos") != F.col("_canon_new.pos")
+    # null-safe for the same reason as _non_canonical
+    non_canon = ~(
+        F.col("_id").eqNullSafe(F.col("_canon_new._id"))
+        & F.col("pos").eqNullSafe(F.col("_canon_new.pos"))
     )
     return joined.select(
         "_id",
@@ -443,6 +506,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    method: str = "window",
 ) -> DataFrame:
     """Remove duplicated spans, keeping the globally first occurrence
     of each window content (canonical = min ``(doc, pos)`` — stable
@@ -458,5 +522,5 @@ def strip_duplicate_spans(
     spans of *other* contents — the same caveat as Lee et al. §4.1.
     Rebuild is map-side (``filter`` over the token array against the
     doc's own collected span list, bounded by len/k spans)."""
-    _, removable = _dup_sites(df, text_col, id_col, k)
+    _, removable = _dup_sites(df, text_col, id_col, k, method)
     return _strip_with_sites(df, removable, text_col, id_col, k)
