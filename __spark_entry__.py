@@ -1883,6 +1883,23 @@ def q_span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality scoring (operators/text.py
+    train_bigram_lm / bigram_lm_score): per-doc cross-entropy and
+    perplexity under an add-0.1-smoothed bigram LM trained on the
+    doc_id % 7 == 3 reference slice. Broadcast count-table joins +
+    one groupBy(doc); unseen tokens need no UNK mapping (their
+    lookups miss to the smoothed floor)."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: keep 50% of 'web' docs and 25% of
     'books' docs (sources derived from doc_id parity for determinism)
@@ -2067,11 +2084,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-6 order: the 35
-    # oracle-backed queries whose latest driver row is r04 (pushed
-    # past the r05 window) come first, then the 50 verified in r05,
-    # then the rows-only (no-oracle) sketch/hash queries last. Every
-    # callable is bound to the _acquire session boundary.
+    # prefix; see COVERAGE.md "gate window"). Round-6 order: the 6
+    # gates new this round (no driver row yet — chunking + the
+    # span-dedup family) come first, then the 35 oracle-backed
+    # queries whose latest driver row is r04 (pushed past the r05
+    # window), then the 50 verified in r05, then the rows-only
+    # (no-oracle) sketch/hash queries last. Every callable is bound
+    # to the _acquire session boundary.
     q = {
         # --- new in r06 (no driver row yet) --------------------------
         "group_quota_cap_sparse": q_group_quota_cap_sparse,
@@ -2080,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "span_strip": q_span_strip,
         "span_strip_incremental": q_span_strip_incremental,
+        "bigram_lm_ppl": q_bigram_lm_ppl,
         # --- latest driver row r04 (stalest oracle-backed; pushed past
         #     the r05 window) ----------------------------------------
         "range_series_daily": q_range_series_daily,
@@ -3435,6 +3455,51 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.text_clean, '') AS text_clean,
                    CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS INTEGER)
                        AS n_removed
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
+        "bigram_lm_ppl": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), ref AS (
+                SELECT * FROM t WHERE doc_id % 7 = 3
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+            ), v AS (
+                SELECT count(*) + 1 AS vs FROM uni
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                      FROM ref,
+                           LATERAL (SELECT unnest(range(len(toks) - 1))
+                                    AS i) u
+                      WHERE len(toks) >= 2)
+                GROUP BY w1, w2
+            ), db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ), sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(-lp), 4) AS xent_bits
+                FROM sc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   agg.xent_bits,
+                   round(pow(2.0, agg.xent_bits), 4) AS ppl
             FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
             ORDER BY t.doc_id
         """,

@@ -426,8 +426,11 @@ def duplicate_spans_incremental(
     """Day-N span detection: maximal duplicated spans in the NEW
     batch only, where duplication counts occurrences across the
     resident corpus (via its stored ``window_index``) AND within the
-    batch. Same output shape as ``duplicate_spans``. The corpus is
-    touched only by one streamed scan of the stored index."""
+    batch. Same output shape as ``duplicate_spans``; ``n_sites``
+    counts the batch's own sites in the span (the corpus-resident
+    occurrences live in the index as counts, not positions). The
+    corpus is touched only by one streamed scan of the stored
+    index."""
     _check_index_meta(old_index, k)
     sites = _incremental_sites(
         new, old_index, text_col, id_col, k, broadcast_new

@@ -260,6 +260,122 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def train_bigram_lm(
+    reference, text_col: str = "text"
+) -> "tuple[DataFrame, DataFrame]":
+    """Count tables of a bigram language model over a reference
+    corpus: (``unigrams`` (w, c1), ``bigrams`` (w1, w2, c12)) — the
+    CCNet-style model-based quality signal (score a candidate corpus
+    by how surprising it is under a model of known-good text;
+    Wenzek et al., "CCNet", LREC 2020, use a 5-gram KenLM — a bigram
+    with add-α smoothing is the same filter shape without the
+    external toolkit). Two keyed aggregations with map-side partial
+    combine; store both tables as parquet — they ARE the model.
+
+    Kept as count tables rather than probabilities so the smoothing
+    α and vocabulary size stay scoring-time choices and two models
+    merge by adding counts (the same monoid-maintenance story as
+    ``span_dedup.window_index``)."""
+    uni = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        reference.select(
+            F.explode(_bigram_pairs(F.col(text_col))).alias("_g")
+        )
+        .select(F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return uni, bi
+
+
+def _bigram_pairs(col: Column) -> Column:
+    """Adjacent token pairs as ``array<struct<w1,w2>>`` — the LM's
+    join keys, built without the string-gram concat+split round-trip
+    ``word_bigrams`` pays for its display contract."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm_score(
+    df,
+    unigrams,
+    bigrams,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+):
+    """Per-document cross-entropy under the reference bigram LM:
+    (``id_col``, ``n_bigrams``, ``xent_bits``, ``ppl``) where
+    ``xent_bits`` = −mean log₂ P(tᵢ | tᵢ₋₁) over the doc's adjacent
+    token pairs with add-α smoothing
+    P = (c12 + α) / (c1 + α·V), V = |reference vocab| + 1 (the
+    out-of-vocabulary token), and ``ppl`` = 2^xent_bits. Low = fluent
+    under the reference distribution; pipelines keep a perplexity
+    band (CCNet buckets head/middle/tail on exactly this signal).
+    Docs with <2 tokens have no bigrams: n_bigrams=0, NULL scores.
+
+    No explicit UNK mapping is needed: the reference tables contain
+    no UNK rows, so an unseen token's lookups miss → c12=0 / c1=0,
+    which IS the mapped-to-UNK probability under add-α.
+
+    Shape: doc bigrams via ``explode_outer`` (docs with <2 tokens
+    keep one NULL-pair row, so full doc coverage needs NO join back
+    to the corpus — count/avg skip the NULL sentinel) left-join the
+    two count tables — broadcast under ``broadcast_model`` (a
+    reference slice's model is small; pass False for a corpus-scale
+    model and AQE plans the joins) — then one groupBy(doc). V is a
+    1-row lazy aggregate cross-joined broadcast, not a driver
+    action, so scoring composes into a single plan."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_bigram_pairs(F.col(text_col))).alias("_g"),
+    ).select(
+        id_col,
+        F.col("_g.w1").alias("w1"),
+        F.col("_g.w2").alias("w2"),
+    )
+    v = unigrams.agg((F.count(F.lit(1)) + 1).alias("_V"))
+    uni, bi = unigrams, bigrams
+    if broadcast_model:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+    logp = F.when(
+        F.col("w1").isNotNull(),
+        F.log2(
+            (F.coalesce("c12", F.lit(0)) + F.lit(alpha))
+            / (F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("_V"))
+        ),
+    )
+    return (
+        grams.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.round(F.avg(-logp), 4).alias("xent_bits"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "xent_bits",
+            F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4).alias("ppl"),
+        )
+    )
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Portable across engines (used by the
