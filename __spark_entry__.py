@@ -2084,68 +2084,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-6 order: the 6
-    # gates new this round (no driver row yet — chunking + the
-    # span-dedup family) come first, then the 35 oracle-backed
-    # queries whose latest driver row is r04 (pushed past the r05
-    # window), then the 50 verified in r05, then the rows-only
-    # (no-oracle) sketch/hash queries last. Every callable is bound
-    # to the _acquire session boundary.
+    # prefix; see COVERAGE.md "gate window"). Round-7 order: gates new
+    # this round (no driver row yet) come first, then the 42
+    # oracle-backed queries whose latest driver row is r05 (pushed
+    # past the r06 window), then the 50 verified in r06, then the
+    # rows-only (no-oracle) sketch/hash queries last. Every callable
+    # is bound to the _acquire session boundary.
     q = {
-        # --- new in r06 (no driver row yet) --------------------------
-        "group_quota_cap_sparse": q_group_quota_cap_sparse,
-        "chunk_documents": q_chunk_documents,
-        "span_dup_detect": q_span_dup_detect,
-        "span_dup_stats": q_span_dup_stats,
-        "span_strip": q_span_strip,
-        "span_strip_incremental": q_span_strip_incremental,
-        "bigram_lm_ppl": q_bigram_lm_ppl,
-        # --- latest driver row r04 (stalest oracle-backed; pushed past
-        #     the r05 window) ----------------------------------------
-        "range_series_daily": q_range_series_daily,
-        "range_hist_avg": q_range_hist_avg,
-        "range_reagg_routes": q_range_reagg_routes,
-        "asof_last_purchase": q_asof_last_purchase,
-        "range_join_error_window": q_range_join_error_window,
-        "tumbling_window_agg": q_tumbling_window_agg,
-        "sessionize": q_sessionize,
-        "cube_event_stats": q_cube_event_stats,
-        "value_quantiles": q_value_quantiles,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "profile_orders": q_profile_orders,
-        "lineitem_stats": q_lineitem_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "term_df": q_term_df,
-        "neardup_components": q_neardup_components,
-        "neardup_dedup_keep": q_neardup_dedup_keep,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_bytes": q_multimodal_bytes,
-        "json_props_stats": q_json_props_stats,
-        "explode_token_positions": q_explode_token_positions,
-        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
-        "user_event_gaps": q_user_event_gaps,
-        "acctbal_quartiles": q_acctbal_quartiles,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "string_funcs_part": q_string_funcs_part,
-        "date_arith_orders": q_date_arith_orders,
-        "decontam_docs": q_decontam_docs,
-        "group_quota_cap": q_group_quota_cap,
-        "hash_split": q_hash_split,
-        # --- driver-verified in r05 ----------------------------------
-        "decontam_shuffle": q_decontam_shuffle,
-        "weighted_mix": q_weighted_mix,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "seq_packing": q_seq_packing,
-        "global_index": q_global_index,
-        "table_diff_docs": q_table_diff,
-        "skew_orders": q_skew_orders,
+        # --- latest driver row r05 (stalest oracle-backed; pushed past
+        #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -2188,6 +2135,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_event_dates": q_distinct_event_dates,
         "latest_event_date": q_latest_event_date,
         "range_reagg_busiest": q_range_reagg_busiest,
+        # --- driver-verified in r06 ----------------------------------
+        "group_quota_cap_sparse": q_group_quota_cap_sparse,
+        "chunk_documents": q_chunk_documents,
+        "span_dup_detect": q_span_dup_detect,
+        "span_dup_stats": q_span_dup_stats,
+        "span_strip": q_span_strip,
+        "span_strip_incremental": q_span_strip_incremental,
+        "bigram_lm_ppl": q_bigram_lm_ppl,
+        "range_series_daily": q_range_series_daily,
+        "range_hist_avg": q_range_hist_avg,
+        "range_reagg_routes": q_range_reagg_routes,
+        "asof_last_purchase": q_asof_last_purchase,
+        "range_join_error_window": q_range_join_error_window,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "sessionize": q_sessionize,
+        "cube_event_stats": q_cube_event_stats,
+        "value_quantiles": q_value_quantiles,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "profile_orders": q_profile_orders,
+        "lineitem_stats": q_lineitem_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "term_df": q_term_df,
+        "neardup_components": q_neardup_components,
+        "neardup_dedup_keep": q_neardup_dedup_keep,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_bytes": q_multimodal_bytes,
+        "json_props_stats": q_json_props_stats,
+        "explode_token_positions": q_explode_token_positions,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "user_event_gaps": q_user_event_gaps,
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "string_funcs_part": q_string_funcs_part,
+        "date_arith_orders": q_date_arith_orders,
+        "decontam_docs": q_decontam_docs,
+        "group_quota_cap": q_group_quota_cap,
+        "hash_split": q_hash_split,
+        "decontam_shuffle": q_decontam_shuffle,
+        "weighted_mix": q_weighted_mix,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "seq_packing": q_seq_packing,
+        "global_index": q_global_index,
+        "table_diff_docs": q_table_diff,
+        "skew_orders": q_skew_orders,
         # --- rows-only by design (sketch/hash internals; each has a
         #     sibling oracle-backed contract gate above) --------------
         "user_count_hll": q_user_count_hll,

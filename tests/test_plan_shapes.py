@@ -103,6 +103,7 @@ BNLJ_ALLOWED = {
     "rich_customers_by_nation": "scalar avg broadcast",
     "tfidf_top_terms": "corpus-size scalar broadcast",
     "range_hist_avg": "n-days scalar divisor broadcast",
+    "bigram_lm_ppl": "vocab-size 1-row scalar broadcast (operators/text.py bigram_lm_score V join)",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",
