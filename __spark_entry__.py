@@ -1330,6 +1330,37 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL curation composition gate (round 7): the r06 operator
+    families run INSIDE the pipeline, where their reference pipelines
+    (CCNet / Lee et al. / RefinedWeb) run them — decontaminate →
+    quality → repetition → bigram-LM perplexity BAND [23, 40]
+    (model trained on the doc_id%7==3 reference slice) → exact dedup
+    → exact substring-span strip (k=13, output text IS the stripped
+    rebuild) → hash split. One lazy plan; the oracle chains the SAME
+    SQL fragments as CTEs, including the 4-dp ppl rounding and the
+    keep-first span canonical. Band endpoints sit ≥0.003 from every
+    doc's 4-dp ppl at both test SFs (probed), so the threshold
+    cannot flake on engine rounding."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    curated = curate_corpus(
+        docs,
+        eval_set,
+        scrub=False,
+        lm=lm,
+        max_ppl=40.0,
+        min_ppl=23.0,
+        strip_spans=True,
+        span_k=13,
+    )
+    return curated.select("doc_id", "text", "split").orderBy("doc_id")
+
+
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL error-bound gate: per event type, exact distinct users
     (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
@@ -2091,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only (no-oracle) sketch/hash queries last. Every callable
     # is bound to the _acquire session boundary.
     q = {
+        # --- new in r07 (no driver row yet) --------------------------
+        "curate_pipeline_full": q_curate_pipeline_full,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -2979,6 +3012,159 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id * 2654435761) % 4294967296) % 100 AS b
                   FROM dedup)
             ORDER BY doc_id
+        """,
+        # Chains the curate_pipeline CTEs + the bigram_lm_ppl scoring
+        # CTEs (over survivors, model trained on the raw %7==3 slice)
+        # + the span_strip CTEs (over dedup survivors). Band [23, 40]
+        # on 4-dp-rounded ppl matches the Spark gate exactly.
+        "curate_pipeline_full": r"""
+            WITH decon AS (
+                SELECT doc_id, text FROM documents
+                WHERE md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                      NOT IN (
+                    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                    FROM documents WHERE doc_id % 50 = 0)
+            ),
+            tok AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM decon
+            ),
+            qual AS (
+                SELECT doc_id, text, toks FROM tok
+                WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END)
+                          BETWEEN 10 AND 100000
+                  AND (CASE WHEN len(toks) > 0
+                       THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                  / len(toks)
+                       ELSE 0.0 END) <= 0.9
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                           AS g
+                FROM qual
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            rep AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot
+                    FROM gc GROUP BY 1),
+            repq AS (
+                SELECT q.doc_id, q.text, q.toks
+                FROM qual q LEFT JOIN rep ON q.doc_id = rep.doc_id
+                WHERE coalesce(CAST(rep.top2 AS DOUBLE) / rep.tot, 0.0) <= 0.5
+            ),
+            lmref AS (
+                SELECT regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\s+') AS rtoks
+                FROM documents WHERE doc_id % 7 = 3
+            ),
+            uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(rtoks) AS w FROM lmref) GROUP BY w
+            ),
+            v AS (SELECT count(*) + 1 AS vs FROM uni),
+            bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT rtoks[u.i + 1] AS w1, rtoks[u.i + 2] AS w2
+                      FROM lmref,
+                           LATERAL (SELECT unnest(range(len(rtoks) - 1))
+                                    AS i) u
+                      WHERE len(rtoks) >= 2)
+                GROUP BY w1, w2
+            ),
+            db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM repq, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ),
+            sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ),
+            pplt AS (
+                SELECT doc_id,
+                       round(pow(2.0, round(avg(-lp), 4)), 4) AS ppl
+                FROM sc GROUP BY doc_id
+            ),
+            pplq AS (
+                SELECT r.doc_id, r.text, r.toks
+                FROM repq r LEFT JOIN pplt ON r.doc_id = pplt.doc_id
+                WHERE pplt.ppl IS NULL
+                   OR (pplt.ppl >= 23.0 AND pplt.ppl <= 40.0)
+            ),
+            dedup AS (
+                SELECT doc_id, toks FROM (
+                    SELECT doc_id, toks, row_number() OVER (
+                        PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                        '\s+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+                    FROM pplq
+                ) WHERE rn = 1
+            ),
+            s AS (
+                SELECT doc_id, CAST(u.p AS INTEGER) AS pos,
+                       array_to_string(toks[u.p + 1 : u.p + 13], ' ') AS win
+                FROM dedup, LATERAL (SELECT unnest(range(len(toks) - 12)) AS p) u
+                WHERE len(toks) >= 13
+            ),
+            c AS (
+                SELECT doc_id, pos, cnt,
+                       row_number() OVER (PARTITION BY win
+                                          ORDER BY doc_id, pos) AS rn
+                FROM (SELECT *, count(*) OVER (PARTITION BY win) AS cnt
+                      FROM s)
+            ),
+            r AS (SELECT doc_id, pos FROM c WHERE cnt >= 2 AND rn > 1),
+            b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER w + 13 THEN 1
+                            ELSE 0 END AS brk
+                FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            g AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS isl
+                FROM b
+            ),
+            sp AS (
+                SELECT doc_id, min(pos) AS st, max(pos) + 13 AS en
+                FROM g GROUP BY doc_id, isl
+            ),
+            tok2 AS (
+                SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+                       toks[u.i + 1] AS t
+                FROM dedup, LATERAL (SELECT unnest(range(len(toks))) AS i) u
+            ),
+            kept AS (
+                SELECT k.doc_id, k.i, k.t
+                FROM tok2 k
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id
+                      AND sp.st <= k.i AND k.i < sp.en
+                )
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(rebuilt.text_clean, '') AS text,
+                   CASE WHEN b2 < 80 THEN 'train'
+                        WHEN b2 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id * 2654435761) % 4294967296) % 100 AS b2
+                  FROM dedup) d
+            LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
+            ORDER BY d.doc_id
         """,
         # HAVING mirrors the operator's contract: a key whose values
         # are ALL NULL has no (key, value) pair after the stage-1

@@ -83,6 +83,71 @@ def test_curate_is_one_lazy_plan(spark, docs):
     assert before == after
 
 
+def test_curate_full_is_one_lazy_plan(spark, docs):
+    """The round-7 stages (perplexity band + span strip) must keep the
+    zero-jobs-until-action contract: training the LM is lazy (two
+    groupBys) and the vocab size is a lazy 1-row cross join."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    _ = curate_corpus(
+        docs, docs.limit(5), lm=lm, max_ppl=40.0, strip_spans=True
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
+def test_curate_ppl_band_and_span_strip(spark, docs):
+    """Composition semantics: a doc outside the ppl band is dropped;
+    a duplicated 13-token span planted in two surviving docs is
+    stripped from the later one only (keep-first), and untouched docs
+    keep their token sequence (modulo the rebuild's whitespace
+    normalization).
+
+    Band direction quirk of the tiny synthetic vocabulary (~31
+    words): an all-UNSEEN doc scores ppl = V = |vocab|+1 ~ 32-37,
+    INSIDE the band, so the dropped plant sits on the LOW side — a
+    5-word loop trained into the reference slice (200007 % 7 == 3)
+    scores ppl ~ 1.4, far under min_ppl."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    loop = " ".join(["red green blue cyan pink"] * 8)
+    extra = spark.createDataFrame(
+        [
+            (200001, f"first host document starts here {span} and then keeps going onward", "en", "web", 50),
+            (200002, f"second host document begins now {span} before wrapping up entirely today", "en", "web", 50),
+            (200007, loop, "en", "web", 50),
+        ],
+        docs.schema,
+    )
+    corpus = docs.unionByName(extra)
+    lm = train_bigram_lm(corpus.filter(F.col("doc_id") % 7 == 3))
+    out = curate_corpus(
+        corpus,
+        None,
+        min_tokens=5,
+        lm=lm,
+        max_ppl=40.0,
+        min_ppl=23.0,
+        strip_spans=True,
+        scrub=False,
+    )
+    planted = {
+        r.doc_id: r.text
+        for r in out.filter(F.col("doc_id") > 200000).collect()
+    }
+    # the in-reference loop doc: near-certain bigrams -> ppl ~ 1,
+    # under the band floor
+    assert 200007 not in planted
+    # keep-first: the span survives in the smaller id, stripped after
+    assert span in planted[200001]
+    assert span not in planted[200002]
+    assert planted[200002].startswith("second host document begins now")
+
+
 def test_write_and_report(spark, docs, tmp_path):
     out_dir = str(tmp_path / "curated")
     curated = curate_corpus(docs, None, min_tokens=5)

@@ -104,6 +104,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms": "corpus-size scalar broadcast",
     "range_hist_avg": "n-days scalar divisor broadcast",
     "bigram_lm_ppl": "vocab-size 1-row scalar broadcast (operators/text.py bigram_lm_score V join)",
+    "curate_pipeline_full": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",

@@ -447,6 +447,7 @@ def strip_duplicate_spans_incremental(
     id_col: str = "doc_id",
     k: int = 13,
     broadcast_new: bool = True,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Day-N keep-first span removal over the NEW batch: strips every
     new occurrence of corpus-resident content (the kept copy is
@@ -462,7 +463,7 @@ def strip_duplicate_spans_incremental(
         new, old_index, text_col, id_col, k, broadcast_new
     )
     return _strip_with_sites(
-        new, sites.filter("_removable"), text_col, id_col, k
+        new, sites.filter("_removable"), text_col, id_col, k, keep_all
     )
 
 
@@ -472,10 +473,14 @@ def _strip_with_sites(
     text_col: str,
     id_col: str,
     k: int,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Shared rebuild tail of the full and incremental strips:
     removable sites → merged spans collected per doc → map-side
-    token filter + re-join. One row per input doc."""
+    token filter + re-join. One row per input doc. ``keep_all``
+    carries every input column through (for pipeline composition —
+    plans/curate.py swaps ``text_clean`` in for the text column);
+    the default keeps the original 3-column contract."""
     from wroclaw_bike_stats_spark.operators.text import tokens
 
     spans = (
@@ -497,11 +502,21 @@ def _strip_with_sites(
             lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
         ),
     )
-    return df.join(spans.withColumnRenamed("_id", id_col), id_col, "left").select(
-        id_col,
-        F.array_join(kept, " ").alias("text_clean"),
-        (F.size(toks) - F.size(kept)).alias("n_removed"),
+    # eqNullSafe: a NULL-id doc's merged spans must still reach its
+    # rebuild (a plain equi-join never matches NULL and would silently
+    # leave that doc unstripped). Multiple NULL-id docs are
+    # indistinguishable at the site level and collapse into one
+    # logical doc — the public docstrings state the unique-id
+    # contract.
+    spans2 = spans.withColumnRenamed("_id", "_strip_id")
+    joined = df.join(
+        spans2, F.col(id_col).eqNullSafe(F.col("_strip_id")), "left"
     )
+    cleaned = F.array_join(kept, " ").alias("text_clean")
+    removed = (F.size(toks) - F.size(kept)).alias("n_removed")
+    if keep_all:
+        return joined.select(df["*"], cleaned, removed)
+    return joined.select(id_col, cleaned, removed)
 
 
 def strip_duplicate_spans(
@@ -510,6 +525,7 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 13,
     method: str = "window",
+    keep_all: bool = False,
 ) -> DataFrame:
     """Remove duplicated spans, keeping the globally first occurrence
     of each window content (canonical = min ``(doc, pos)`` — stable
@@ -524,6 +540,12 @@ def strip_duplicate_spans(
     guarantee is per window content and can be eroded by overlapping
     spans of *other* contents — the same caveat as Lee et al. §4.1.
     Rebuild is map-side (``filter`` over the token array against the
-    doc's own collected span list, bounded by len/k spans)."""
+    doc's own collected span list, bounded by len/k spans).
+
+    ``keep_all`` carries every input column through alongside
+    ``text_clean``/``n_removed`` (pipeline composition). Contract:
+    ``id_col`` values must be UNIQUE; at most one NULL id is handled
+    (null-safe rebuild join) — several NULL-id docs are
+    indistinguishable at the site level and collapse into one."""
     _, removable = _dup_sites(df, text_col, id_col, k, method)
-    return _strip_with_sites(df, removable, text_col, id_col, k)
+    return _strip_with_sites(df, removable, text_col, id_col, k, keep_all)

@@ -38,13 +38,40 @@ def curate_corpus(
     max_tokens: int = 100_000,
     max_dup_word_frac: float = 0.9,
     max_top2gram_frac: float = 0.5,
+    lm: "tuple[DataFrame, DataFrame] | None" = None,
+    max_ppl: float | None = None,
+    min_ppl: float | None = None,
+    strip_spans: bool = False,
+    span_k: int = 13,
+    span_method: str = "window",
     scrub: bool = True,
     train_pct: int = 80,
     val_pct: int = 10,
 ) -> DataFrame:
     """Return the curated corpus: surviving rows with ``text``
     (PII-scrubbed when ``scrub``) plus ``split``. Deterministic —
-    reruns produce identical rows."""
+    reruns produce identical rows.
+
+    Optional model/surgery stages (both lazy, keeping the
+    zero-jobs-until-action contract):
+
+    - ``lm`` = the ``(unigrams, bigrams)`` count tables from
+      ``text.train_bigram_lm`` enables a CCNet-style perplexity BAND
+      filter after the repetition stage: docs whose ``ppl`` under the
+      reference model falls outside [``min_ppl``, ``max_ppl``] are
+      dropped (either bound may be None = unbounded; docs with <2
+      tokens have no signal and pass). The model joins broadcast —
+      for a corpus-trained model pass count tables you have already
+      thinned, or score standalone with ``broadcast_model=False``.
+    - ``strip_spans`` runs exact substring-span dedup
+      (operators/span_dedup.py, Lee et al. 2022) over the
+      exact-dedup survivors, replacing ``text_col`` with the
+      stripped rebuild. NOTE: the rebuild is a tokenizer round-trip,
+      so ALL surviving docs get whitespace normalized, and the strip
+      references the survivor plan twice (site generation + rebuild
+      join) — at production scale persist/checkpoint the survivor
+      frame first or run the strip as its own pass over materialized
+      output."""
     out = docs
     if eval_set is not None:
         # broadcast pinned, not auto: auto mode counts the exclusion
@@ -77,6 +104,25 @@ def curate_corpus(
         .drop("_top2_frac")
     )
 
+    # perplexity band under the reference bigram LM (CCNet keeps a
+    # band of exactly this signal; the score joins broadcast and the
+    # vocab size is a lazy 1-row aggregate, so the plan stays lazy)
+    if lm is not None and (max_ppl is not None or min_ppl is not None):
+        uni, bi = lm
+        ppl = T.bigram_lm_score(
+            out, uni, bi, text_col=text_col, id_col=id_col
+        ).select(id_col, "ppl")
+        band = F.lit(True)
+        if max_ppl is not None:
+            band = band & (F.col("ppl") <= max_ppl)
+        if min_ppl is not None:
+            band = band & (F.col("ppl") >= min_ppl)
+        out = (
+            out.join(ppl, id_col, "left")
+            .filter(F.col("ppl").isNull() | band)
+            .drop("ppl")
+        )
+
     # exact dedup: keep the smallest id per normalized-content
     # fingerprint (one shuffle on the fingerprint)
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
@@ -86,6 +132,28 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
     )
+
+    # span-level surgery AFTER whole-doc dedup: exact copies are
+    # already gone cheaply, so the window shuffle sees only survivors
+    # and the keep-first (min (doc, pos)) canonical matches the
+    # dedup's keep-min-id rule
+    if strip_spans:
+        from wroclaw_bike_stats_spark.operators.span_dedup import (
+            strip_duplicate_spans,
+        )
+
+        out = (
+            strip_duplicate_spans(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                k=span_k,
+                method=span_method,
+                keep_all=True,
+            )
+            .withColumn(text_col, F.col("text_clean"))
+            .drop("text_clean", "n_removed")
+        )
 
     if scrub:
         out = out.withColumn(text_col, P.scrub_pii(F.col(text_col)))
