@@ -71,6 +71,19 @@ def test_twophase_matches_hashmin(spark):
         assert got == want
 
 
+def test_rebalance_edges_matches_and_spreads(spark):
+    """ADVICE r06: shuffle-fed skewed edge lists can pile into one
+    partition, unbounding phase 1's Python dict. rebalance_edges=True
+    round-robins the edge list to the session shuffle parallelism
+    first — same result (phase 1 is partition-arbitrary), bounded
+    partitions."""
+    edges = [(i, i + 1) for i in range(1, 16)] + [(100, 101), (200, 201)]
+    skewed = _pairs(spark, edges).coalesce(1)  # everything in one task
+    want = _comp_map(connected_components(_pairs(spark, edges), method="hashmin"))
+    got = _comp_map(connected_components(skewed, rebalance_edges=True))
+    assert got == want
+
+
 def test_unknown_method_raises(spark):
     with pytest.raises(ValueError, match="unknown method"):
         connected_components(_pairs(spark, [(1, 2)]), method="bfs")

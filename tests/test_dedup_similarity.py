@@ -548,6 +548,41 @@ def test_incremental_guard_metadata_survives_parquet(spark, docs, tmp_path):
         )
 
 
+def test_incremental_guard_pins_pandas_hash_identity(spark, docs):
+    """ADVICE r06: the scheme tag names the ALGORITHM but v3 ties
+    stored tables to pd.util.hash_array's exact output — a pandas
+    upgrade changing it would miss every cross-batch dup while the
+    tag still matched. Signatures now also stamp a sentinel probe
+    hash; present-but-mismatched fails loud, absent (pre-r07 table)
+    is tolerated."""
+    from pyspark.sql.types import StructField, StructType
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    sigs = D.minhash_signatures(old)
+    meta = dict(sigs.schema["signature"].metadata)
+    assert meta["minhash_hash_probe"] == D._pandas_hash_probe()
+
+    # simulate a table written under a different pandas hash impl
+    tampered_field = StructField(
+        "signature",
+        sigs.schema["signature"].dataType,
+        metadata={**meta, "minhash_hash_probe": "1234567890"},
+    )
+    tampered = sigs.select(
+        "_id", F.col("signature").alias("signature", metadata=tampered_field.metadata)
+    )
+    with pytest.raises(ValueError, match="hash_array"):
+        D.minhash_incremental_pairs(new, old, old_signatures=tampered)
+
+    # pre-r07 table: full parameterization but no probe key → accepted
+    legacy_meta = {k: v for k, v in meta.items() if k != "minhash_hash_probe"}
+    legacy = sigs.select(
+        "_id", F.col("signature").alias("signature", metadata=legacy_meta)
+    )
+    D.minhash_incremental_pairs(new, old, old_signatures=legacy).collect()
+
+
 def test_incremental_guard_legacy_untagged_tables_still_probed(spark, docs):
     """Tables built outside minhash_signatures (no metadata) keep the
     weaker shape probe: a num_hashes mismatch still fails loud."""

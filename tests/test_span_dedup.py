@@ -313,6 +313,43 @@ def test_agg_method_equals_window_method(spark):
         S.duplicate_spans(docs, k=K, method="nope")
 
 
+def test_auto_method_routes_boilerplate_to_agg(spark, docs):
+    """method='auto' probes the hottest window content and picks the
+    skew-proof agg route for a boilerplate-heavy corpus, the window
+    route otherwise — removing the round-6 footgun where the caller
+    had to know to ask for 'agg'. Full-fraction probe with a tiny
+    threshold makes the routing deterministic in-test; the defaults
+    (5% sample, 1M-occurrence estimate) are the production knobs."""
+    # ordinary corpus: nothing hot
+    assert (
+        S.pick_span_method(docs, k=K, probe_frac=1.0, hot_threshold=20)
+        == "window"
+    )
+    # plant one window content at 30 sites — past the threshold
+    hot = spark.createDataFrame(
+        [(100 + i, "same old licence boiler plate") for i in range(30)],
+        "doc_id int, text string",
+    )
+    heavy = docs.unionByName(hot)
+    assert (
+        S.pick_span_method(heavy, k=K, probe_frac=1.0, hot_threshold=20)
+        == "agg"
+    )
+    # the auto route is the same operator: differential vs explicit
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "AUTO_PROBE_FRAC", 1.0), mock.patch.object(
+        S, "AUTO_HOT_THRESHOLD", 20
+    ):
+        a = sorted(
+            map(tuple, S.strip_duplicate_spans(heavy, k=K, method="auto").collect())
+        )
+    b = sorted(
+        map(tuple, S.strip_duplicate_spans(heavy, k=K, method="agg").collect())
+    )
+    assert a == b and a
+
+
 def test_site_table_is_narrow_no_python(docs):
     """The site projection stays JVM-side (no BatchEvalPython /
     ArrowEvalPython) and has no Exchange — hashing is codegen work."""

@@ -187,6 +187,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     method: str = "twophase",
+    rebalance_edges: bool = False,
 ) -> DataFrame:
     """Resolve an undirected pair graph to ``(node, component_id)``
     where ``component_id`` is the minimum node id in the component.
@@ -207,6 +208,18 @@ def connected_components(
     diameter is ≤ the raw diameter (usually far smaller — a path
     that fits one partition contracts to a point), so convergence is
     at least as fast as ``hashmin`` for the same bound.
+
+    Phase 1's Python union-find dict holds every node in its
+    partition (~100 B/entry) — bounded by
+    ``spark.sql.files.maxPartitionBytes`` when ``pairs`` comes off a
+    file scan, but NOT when it arrives straight from a skewed
+    pair-generation shuffle (a hot shingle/band can pile far more
+    edges into one partition). For shuffle-fed graphs pass
+    ``rebalance_edges=True`` — one round-robin repartition to the
+    session shuffle parallelism evens the edge list out before the
+    local pass (phase 1 is partition-arbitrary, so correctness is
+    unaffected; only the contraction quality shifts) — or use
+    ``method="hashmin"``, whose per-round state is cluster-wide.
     """
     if method == "hashmin":
         return _hashmin_fixpoint(pairs, src, dst, max_iter)
@@ -214,6 +227,10 @@ def connected_components(
         raise ValueError(f"unknown method {method!r}")
 
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if rebalance_edges:
+        edges = edges.repartition(
+            int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
     # mapping feeds the boundary groupBy AND the final re-expansion
     # join — persist so phase 1 (and the upstream pair join) runs once.
     # Released below once the final result is checkpointed; callers

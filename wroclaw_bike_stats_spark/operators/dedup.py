@@ -391,6 +391,46 @@ def _py_shingles(text: str | None, n: int) -> set[str]:
 #: keep the v1/v2 contract semantics.
 MINHASH_SCHEME = "tokenhash64-affine-v3"
 
+
+def _pandas_hash_probe() -> str:
+    """Identity probe of the pandas hash v3 signatures are built on:
+    the 64-bit ``pd.util.hash_array`` hash of a fixed sentinel,
+    stamped into stored-table metadata next to ``MINHASH_SCHEME``.
+    The scheme TAG names the algorithm; the probe pins the
+    IMPLEMENTATION — a pandas upgrade that changed hash_array's
+    output would leave the tag matching while every cross-batch
+    band join silently found nothing. Stored as a string (the value
+    is uint64 — it can exceed a Java long). Tables written before
+    round 7 lack the key and are tolerated (probe checks fire only
+    on present-but-mismatched)."""
+    import numpy as np
+    import pandas as pd
+
+    return str(
+        int(
+            pd.util.hash_array(
+                np.asarray(["minhash-hash-identity-probe"], dtype=object),
+                categorize=False,
+            )[0]
+        )
+    )
+
+
+def _check_hash_probe(meta: dict) -> None:
+    """Fail LOUD when a stored table's recorded pandas hash identity
+    differs from this process's (see ``_pandas_hash_probe``); absent
+    key = pre-round-7 table, tolerated."""
+    stored = meta.get("minhash_hash_probe")
+    if stored is not None and stored != _pandas_hash_probe():
+        raise ValueError(
+            "stored table was hashed by a pandas whose hash_array "
+            f"output differs from this environment's (stored probe "
+            f"{stored!r} != current {_pandas_hash_probe()!r}) — "
+            "cross-batch duplicates would be silently missed; "
+            "recompute the stored signatures/bands under the current "
+            "pandas"
+        )
+
 #: odd 64-bit mixing constant for the shingle polynomial (golden-ratio
 #: constant, same one splitmix64 uses — public domain folklore)
 _POLY = 0x9E3779B97F4A7C15
@@ -551,6 +591,7 @@ def minhash_signatures(
                 "minhash_shingle_n": shingle_n,
                 "minhash_seed": 42,
                 "minhash_scheme": MINHASH_SCHEME,
+                "minhash_hash_probe": _pandas_hash_probe(),
             },
         ),
     )
@@ -752,6 +793,7 @@ def minhash_incremental_pairs(
                     for k, (s, r) in sorted(bad.items())
                 )
             )
+        _check_hash_probe(meta)
         old_bands = old_banded.select("_id", "band_idx", "band_hash")
     elif old_signatures is not None:
         # Stored signatures from a different parameterization (fewer
@@ -789,6 +831,7 @@ def minhash_incremental_pairs(
                         for k, (s, r) in sorted(bad.items())
                     )
                 )
+            _check_hash_probe(meta)
         else:
             probe = old_signatures.select(F.size("signature")).first()
             if probe is not None and probe[0] != num_hashes:

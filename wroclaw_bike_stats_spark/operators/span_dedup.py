@@ -64,6 +64,48 @@ from pyspark.sql import functions as F
 #: spans would be silently missed).
 SPAN_SCHEME = "ws-token-xxhash64-v1"
 
+#: ``method="auto"`` probe knobs: sample this fraction of docs, and
+#: route to ``"agg"`` when the hottest window content's estimated
+#: corpus-wide occurrence count (sampled max / frac) reaches the
+#: threshold — the point where the window route would buffer that
+#: whole group in one task. ~24 B/site row puts 1M sites of one
+#: content at ~24 MB in a single WindowExec buffer: still safe, but
+#: growing linearly with corpus duplication while every other task
+#: stays tiny; beyond it the skew-proof agg route wins.
+AUTO_PROBE_FRAC = 0.05
+AUTO_HOT_THRESHOLD = 1_000_000
+
+
+def pick_span_method(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    probe_frac: float | None = None,
+    hot_threshold: int | None = None,
+    seed: int = 7,
+) -> str:
+    """Route selection for the span-dedup family: estimate the
+    hottest window-content occurrence count from a seeded doc sample
+    (a content occurring M times corpus-wide shows up ~M·frac times
+    in the sample) and return ``"agg"`` when the estimate reaches
+    ``hot_threshold``, else ``"window"``. Runs ONE small job (sampled
+    site scan + max-count agg) — the family's only eager step, which
+    is why it lives behind ``method="auto"`` instead of being the
+    default: plans/curate.py's zero-jobs contract keeps the explicit
+    routes. An empty sample (tiny corpus) returns ``"window"``."""
+    frac = AUTO_PROBE_FRAC if probe_frac is None else probe_frac
+    threshold = AUTO_HOT_THRESHOLD if hot_threshold is None else hot_threshold
+    probe = _site_table(df.sample(frac, seed=seed), text_col, id_col, k)
+    row = (
+        probe.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_m"))
+        .first()
+    )
+    sampled_max = row["_m"] if row and row["_m"] is not None else 0
+    return "agg" if sampled_max >= threshold * frac else "window"
+
 
 def _site_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(``_id``, ``pos``, ``h``) — one row per length-``k`` token
@@ -156,7 +198,13 @@ def _dup_sites(
     picks broadcast when the duplicated-content set is small and
     splits skewed joins otherwise). Costs a persist of the site
     table; choose it when the corpus has boilerplate-heavy content.
-    Both routes are differentially pinned in tests."""
+    Both routes are differentially pinned in tests.
+
+    ``method="auto"`` probes first (``pick_span_method`` — one small
+    sampled job) and takes whichever route the corpus's hottest
+    window content calls for."""
+    if method == "auto":
+        method = pick_span_method(df, text_col, id_col, k)
     sites = _site_table(df, text_col, id_col, k)
     if method == "window":
         w = Window.partitionBy("h")
