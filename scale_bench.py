@@ -210,6 +210,29 @@ def span_strip_incremental(spark, sf_dir):
     return SD.strip_duplicate_spans_incremental(new, stored, k=13)
 
 
+def bigram_lm_corpus(spark, sf_dir):
+    """The 100 TB LM-scoring route: model count tables trained over
+    the RESIDENT corpus (not a broadcast-size reference slice) and
+    scoring run with ``broadcast_model=False`` — no broadcast hint,
+    AQE sizes the two model joins at runtime. Timing includes
+    training (one plan; both passes are linear in corpus tokens).
+    Note the synthetic corpus's vocabulary does not grow with sf, so
+    AQE rightly still elects broadcast for the model side here — the
+    measured cost is the corpus-side bigram explode + join + per-doc
+    agg, which is the dominant, linearly-scaling term; the
+    no-hint route's degradation to shuffle joins under a
+    genuinely huge model is a size-based runtime decision (plan-shape
+    pinned in tests/test_lm.py)."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uni, bi = train_bigram_lm(spark.read.parquet(_p(sf_dir, "old_docs")))
+    return bigram_lm_score(docs, uni, bi, broadcast_model=False)
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -227,6 +250,7 @@ FAMILY = {
     "embedding_neardup_incremental": embedding_incremental,
     "span_strip_full": span_strip_full,
     "span_strip_incremental": span_strip_incremental,
+    "bigram_lm_corpus": bigram_lm_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x

@@ -120,3 +120,41 @@ def test_score_plan_is_broadcast_and_python_free(spark, model):
     )
     assert "EvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_corpus_scale_route_degrades_to_shuffle_joins(spark, model):
+    """broadcast_model=False is the 100 TB route — a corpus-trained
+    model's count tables won't broadcast. The route carries no hint,
+    so join strategy is AQE's size-based runtime call; with broadcast
+    disabled outright the model joins must compile to shuffle joins
+    (SortMergeJoin/ShuffledHashJoin), proving nothing in the plan
+    REQUIRES a broadcastable model. Results stay identical to the
+    broadcast route."""
+    uni, bi = model
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b a b a")], "doc_id int, text string"
+    )
+    want = sorted(
+        map(tuple, T.bigram_lm_score(docs, uni, bi).collect())
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        scored = T.bigram_lm_score(docs, uni, bi, broadcast_model=False)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        # the only broadcast left is the deliberate 1-row V hint
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+        assert sorted(map(tuple, scored.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
