@@ -1361,6 +1361,43 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "text", "split").orderBy("doc_id")
 
 
+def _dsir_model(spark: SparkSession, sf_dir: str):
+    """Shared DSIR fit for the two gates: target = every 9th doc
+    (≡1 mod 9), raw = the whole corpus (the paper's estimator), the
+    portable md5-prefix bucket hash so DuckDB reproduces bucketing
+    bit-for-bit."""
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 9 == 1)
+    return docs, dsir_logratio(target, docs, portable_hash=True)
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py; Xie et al.
+    NeurIPS 2023): hashed unigram+bigram features over 4096 buckets,
+    add-0.5-smoothed target/raw distributions, per-doc
+    Σ cnt·(ln p̂ − ln q̂). The whole fit+score is one lazy plan —
+    two B-row count tables broadcast into one corpus shuffle."""
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
+
+    docs, model = _dsir_model(spark, sf_dir)
+    return dsir_scores(docs, model, portable_hash=True).orderBy("doc_id")
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling: 100 docs sampled without
+    replacement with inclusion probability ∝ exp(logw), noise seeded
+    by the portable id hash so the draw is deterministic and
+    SQL-reproducible."""
+    from wroclaw_bike_stats_spark.operators.dsir import importance_resample
+
+    docs, model = _dsir_model(spark, sf_dir)
+    return importance_resample(
+        docs, model, k=100, portable_hash=True
+    ).orderBy("doc_id")
+
+
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL error-bound gate: per event type, exact distinct users
     (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
@@ -2124,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- new in r07 (no driver row yet) --------------------------
         "curate_pipeline_full": q_curate_pipeline_full,
+        "dsir_scores": q_dsir_scores,
+        "dsir_resample": q_dsir_resample,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -3012,6 +3051,107 @@ def oracle_sql() -> dict[str, str]:
                          ((doc_id * 2654435761) % 4294967296) % 100 AS b
                   FROM dedup)
             ORDER BY doc_id
+        """,
+        # DSIR: bucket hashing via the md5-prefix portable scheme
+        # (bit-identical in both engines — probed), smoothing and
+        # domain arithmetic mirrored term by term; logw rounded 4 dp
+        # BEFORE the Gumbel key add, same as the Spark side.
+        "dsir_scores": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS g
+                FROM t
+            ), b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM g
+            ),
+            tc AS (SELECT bucket, count(*) AS c FROM b
+                   WHERE doc_id % 9 = 1 GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+            tt AS (SELECT sum(c) AS s FROM tc),
+            rt AS (SELECT sum(c) AS s FROM rc),
+            lr AS (
+                SELECT d.bucket,
+                       ln((coalesce(tc.c, 0) + 0.5) / (tt.s + 0.5 * 4096))
+                     - ln((coalesce(rc.c, 0) + 0.5) / (rt.s + 0.5 * 4096))
+                           AS logratio
+                FROM (SELECT unnest(range(4096)) AS bucket) d
+                LEFT JOIN tc USING (bucket)
+                LEFT JOIN rc USING (bucket)
+                CROSS JOIN tt CROSS JOIN rt
+            )
+            SELECT b.doc_id,
+                   count(*) AS n_grams,
+                   round(sum(lr.logratio), 4) AS logw
+            FROM b JOIN lr USING (bucket)
+            GROUP BY b.doc_id
+            ORDER BY b.doc_id
+        """,
+        "dsir_resample": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS g
+                FROM t
+            ), b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM g
+            ),
+            tc AS (SELECT bucket, count(*) AS c FROM b
+                   WHERE doc_id % 9 = 1 GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+            tt AS (SELECT sum(c) AS s FROM tc),
+            rt AS (SELECT sum(c) AS s FROM rc),
+            lr AS (
+                SELECT d.bucket,
+                       ln((coalesce(tc.c, 0) + 0.5) / (tt.s + 0.5 * 4096))
+                     - ln((coalesce(rc.c, 0) + 0.5) / (rt.s + 0.5 * 4096))
+                           AS logratio
+                FROM (SELECT unnest(range(4096)) AS bucket) d
+                LEFT JOIN tc USING (bucket)
+                LEFT JOIN rc USING (bucket)
+                CROSS JOIN tt CROSS JOIN rt
+            ),
+            sc AS (
+                SELECT b.doc_id,
+                       round(sum(lr.logratio), 4) AS logw
+                FROM b JOIN lr USING (bucket)
+                GROUP BY b.doc_id
+            ),
+            keyed AS (
+                SELECT doc_id, logw,
+                       logw + (-ln(-ln(
+                           (((doc_id * 2654435761) % 4294967296) + 0.5)
+                           / 4294967296.0))) AS k0
+                FROM sc
+            ),
+            sel AS (
+                SELECT doc_id, logw, k0 FROM keyed
+                ORDER BY k0 DESC, doc_id ASC LIMIT 100
+            )
+            SELECT doc_id, logw, round(k0, 4) AS key
+            FROM sel ORDER BY doc_id
         """,
         # Chains the curate_pipeline CTEs + the bigram_lm_ppl scoring
         # CTEs (over survivors, model trained on the raw %7==3 slice)

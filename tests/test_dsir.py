@@ -1,0 +1,102 @@
+"""DSIR importance resampling (operators/dsir.py): selection
+semantics, determinism, model scheme guard, plan shape. End-to-end
+values are oracle-verified in the driver gates (test_entry_oracle:
+dsir_scores / dsir_resample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import dsir as DS
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two sub-languages: "code-ish" docs (even ids) and "prose-ish"
+    # docs (odd ids); the target is drawn from the code-ish side
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, "def func return value loop index array " * 3))
+        else:
+            rows.append((i, "the quick brown fox jumps over lazy dog " * 3))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scores_separate_target_like_docs(spark, corpus):
+    """Docs from the target's sub-language must out-score the rest —
+    the paper's whole premise. Target = a few code-ish docs."""
+    target = corpus.filter(F.col("doc_id").isin(0, 2, 4, 6))
+    model = DS.dsir_logratio(target, corpus)
+    scores = {
+        r.doc_id: r.logw for r in DS.dsir_scores(corpus, model).collect()
+    }
+    code = [scores[i] for i in range(0, 60, 2)]
+    prose = [scores[i] for i in range(1, 60, 2)]
+    assert min(code) > max(prose)
+
+
+def test_resample_prefers_high_weight_and_is_deterministic(spark, corpus):
+    target = corpus.filter(F.col("doc_id").isin(0, 2, 4, 6))
+    model = DS.dsir_logratio(target, corpus)
+    a = sorted(
+        r.doc_id for r in DS.importance_resample(corpus, model, k=20).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in DS.importance_resample(
+            corpus.repartition(7), model, k=20
+        ).collect()
+    )
+    assert a == b  # id-seeded Gumbel: partitioning-invariant draw
+    # with this separation the sample should be overwhelmingly code-ish
+    assert sum(1 for i in a if i % 2 == 0) >= 15
+
+
+def test_model_scheme_guard(spark, corpus):
+    target = corpus.filter(F.col("doc_id") < 8)
+    model = DS.dsir_logratio(target, corpus, num_buckets=1024)
+    with pytest.raises(ValueError, match="scheme"):
+        DS.dsir_scores(corpus, model, num_buckets=4096)
+    with pytest.raises(ValueError, match="scheme"):
+        DS.dsir_scores(corpus, model, num_buckets=1024, portable_hash=True)
+
+
+def test_model_metadata_survives_parquet(spark, corpus, tmp_path):
+    """The model is the standing selection asset: its bucket scheme
+    rides the parquet footer, so a stored model fit under different
+    parameters fails loud instead of scoring garbage."""
+    target = corpus.filter(F.col("doc_id") < 8)
+    path = str(tmp_path / "model")
+    DS.dsir_logratio(target, corpus, num_buckets=1024).write.parquet(path)
+    stored = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="scheme"):
+        DS.dsir_scores(corpus, stored, num_buckets=4096)
+    got = DS.dsir_scores(corpus, stored, num_buckets=1024).count()
+    assert got == 60
+
+
+def test_fit_and_score_is_one_lazy_plan(spark, corpus):
+    """Zero eager jobs: totals are lazy 1-row cross-joined
+    aggregates, the domain is a range, counts broadcast."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    model = DS.dsir_logratio(corpus.limit(5), corpus)
+    _ = DS.importance_resample(corpus, model, k=10)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+
+
+def test_plan_is_python_free_and_broadcast(spark, corpus):
+    model = DS.dsir_logratio(corpus.limit(5), corpus)
+    plan = (
+        DS.dsir_scores(corpus, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
+    # the B-row model side joins broadcast into the gram stream
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

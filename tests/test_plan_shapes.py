@@ -105,6 +105,8 @@ BNLJ_ALLOWED = {
     "range_hist_avg": "n-days scalar divisor broadcast",
     "bigram_lm_ppl": "vocab-size 1-row scalar broadcast (operators/text.py bigram_lm_score V join)",
     "curate_pipeline_full": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
+    "dsir_scores": "two 1-row gram-total scalar broadcasts (operators/dsir.py dsir_logratio)",
+    "dsir_resample": "two 1-row gram-total scalar broadcasts (operators/dsir.py dsir_logratio)",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",
