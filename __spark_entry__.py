@@ -1398,6 +1398,33 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hashed-feature classifier gate
+    (operators/classifier.py; the CCNet §4 fastText-filter shape as
+    aggregation-trainable multinomial NB): train lang-prediction on
+    the doc_id%3!=0 slice (labels = the corpus's lang column),
+    score EVERY doc — per-class posteriors rounded 4 dp and the
+    argmax prediction, tie-broken to the first class. Train+predict
+    is one lazy plan; the md5-prefix portable bucket scheme keeps
+    DuckDB bit-identical."""
+    from wroclaw_bike_stats_spark.operators.classifier import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 3 != 0)
+    weights, priors = nb_train(
+        labeled, _NB_CLASSES, label_col="lang", portable_hash=True
+    )
+    return nb_predict(
+        docs, weights, priors, _NB_CLASSES, portable_hash=True
+    ).orderBy("doc_id")
+
+
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL error-bound gate: per event type, exact distinct users
     (oracle-computed) + |approx − exact| ≤ 5%·exact. The rsd=0.02
@@ -2163,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline_full": q_curate_pipeline_full,
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
+        "nb_lang_predict": q_nb_lang_predict,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -3152,6 +3180,89 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, logw, round(k0, 4) AS key
             FROM sel ORDER BY doc_id
+        """,
+        # NB classifier: same portable bucketing as dsir_scores; the
+        # argmax runs over 4-dp-ROUNDED scores in both engines, and
+        # the first-true-wins CASE chain mirrors the Spark
+        # first-class tie-break exactly.
+        "nb_lang_predict": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS g
+                FROM t
+            ), b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                           % 4096 AS bucket
+                FROM g
+            ),
+            lb AS (
+                SELECT d.lang AS cls, b.bucket
+                FROM b JOIN documents d USING (doc_id)
+                WHERE d.doc_id % 3 <> 0
+            ),
+            cnt AS (SELECT cls, bucket, count(*) AS c FROM lb GROUP BY 1, 2),
+            tot AS (SELECT cls, sum(c) AS s FROM cnt GROUP BY 1),
+            cl AS (SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr'),
+                                         ('zh')) c(cls)),
+            w AS (
+                SELECT dom.bucket, cl.cls,
+                       ln((coalesce(cnt.c, 0) + 0.5)
+                          / (tot.s + 0.5 * 4096)) AS w
+                FROM (SELECT unnest(range(4096)) AS bucket) dom
+                CROSS JOIN cl
+                LEFT JOIN cnt ON cnt.bucket = dom.bucket
+                             AND cnt.cls = cl.cls
+                JOIN tot ON tot.cls = cl.cls
+            ),
+            pr AS (
+                SELECT lang AS cls,
+                       ln(CAST(count(*) AS DOUBLE) / (
+                           SELECT count(*) FROM documents
+                           WHERE doc_id % 3 <> 0)) AS p
+                FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+            ),
+            sc AS (
+                SELECT b.doc_id, w.cls, sum(w.w) AS s
+                FROM b JOIN w USING (bucket)
+                GROUP BY 1, 2
+            ),
+            wide AS (
+                SELECT sc.doc_id,
+                       round(max(CASE WHEN sc.cls = 'de'
+                                 THEN sc.s + pr.p END), 4) AS score_de,
+                       round(max(CASE WHEN sc.cls = 'en'
+                                 THEN sc.s + pr.p END), 4) AS score_en,
+                       round(max(CASE WHEN sc.cls = 'es'
+                                 THEN sc.s + pr.p END), 4) AS score_es,
+                       round(max(CASE WHEN sc.cls = 'fr'
+                                 THEN sc.s + pr.p END), 4) AS score_fr,
+                       round(max(CASE WHEN sc.cls = 'zh'
+                                 THEN sc.s + pr.p END), 4) AS score_zh
+                FROM sc JOIN pr ON pr.cls = sc.cls
+                GROUP BY sc.doc_id
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr,
+                   score_zh,
+                   CASE WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr AND score_de >= score_zh
+                        THEN 'de'
+                        WHEN score_en >= score_es AND score_en >= score_fr
+                         AND score_en >= score_zh THEN 'en'
+                        WHEN score_es >= score_fr AND score_es >= score_zh
+                        THEN 'es'
+                        WHEN score_fr >= score_zh THEN 'fr'
+                        ELSE 'zh' END AS pred
+            FROM wide ORDER BY doc_id
         """,
         # Chains the curate_pipeline CTEs + the bigram_lm_ppl scoring
         # CTEs (over survivors, model trained on the raw %7==3 slice)

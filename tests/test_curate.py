@@ -179,6 +179,29 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert spark.read.parquet(out_dir).count() == rep["rows_out"]
 
 
+def test_cli_curate_full_stages(spark, tmp_path, capsys):
+    """The round-7 stages reach the CLI: LM band + span strip flags
+    produce a curated corpus and a report."""
+    from wroclaw_bike_stats_spark.cli import main
+
+    out_dir = str(tmp_path / "cli_full_out")
+    main(
+        [
+            "curate",
+            "--docs", f"{SF}/documents.parquet",
+            "--out", out_dir,
+            "--min-tokens", "5",
+            "--lm-ref", f"{SF}/documents.parquet",
+            "--max-ppl", "31.0",
+            "--strip-spans",
+        ]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(line)
+    assert rep["rows_in"] == 500
+    assert 0 < rep["rows_out"] < 500  # the band filtered something
+
+
 def test_curation_stages_run_in_streaming(spark, docs, tmp_path):
     """The stateless curation stages (quality predicates, PII scrub,
     split assignment) are plain column expressions, so the SAME code

@@ -256,11 +256,21 @@ def cmd_curate(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="wbs-curate-cli")
     docs = spark.read.parquet(args.docs)
     eval_set = spark.read.parquet(args.eval) if args.eval else None
+    lm = None
+    if args.lm_ref and (args.max_ppl is not None or args.min_ppl is not None):
+        from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+        lm = train_bigram_lm(spark.read.parquet(args.lm_ref))
     curated = curate_corpus(
         docs,
         eval_set,
         min_tokens=args.min_tokens,
         max_dup_word_frac=args.max_dup_word_frac,
+        lm=lm,
+        max_ppl=args.max_ppl,
+        min_ppl=args.min_ppl,
+        strip_spans=args.strip_spans,
+        span_k=args.span_k,
         scrub=not args.no_scrub,
     )
     write_curated(curated, args.out)
@@ -352,6 +362,19 @@ def build_parser() -> argparse.ArgumentParser:
     curate.add_argument("--min-tokens", type=int, default=10)
     curate.add_argument("--max-dup-word-frac", type=float, default=0.9)
     curate.add_argument("--no-scrub", action="store_true")
+    curate.add_argument(
+        "--lm-ref", default=None,
+        help="Reference-corpus parquet to train the bigram LM on; "
+        "enables the perplexity band when --max-ppl/--min-ppl is set",
+    )
+    curate.add_argument("--max-ppl", type=float, default=None)
+    curate.add_argument("--min-ppl", type=float, default=None)
+    curate.add_argument(
+        "--strip-spans", action="store_true",
+        help="Exact substring-span dedup over the survivors "
+        "(Lee et al. 2022; output text is the stripped rebuild)",
+    )
+    curate.add_argument("--span-k", type=int, default=13)
     curate.set_defaults(func=cmd_curate)
     return p
 
