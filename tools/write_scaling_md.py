@@ -94,11 +94,18 @@ def main(path: str) -> int:
         "pipeline row (neardup_components — pair generation + CC) is",
         "the upstream corpus-wide exact n-gram Jaccard join, which",
         "round 6 cut 723 s → ~500-640 s via the 64-bit hashed shingle",
-        "index (two official single-run points: 495.7 / 642.5 s — the",
-        "multi-minute single-cold-run point swings ~30% with JVM/page-",
-        "cache state, so treat it as a band, not a point);",
-        "neardup_components@sf100 stays a SINGLE cold run (opt-in via",
-        "SPARK_GRAFT_CC_SF100=1).",
+        "index (official single-run points: 495.7 / 642.5 s in round 6,",
+        "414.2 s in round 7 — the multi-minute single-cold-run point",
+        "swings ~30% with JVM/page-cache state, so treat it as a band,",
+        "not a point); neardup_components@sf100 stays a SINGLE cold run",
+        "(opt-in via SPARK_GRAFT_CC_SF100=1).",
+        "",
+        "bigram_lm_corpus (round 7) is the broadcast_model=False LM",
+        "scoring route: train on the resident corpus + score all docs,",
+        "one plan. Linear through sf10; the sf10→sf100 step (9.8→204 s,",
+        "~21× for 10× data) is the 500M-row bigram explode spilling",
+        "through one box's shuffle — same one-host effect as",
+        "span_strip_full's site shuffle, volume-linear on a cluster.",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
