@@ -1398,6 +1398,25 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles
+    (operators/text.py ppl_bucket_assign): score every doc under the
+    %7==3 reference LM (the bigram_lm_ppl model), then NTILE(3) over
+    (ppl, doc_id) — the exact, SQL-mirrorable mode; the approx
+    (sketch-threshold, no-global-sort) mode is the production path
+    and its agreement with exact is pinned in tests/test_lm.py."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        ppl_bucket_assign,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    scores = bigram_lm_score(docs, uni, bi)
+    return ppl_bucket_assign(scores, mode="exact").orderBy("doc_id")
+
+
 _NB_CLASSES = ["de", "en", "es", "fr", "zh"]
 
 
@@ -2191,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
         "nb_lang_predict": q_nb_lang_predict,
+        "ppl_buckets": q_ppl_buckets,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -3180,6 +3200,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, logw, round(k0, 4) AS key
             FROM sel ORDER BY doc_id
+        """,
+        # ppl_buckets: the bigram_lm_ppl scoring CTEs + standard-SQL
+        # NTILE(3) over (ppl NULLS LAST, doc_id) — identical tercile
+        # remainder semantics in both engines.
+        "ppl_buckets": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), ref AS (
+                SELECT * FROM t WHERE doc_id % 7 = 3
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+            ), v AS (
+                SELECT count(*) + 1 AS vs FROM uni
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                      FROM ref,
+                           LATERAL (SELECT unnest(range(len(toks) - 1))
+                                    AS i) u
+                      WHERE len(toks) >= 2)
+                GROUP BY w1, w2
+            ), db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ), sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ), agg AS (
+                SELECT doc_id,
+                       round(pow(2.0, round(avg(-lp), 4)), 4) AS ppl
+                FROM sc GROUP BY doc_id
+            ), p AS (
+                SELECT t.doc_id, agg.ppl
+                FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ), tiled AS (
+                SELECT doc_id, ppl,
+                       ntile(3) OVER (ORDER BY ppl NULLS LAST, doc_id)
+                           AS tile
+                FROM p
+            )
+            SELECT doc_id, ppl,
+                   CASE tile WHEN 1 THEN 'head'
+                             WHEN 2 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+            FROM tiled ORDER BY doc_id
         """,
         # NB classifier: same portable bucketing as dsir_scores; the
         # argmax runs over 4-dp-ROUNDED scores in both engines, and

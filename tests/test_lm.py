@@ -122,6 +122,43 @@ def test_score_plan_is_broadcast_and_python_free(spark, model):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_ppl_bucket_modes_agree(spark):
+    """The approx (sketch-threshold, production) and exact (global
+    ntile, verification) tercile assignments agree on ~all docs; the
+    approx plan has no single-partition global-sort window."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 7 == 3)
+    uni, bi = T.train_bigram_lm(ref)
+    scores = T.bigram_lm_score(docs, uni, bi).cache()
+    try:
+        exact = {
+            r.doc_id: r.bucket
+            for r in T.ppl_bucket_assign(scores, mode="exact").collect()
+        }
+        approx = {
+            r.doc_id: r.bucket
+            for r in T.ppl_bucket_assign(scores, mode="approx").collect()
+        }
+        n = len(exact)
+        agree = sum(1 for k in exact if exact[k] == approx[k])
+        assert agree / n >= 0.97, (agree, n)
+        # every bucket non-empty in both modes
+        assert set(exact.values()) == {"head", "middle", "tail"}
+        assert set(approx.values()) == {"head", "middle", "tail"}
+        # approx mode: no ntile window in the plan (no global sort)
+        plan = (
+            T.ppl_bucket_assign(scores, mode="approx")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ntile" not in plan.lower(), plan
+    finally:
+        scores.unpersist()
+    with pytest.raises(ValueError, match="unknown mode"):
+        T.ppl_bucket_assign(scores, mode="median")
+
+
 def test_corpus_scale_route_degrades_to_shuffle_joins(spark, model):
     """broadcast_model=False is the 100 TB route — a corpus-trained
     model's count tables won't broadcast. The route carries no hint,

@@ -108,6 +108,7 @@ BNLJ_ALLOWED = {
     "dsir_scores": "two 1-row gram-total scalar broadcasts (operators/dsir.py dsir_logratio)",
     "dsir_resample": "two 1-row gram-total scalar broadcasts (operators/dsir.py dsir_logratio)",
     "nb_lang_predict": "1-row class-totals + priors scalar broadcasts (operators/classifier.py)",
+    "ppl_buckets": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",

@@ -376,6 +376,61 @@ def bigram_lm_score(
     )
 
 
+def ppl_bucket_assign(
+    scores,
+    mode: str = "approx",
+    id_col: str = "doc_id",
+    ppl_col: str = "ppl",
+    relative_error: float = 0.01,
+):
+    """CCNet's head/middle/tail bucket assignment (Wenzek et al.,
+    LREC 2020 §3: the corpus is split into perplexity terciles and
+    downstream consumers pick a band). Input is a scored frame
+    (``bigram_lm_score`` output or any (id, ppl)); returns
+    (``id_col``, ``ppl_col``, ``bucket``) with bucket ∈
+    head/middle/tail, NULL-ppl docs (no bigrams) sorting last →
+    tail.
+
+    ``mode="approx"`` (default, the production path): two tercile
+    thresholds from ``approxQuantile`` (Greenwald-Khanna sketch, one
+    pass, driver gets TWO doubles — an eager job, like every
+    stats-probe in this repo) and a map-side comparison — no global
+    sort, scales to any corpus.
+    ``mode="exact"``: ``ntile(3)`` over a GLOBAL ordering
+    (ppl, id) — verification-grade, byte-stable, SQL-mirrorable, but
+    a single-partition window: use it for oracles and small frames,
+    never at corpus scale (the same exact/approx split as
+    plans/range_metrics.py's re-aggregations). Agreement between the
+    modes is ~1 − relative_error by construction, pinned in tests."""
+    from pyspark.sql import Window
+
+    if mode == "exact":
+        w = Window.orderBy(
+            F.col(ppl_col).asc_nulls_last(), F.col(id_col).asc()
+        )
+        tile = F.ntile(3).over(w)
+        bucket = (
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+        )
+        return scores.select(
+            id_col, ppl_col, bucket.alias("bucket")
+        )
+    if mode != "approx":
+        raise ValueError(f"unknown mode {mode!r}")
+    t1, t2 = scores.approxQuantile(
+        ppl_col, [1 / 3, 2 / 3], relative_error
+    )
+    bucket = (
+        F.when(F.col(ppl_col).isNull(), "tail")
+        .when(F.col(ppl_col) <= t1, "head")
+        .when(F.col(ppl_col) <= t2, "middle")
+        .otherwise("tail")
+    )
+    return scores.select(id_col, ppl_col, bucket.alias("bucket"))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Portable across engines (used by the
