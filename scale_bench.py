@@ -127,6 +127,24 @@ def prepare_stores(spark, sf_dir) -> None:
         _p(sf_dir, "window_index")
     )
 
+    # Round-7 scoring-model standing assets: the DSIR log-ratio table
+    # (target = the stored new batch, raw = the corpus) and the NB
+    # classifier weight/prior tables are fit ONCE per corpus — like
+    # the band tables, a model is a standing asset reused by every
+    # scoring run, so the timed rows below measure SCORING (the
+    # per-run production cost), and the stored-model metadata guards
+    # get exercised on the real parquet round-trip.
+    from wroclaw_bike_stats_spark.operators.classifier import nb_train
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_logratio
+
+    new_d = spark.read.parquet(_p(sf_dir, "new_docs"))
+    dsir_logratio(new_d, docs).write.mode("overwrite").parquet(
+        _p(sf_dir, "dsir_model")
+    )
+    nb_w, nb_p = nb_train(old, NB_CLASSES, label_col="lang")
+    nb_w.write.mode("overwrite").parquet(_p(sf_dir, "nb_weights"))
+    nb_p.write.mode("overwrite").parquet(_p(sf_dir, "nb_priors"))
+
     emb = _emb(spark, sf_dir)
     emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
         _p(sf_dir, "new_emb")
@@ -233,6 +251,38 @@ def bigram_lm_corpus(spark, sf_dir):
     return bigram_lm_score(docs, uni, bi, broadcast_model=False)
 
 
+NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def dsir_score_corpus(spark, sf_dir):
+    """DSIR scoring at corpus scale against the STORED model (fit
+    once in prepare_stores — a selection model is a standing asset):
+    every doc scored via gram explode → broadcast B-row bucket join
+    → one per-doc sum, the same linear class as bigram_lm_corpus.
+    Default xxhash64 bucketing (the production scheme; the portable
+    md5 scheme exists for oracles). Reading the model from parquet
+    also exercises the scheme-metadata guard on the real footer."""
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    model = spark.read.parquet(_p(sf_dir, "dsir_model"))
+    return dsir_scores(docs, model)
+
+
+def nb_predict_corpus(spark, sf_dir):
+    """Supervised hashed-feature classifier at corpus scale: stored
+    NB lang model (trained on the resident slice in prepare_stores),
+    every doc scored + argmax'd — the same
+    explode→broadcast→groupBy(doc) shape as dsir_score_corpus plus
+    the C-way aggregate."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
+
+    docs = _docs(spark, sf_dir)
+    weights = spark.read.parquet(_p(sf_dir, "nb_weights"))
+    priors = spark.read.parquet(_p(sf_dir, "nb_priors"))
+    return nb_predict(docs, weights, priors, NB_CLASSES)
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -251,6 +301,8 @@ FAMILY = {
     "span_strip_full": span_strip_full,
     "span_strip_incremental": span_strip_incremental,
     "bigram_lm_corpus": bigram_lm_corpus,
+    "dsir_score_corpus": dsir_score_corpus,
+    "nb_predict_corpus": nb_predict_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
@@ -311,6 +363,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPARK_GRAFT_ONLY=a,b restricts the run to the named rows (for
+    # re-measuring a newly added family without repeating the ~50 min
+    # full sweep); SPARK_GRAFT_SKIP_PREPARE=1 reuses the standing
+    # stores already on disk from a prior full run (they are inputs,
+    # not measurements — skipping is safe iff nothing upstream of
+    # them changed). Subset output is merged into SCALING.json by
+    # tools/merge_scaling.py; the OFFICIAL per-round number remains
+    # the unfiltered run.
+    only = set(filter(None, os.environ.get("SPARK_GRAFT_ONLY", "").split(",")))
+
     queries = entry_mod.queries()
     for tag in DEDUP_POINTS:
         sf_dir = sf_dir_of(tag)
@@ -323,7 +385,8 @@ def main() -> int:
                 )
             )
             return 1
-        prepare_stores(spark, sf_dir)
+        if not os.environ.get("SPARK_GRAFT_SKIP_PREPARE"):
+            prepare_stores(spark, sf_dir)
 
     # warmup (JVM, Arrow workers)
     queries["pricing_summary"](spark, SF01).collect()
@@ -331,11 +394,15 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for name, fn in FAMILY.items():
+        if only and name not in only:
+            continue
         for tag in DEDUP_POINTS:
             sec, rows = _time(fn, spark, sf_dir_of(tag))
             results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
     for name, points in ENTRY_POINTS.items():
+        if only and name not in only:
+            continue
         fn = queries[name]
         if name == "neardup_components" and os.environ.get(
             "SPARK_GRAFT_CC_SF100"
@@ -363,6 +430,8 @@ def main() -> int:
             if base > 0:
                 summary[name][RATIO_KEY[tag]] = round(r[tag]["sec"] / base, 2)
     for incr, full in INCREMENTAL_OF.items():
+        if incr not in results or full not in results:
+            continue
         for pt in ("sf1", "sf10", "sf100"):
             if pt in results[incr] and pt in results[full]:
                 summary[incr][f"speedup_vs_full_recompute_{pt}"] = round(

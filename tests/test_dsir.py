@@ -54,6 +54,22 @@ def test_resample_prefers_high_weight_and_is_deterministic(spark, corpus):
     assert sum(1 for i in a if i % 2 == 0) >= 15
 
 
+def test_null_and_empty_text_still_score(spark, corpus):
+    """NULL/empty text coalesces to the single empty-token gram —
+    every doc gets a score row (the module's NULL contract; a NULL
+    explode would silently drop the doc)."""
+    weird = corpus.unionByName(
+        corpus.sparkSession.createDataFrame(
+            [(900, None), (901, ""), (902, "   ")],
+            "doc_id long, text string",
+        )
+    )
+    model = DS.dsir_logratio(weird.limit(5), weird)
+    got = {r.doc_id: r.n_grams for r in DS.dsir_scores(weird, model).collect()}
+    assert got[900] == got[901] == got[902] == 1
+    assert len(got) == 63
+
+
 def test_model_scheme_guard(spark, corpus):
     target = corpus.filter(F.col("doc_id") < 8)
     model = DS.dsir_logratio(target, corpus, num_buckets=1024)

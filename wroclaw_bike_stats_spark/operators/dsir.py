@@ -57,8 +57,11 @@ _M32 = 4294967296
 def _grams(col: Column) -> Column:
     """Unigrams + adjacent-pair bigrams as one ``array<string>`` —
     the paper's hashed feature set. Bigrams join with a single space
-    (whitespace tokens make that injective)."""
-    toks = tokens(col)
+    (whitespace tokens make that injective). NULL text coalesces to
+    empty (one empty-token unigram) so every doc yields grams and a
+    score row — the same NULL contract as the span-dedup family and
+    the DuckDB oracles' ``coalesce(text, '')``."""
+    toks = tokens(F.coalesce(col, F.lit("")))
     n = F.size(toks)
     bi = F.when(
         n >= 2,
