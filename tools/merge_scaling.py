@@ -44,8 +44,10 @@ def main() -> int:
         {"source": subset_path, "queries": merged}
     )
 
+    # single line: tools/write_scaling_md.py keys on a line starting
+    # with {"metric": "scaling
     with open(target_path, "w") as f:
-        json.dump(full, f, indent=1)
+        json.dump(full, f)
         f.write("\n")
     print(f"merged {merged} into {target_path}")
     return 0
