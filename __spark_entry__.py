@@ -1618,6 +1618,45 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster duplicate pairs (operators/semdedup.py;
+    Abbas et al. arXiv:2303.09540): k=8 deterministic sampled
+    centroids (min ids — SQL-reproducible), zero-Exchange matmul
+    assignment, per-cluster Gram matmul emitting cosine ≥ τ pairs.
+    τ=0.4 is tuned to the synthetic embeddings' cosine range (max
+    pairwise ~0.51); the code path is threshold-independent."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, num_clusters=8, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup closure: duplicate groups = connected components of
+    the within-cluster pair graph, kept representative = min id
+    (the oracle-checkable keep rule; the paper's far-from-centroid
+    rule is covered by tests/test_semdedup.py)."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = semdedup_keep(emb, num_clusters=8, threshold=0.4)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup profile — the operational check that
+    num_clusters keeps cluster sizes (and the per-task Gram cost)
+    bounded."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_stats(emb, num_clusters=8, threshold=0.4).orderBy(
+        "centroid_id"
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → bytes payload; byte length +
     digest computed on the binary column (decode stays stubbed —
@@ -2211,6 +2250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "nb_lang_predict": q_nb_lang_predict,
         "ppl_buckets": q_ppl_buckets,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keep": q_semdedup_keep,
+        "semdedup_stats": q_semdedup_stats,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -2358,6 +2400,42 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 # labels spread along edges; min reachable id per node == the hash-min
 # fixpoint the Spark operator computes. Shared by the two component
 # oracles. Needs WITH RECURSIVE at the head of the statement.
+# SemDeDup oracle: k=8 deterministic centroids (min vec_ids), argmax-
+# cosine assignment (ties to smallest centroid id — the Spark UDF's
+# argmax-first-maximum over ids-ascending), within-cluster pairs at
+# round(cos,6) >= 0.4. DOUBLE[] casts per the embedding_topk rationale.
+_SEMDEDUP_CTE = """
+cent AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                       c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+sd_pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+               AS cosine_sim
+    FROM assign a
+    JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= 0.4
+)
+"""
+
+
 _COMPONENTS_CTE = (
     _SHINGLES_CTE
     + """,
@@ -3635,6 +3713,49 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        """,
+        "semdedup_pairs": f"""
+            WITH {_SEMDEDUP_CTE}
+            SELECT id_a, id_b, cosine_sim FROM sd_pairs
+            ORDER BY id_a, id_b
+        """,
+        "semdedup_keep": f"""
+            WITH RECURSIVE {_SEMDEDUP_CTE},
+            sd_edges AS (
+                SELECT id_a AS u, id_b AS v FROM sd_pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM sd_pairs
+            ),
+            sd_walk(node, comp) AS (
+                SELECT u, u FROM sd_edges
+                UNION
+                SELECT e.v, w.comp FROM sd_walk w JOIN sd_edges e
+                ON e.u = w.node
+            ),
+            sd_comps AS (
+                SELECT node, min(comp) AS component_id
+                FROM sd_walk GROUP BY node
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM sd_comps
+                                 WHERE node <> component_id)
+            ORDER BY vec_id
+        """,
+        "semdedup_stats": f"""
+            WITH {_SEMDEDUP_CTE},
+            sd_sizes AS (
+                SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid
+            ),
+            sd_per_cluster AS (
+                SELECT a.cid, count(*) AS n_dup_pairs
+                FROM sd_pairs p JOIN assign a ON a.vec_id = p.id_a
+                GROUP BY a.cid
+            )
+            SELECT s.cid AS centroid_id,
+                   CAST(s.n_vectors AS BIGINT) AS n_vectors,
+                   CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+            FROM sd_sizes s LEFT JOIN sd_per_cluster pc ON pc.cid = s.cid
+            ORDER BY centroid_id
         """,
         "multimodal_bytes": """
             SELECT doc_id,

@@ -1,0 +1,156 @@
+"""SemDeDup (operators/semdedup.py): cluster-scoped semantic dedup.
+
+Synthetic corpus with PLANTED duplicate groups: a few well-separated
+base directions, each duplicated with tiny noise — near-identical
+cosine (>0.99) inside a group, low cosine across groups. Assertions
+are against the planted ground truth plus route differentials
+(cluster_matmul vs join), never against a re-derivation of the same
+code path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import semdedup as SD
+
+DIM = 16
+THRESH = 0.9
+
+
+def _mk_corpus(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, DIM))
+    rows = []
+    groups = []
+    # ids 0..5 = ONE member per group: num_clusters=6 samples the 6
+    # smallest ids as centroids (ivf_assign), so each centroid is a
+    # distinct planted direction. (Giving one group's near-identical
+    # dups ids 0,1,2 makes three ~identical centroids that split the
+    # group across clusters — real corpora hit that with k-means or a
+    # larger k; the sampled-centroid path needs diverse seeds.)
+    vid = 6
+    for g in range(6):
+        n_dup = [3, 1, 4, 2, 1, 5][g]  # groups of 1 are singletons
+        rows.append((g, [float(x) for x in base[g] + rng.normal(scale=0.01, size=DIM)]))
+        ids = [g]
+        for _ in range(n_dup - 1):
+            v = base[g] + rng.normal(scale=0.01, size=DIM)
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        groups.append(ids)
+    # noise vectors, far from everything with high probability
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.normal(size=DIM)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, groups
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df, groups = _mk_corpus(spark)
+    return df.cache(), groups
+
+
+def _brute_pairs(spark, df):
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(df, threshold=THRESH, method="bruteforce")
+
+
+def test_pairs_routes_agree(spark, corpus):
+    df, _ = corpus
+    mm = SD.semdedup_pairs(df, num_clusters=6, threshold=THRESH)
+    jn = SD.semdedup_pairs(
+        df, num_clusters=6, threshold=THRESH, pair_method="join"
+    )
+    a = {(r.id_a, r.id_b, r.cosine_sim) for r in mm.collect()}
+    b = {(r.id_a, r.id_b, r.cosine_sim) for r in jn.collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_recall_vs_bruteforce(spark, corpus):
+    """Planted near-identical dups land in one cluster — recall vs the
+    all-pairs brute force should be high (cross-cluster misses are the
+    documented approximation; near-identical pairs survive it)."""
+    df, _ = corpus
+    exact = {(r.id_a, r.id_b) for r in _brute_pairs(spark, df).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in SD.semdedup_pairs(df, num_clusters=6, threshold=THRESH).collect()
+    }
+    assert got <= exact  # within-cluster pairs are a subset of all pairs
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_keep_min_id_collapses_planted_groups(spark, corpus):
+    df, groups = corpus
+    kept = {
+        r.vec_id
+        for r in SD.semdedup_keep(df, num_clusters=6, threshold=THRESH).collect()
+    }
+    for ids in groups:
+        present = kept & set(ids)
+        # group collapsed to exactly its min id (if the cluster stage
+        # kept the group together — asserted via recall above)
+        if len(present) == 1:
+            assert present == {min(ids)}
+    # singleton groups and noise vectors are always kept
+    n_noise = df.count() - sum(len(g) for g in groups)
+    assert len(kept) >= n_noise + len(groups)
+
+
+def test_far_from_centroid_keeps_least_prototypical(spark):
+    """3 near-dups at increasing distance from the cluster centroid:
+    the paper rule keeps the farthest-from-centroid member, not the
+    min id."""
+    base = np.zeros(DIM)
+    base[0] = 1.0
+    off = np.zeros(DIM)
+    off[1] = 1.0
+    rows = []
+    # num_clusters=1 with the sampled centroid = the min-id vector
+    # (ivf_assign seeds from ids ascending) -> centroid is the anchor
+    rows.append((0, [float(x) for x in base]))
+    # dup group: progressively rotated away from the anchor; all
+    # pairwise cosines stay >= cos(0.04) ~ 0.999 (within-group) while
+    # centroid similarity strictly decreases with the angle
+    for j, ang in enumerate((0.20, 0.22, 0.24)):
+        v = np.cos(ang) * base + np.sin(ang) * off
+        rows.append((10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r.vec_id
+        for r in SD.semdedup_keep(
+            df, num_clusters=1, threshold=0.99, keep="far_from_centroid"
+        ).collect()
+    }
+    # group {10,11,12} collapses to 12 (farthest from centroid);
+    # the anchor itself is near-dup of nothing at 0.99? cos(0.20)=0.980
+    # < 0.99, so the anchor stays a singleton.
+    assert kept == {0, 12}
+
+
+def test_stats_consistent(spark, corpus):
+    df, _ = corpus
+    stats = SD.semdedup_stats(df, num_clusters=6, threshold=THRESH)
+    rows = stats.collect()
+    assert sum(r.n_vectors for r in rows) == df.count()
+    n_pairs = SD.semdedup_pairs(df, num_clusters=6, threshold=THRESH).count()
+    assert sum(r.n_dup_pairs for r in rows) == n_pairs
+
+
+def test_zero_norm_vector_never_duplicates(spark):
+    rows = [(0, [1.0] * DIM), (1, [1.0] * DIM), (2, [0.0] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = SD.semdedup_pairs(df, num_clusters=1, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    kept = {r.vec_id for r in SD.semdedup_keep(df, num_clusters=1).collect()}
+    assert kept == {0, 2}

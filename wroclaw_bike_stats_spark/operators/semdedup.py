@@ -1,0 +1,266 @@
+"""SemDeDup: cluster-scoped semantic deduplication.
+
+Spark-first re-expression of the SemDeDup recipe (Abbas et al.,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540): instead of a corpus-wide near-dup
+search, cluster the embedding space coarsely, compare vectors only
+WITHIN their cluster, and keep one representative per duplicate
+group. Cross-cluster duplicates are missed BY DESIGN — that is
+exactly what turns the O(n²) pairwise cost into O(Σ cᵢ²), and recall
+vs brute force is measured in tests/test_semdedup.py rather than
+assumed.
+
+Pipeline (every stage reuses an existing scale-shaped operator):
+
+1. k coarse centroids — deterministic corpus sample
+   (``similarity.ivf_assign``), optionally Lloyd-refined
+   (``kmeans_refine``); every vector assigned to its nearest centroid
+   by the zero-Exchange Arrow-matmul ``assign_to_centroids``.
+2. Pairwise cosine within each cluster only. Default route
+   (``pair_method="cluster_matmul"``): one ``applyInPandas`` task per
+   cluster computes the normalized Gram matrix with a single matmul
+   and emits only the upper-triangle pairs ≥ threshold. Per-task
+   memory is O(cᵢ·dim + cᵢ²) — the SemDeDup contract is that
+   ``num_clusters`` scales with the corpus so cluster sizes stay
+   bounded (the paper runs k=50 000 over LAION-440M ≈ 9k
+   vectors/cluster; at 100 TB pick k ≈ n / 10k and the Gram matrix
+   stays ≤ ~1 GB/task). ``pair_method="join"`` is the relational
+   fallback — within-cluster candidate equi-join + the shared
+   ``similarity._cosine_verify`` — kept for differential testing and
+   for corpora where a hot cluster would blow the matmul budget.
+3. Duplicate groups = connected components of the pair graph
+   (``components.connected_components`` with ``rebalance_edges=True``
+   — the pairs arrive off a shuffle, so phase 1's per-partition
+   union-find must not inherit a skewed layout). One kept
+   representative per group: ``keep="min_id"`` (deterministic,
+   oracle-checkable in SQL) or ``keep="far_from_centroid"`` — the
+   paper's rule: keep the member LEAST similar to its cluster
+   centroid (the least prototypical example), ties to min id.
+
+Reference parity: the reference repo (wojciechkarcz/wroclaw-bike-stats)
+has no embedding operators — this family belongs to the
+beyond-reference LLM-data-pipeline charter (SURVEY.md §6), sitting
+beside MinHash/SimHash (lexical), span dedup (substring) and
+hyperplane-LSH (uncclustered semantic) as the cluster-scoped semantic
+route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+from wroclaw_bike_stats_spark.operators.similarity import (
+    _cosine_verify,
+    _make_cosine_udf,
+    _vec_matrix,
+    assign_to_centroids,
+    ivf_assign,
+    kmeans_refine,
+)
+
+__all__ = [
+    "semdedup_assign",
+    "semdedup_pairs",
+    "semdedup_keep",
+    "semdedup_stats",
+]
+
+
+def semdedup_assign(
+    corpus: DataFrame,
+    num_clusters: int = 8,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned corpus) for the SemDeDup cluster stage.
+
+    ``refine_iters=0`` keeps the deterministic sampled centroids (the
+    k smallest ids — reproducible in SQL, used by the oracle gates);
+    ``refine_iters>0`` Lloyd-refines them (better balance, no longer
+    SQL-expressible — covered by contract tests instead)."""
+    centroids, assigned = ivf_assign(
+        corpus, num_centroids=num_clusters, id_col=id_col, vec_col=vec_col
+    )
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            corpus, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    return centroids, assigned
+
+
+def _cluster_pairs_matmul(
+    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Upper-triangle cosine pairs ≥ threshold, one Gram matmul per
+    cluster group. Emits (id_a, id_b, cosine_sim) with id_a < id_b;
+    cosine rounded to 6 dp BEFORE thresholding — the family-wide
+    convention (`similarity._cosine_verify`) so every route and the
+    DuckDB oracles agree at the boundary."""
+    import numpy as np
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def emit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        E = _vec_matrix(pdf[vec_col], np)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine_sim": []}
+            ).astype({"cosine_sim": "float64"})
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            En = E / norms
+        S = np.round(En @ En.T, 6)
+        iu, ju = np.triu_indices(len(pdf), k=1)
+        # NaN (zero-norm vector) compares False -> never a duplicate,
+        # matching _make_cosine_udf's NaN falling the >= filter.
+        hit = S[iu, ju] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[hit]],
+                "id_b": ids[ju[hit]],
+                "cosine_sim": S[iu[hit], ju[hit]],
+            }
+        )
+
+    return assigned.groupBy("centroid_id").applyInPandas(emit, out_schema)
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.4,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_method: str = "cluster_matmul",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """All within-cluster (a<b) pairs with cosine ≥ threshold:
+    (id_a, id_b, cosine_sim). Pass a precomputed ``assigned`` (from
+    ``semdedup_assign``) to reuse the cluster stage across calls."""
+    if assigned is None:
+        _, assigned = semdedup_assign(
+            corpus, num_clusters, refine_iters, id_col, vec_col
+        )
+    if pair_method == "cluster_matmul":
+        return _cluster_pairs_matmul(assigned, threshold, id_col, vec_col)
+    if pair_method == "join":
+        a = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
+        b = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
+        cands = a.join(b, "centroid_id").filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        return _cosine_verify(cands, corpus, threshold, id_col, vec_col)
+    raise ValueError(f"unknown pair_method {pair_method!r}")
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.4,
+    refine_iters: int = 0,
+    keep: str = "min_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_method: str = "cluster_matmul",
+) -> DataFrame:
+    """SemDeDup closure: the corpus with every duplicate group
+    collapsed to one representative (rows absent from the pair graph
+    are singletons and kept).
+
+    ``keep="min_id"``: representative = smallest id (deterministic,
+    mirrors ``components.keep_canonical`` and the SQL oracles).
+    ``keep="far_from_centroid"``: the paper's rule — representative =
+    the group member with the LOWEST cosine to its cluster centroid,
+    ties to min id.
+    """
+    centroids, assigned = semdedup_assign(
+        corpus, num_clusters, refine_iters, id_col, vec_col
+    )
+    pairs = semdedup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        pair_method=pair_method,
+        assigned=assigned,
+    )
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", rebalance_edges=True
+    )
+    if keep == "min_id":
+        return keep_canonical(corpus, comps=comps, id_col=id_col)
+    if keep != "far_from_centroid":
+        raise ValueError(f"unknown keep {keep!r}")
+    # Paper rule: per component, keep the least-prototypical member.
+    # centroid cosine is recomputed via a k-row broadcast equi-join on
+    # centroid_id (assign_to_centroids returns the id only — keeping
+    # its zero-Exchange plan for the common path).
+    sim = _make_cosine_udf()(F.col(vec_col), F.col("centroid_vec"))
+    csim = (
+        assigned.join(F.broadcast(centroids), "centroid_id")
+        .select(F.col(id_col).alias("node"), F.round(sim, 6).alias("c_sim"))
+    )
+    keepers = (
+        comps.join(csim, "node")
+        .groupBy("component_id")
+        .agg(F.min_by("node", F.struct("c_sim", "node")).alias("keep_id"))
+    )
+    drops = (
+        comps.join(keepers, "component_id")
+        .filter(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return corpus.join(drops, id_col, "left_anti")
+
+
+def semdedup_stats(
+    corpus: DataFrame,
+    num_clusters: int = 8,
+    threshold: float = 0.4,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster SemDeDup profile: (centroid_id, n_vectors,
+    n_dup_pairs) — the operational view that tells an operator whether
+    ``num_clusters`` is keeping cluster sizes (and so the per-task
+    Gram cost) bounded. Both ends of a pair share a cluster, so the
+    pair→cluster attribution joins on id_a only."""
+    _, assigned = semdedup_assign(
+        corpus, num_clusters, refine_iters, id_col, vec_col
+    )
+    pairs = semdedup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        assigned=assigned,
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    per_cluster = (
+        pairs.join(
+            assigned.select(F.col(id_col).alias("id_a"), "centroid_id"), "id_a"
+        )
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+    return (
+        sizes.join(per_cluster, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        )
+    )
