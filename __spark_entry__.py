@@ -1313,6 +1313,27 @@ def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter n-gram decontamination (operators/pipeline.py
+    decontaminate_ngram_bloom): same semantics — and the SAME oracle —
+    as decontam_ngram, reached through a broadcast Bloom bitset + one
+    narrow corpus probe pass + exact verification of the suspect
+    sliver only. The route for blocklists too large to broadcast as a
+    hash relation (false negatives impossible, so verify=True equals
+    the exact result)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        decontaminate_ngram_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        decontaminate_ngram_bloom(docs, eval_set, n=5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition gate (plans/curate.py): every
     stage — decontaminate → token/dup-word quality filter → top-2-gram
@@ -2253,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
         "semdedup_stats": q_semdedup_stats,
+        "decontam_bloom": q_decontam_bloom,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -2400,6 +2422,31 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 # labels spread along edges; min reachable id per node == the hash-min
 # fixpoint the Spark operator computes. Shared by the two component
 # oracles. Needs WITH RECURSIVE at the head of the statement.
+_DECONTAM_NGRAM_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i : i + 4], ' ') AS g
+        FROM tok,
+             LATERAL unnest(range(1, greatest(len(toks) - 4, 1) + 1))
+                 AS t(i)
+    ),
+    ev AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ),
+    hit AS (
+        SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM ev)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+    ORDER BY doc_id
+"""
+
+
 # SemDeDup oracle: k=8 deterministic centroids (min vec_ids), argmax-
 # cosine assignment (ties to smallest centroid id — the Spark UDF's
 # argmax-first-maximum over ids-ascending), within-cluster pairs at
@@ -3096,29 +3143,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
-        "decontam_ngram": r"""
-            WITH tok AS (
-                SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\s+') AS toks
-                FROM documents
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(toks[i : i + 4], ' ') AS g
-                FROM tok,
-                     LATERAL unnest(range(1, greatest(len(toks) - 4, 1) + 1))
-                         AS t(i)
-            ),
-            ev AS (
-                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
-            ),
-            hit AS (
-                SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM ev)
-            )
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT doc_id FROM hit)
-            ORDER BY doc_id
-        """,
+        "decontam_ngram": _DECONTAM_NGRAM_SQL,
+        # The bloom route is a PREFILTER for the identical semantics —
+        # verify=True makes its result equal the exact n-gram
+        # decontamination, so the two gates share one oracle string.
+        "decontam_bloom": _DECONTAM_NGRAM_SQL,
         # The curation oracle chains the per-operator oracle fragments
         # (decontam anti-join, whitespace-token quality predicates,
         # 2-gram repetition share, keep-min dedup window, Knuth hash

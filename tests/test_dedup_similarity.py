@@ -628,3 +628,21 @@ def test_raw_shingle_pass_shared_across_cap_variants(spark, docs):
         ), "capless variant did not reuse the cached raw shingle pass"
     finally:
         D.release_scratch()
+
+
+def test_shingle_hash_batch_flat_tokens_shorter_than_n():
+    """Regression (r07): a batch whose WHOLE flat token array is
+    shorter than n (tiny probe batches, short eval sets) used to
+    misalign the polynomial tail add (negative slice end wraps to a
+    non-empty window) and raise. Short docs must come out via the
+    whole-doc-shingle path, identical to a batch that also contains
+    long docs."""
+    import numpy as np
+
+    h1, c1 = D._shingle_hash_batch(["tiny doc"], 13, np)
+    assert list(c1) == [1] and len(h1) == 1
+    # same doc inside a batch with enough flat tokens -> same hash
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    h2, c2 = D._shingle_hash_batch(["tiny doc", long_doc], 13, np)
+    assert list(c2) == [1, 30 - 12]
+    assert h2[0] == h1[0]

@@ -499,7 +499,12 @@ def _shingle_hash_batch(texts, n: int, np):
         poly = th.copy()
         for k in range(1, n):
             poly = poly * P
-            poly[: len(th) - k] += th[k:]
+            # k >= len(th): th[k:] is empty but the negative slice end
+            # would wrap to a NON-empty window — a whole Arrow batch
+            # with fewer than n flat tokens (tiny probe batches, short
+            # eval sets) hit exactly this misalignment
+            if k < len(th):
+                poly[: len(th) - k] += th[k:]
         poly = poly[: max(len(th) - (n - 1), 0)]
     idx = np.arange(len(poly))
     doc_of = np.repeat(np.arange(len(tc)), tc)[: len(poly)]

@@ -149,6 +149,168 @@ def decontaminate_ngram(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def _bloom_bitset_params(n_keys: int, bits_per_key: int) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a Bloom filter sized at ``bits_per_key``
+    bits per key. m rounds up to a power of two so every position is a
+    mask, not a modulo; optimal k = m/n·ln2 ≈ 0.69·bits_per_key."""
+    import math
+
+    m = 1 << max(6, (max(n_keys, 1) * bits_per_key - 1).bit_length())
+    k = max(1, round(m / max(n_keys, 1) * math.log(2)))
+    return m, min(k, 30)
+
+
+def _bloom_positions(h, m: int, k: int, np):
+    """(len(h), k) bit positions via Kirsch–Mitzenmacher double
+    hashing: pos_i = h1 + i·h2 (mod m), h2 forced odd so the stride
+    walks the full power-of-two table."""
+    h1 = h & np.uint64(m - 1)
+    h2 = ((h >> np.uint64(33)) << np.uint64(1)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m - 1)
+
+
+def build_ngram_bloom(
+    eval_set: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    bits_per_key: int = 16,
+):
+    """Bloom bitset over the eval set's hashed word ``n``-grams.
+
+    Distributed build: each Arrow batch of eval docs hashes its grams
+    (``dedup._shingle_hash_batch`` — the family's one shingle-hash
+    scheme) and sets bits in a PARTIAL bitset; partials are OR-merged
+    with ``treeReduce`` so the driver never holds more than
+    O(log partitions) bitsets. Returns ``(bitset uint64[], m, k)``.
+
+    Sizing: m is computed from an upstream distinct-gram count (one
+    map-side-combined agg over the eval side — same pre-count the
+    auto-broadcast mode already pays). At 16 bits/key the false-
+    positive rate is ~4·10⁻⁴; 1 BILLION eval grams fit in a 2 GB
+    bitset where a broadcast hash relation of the same grams is
+    ~100 GB — this is what extends the zero-corpus-shuffle
+    decontamination route past ``BROADCAST_MAX_FPS``.
+
+    The bitset lives only in-session (built and consumed by the same
+    pandas hash), so no cross-process ``hash_array`` identity guard is
+    needed — unlike the STORED MinHash band tables (dedup.py)."""
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.dedup import (
+        _make_hashed_shingle_udf,
+    )
+
+    grams = eval_set.select(
+        F.explode(_make_hashed_shingle_udf(n)(F.col(text_col))).alias("g")
+    )
+    n_keys = grams.agg(F.approx_count_distinct("g").alias("n")).first()["n"]
+    m, k = _bloom_bitset_params(n_keys, bits_per_key)
+    words = m // 64
+
+    def partial(pdf_iter):
+        import pandas as pd
+
+        bits = np.zeros(words, dtype=np.uint64)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            h = pdf["g"].to_numpy().astype(np.uint64)
+            pos = _bloom_positions(h, m, k, np).ravel()
+            np.bitwise_or.at(
+                bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+            )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = grams.mapInPandas(partial, "bits binary").rdd.map(
+        lambda r: np.frombuffer(r["bits"], dtype=np.uint64)
+    )
+    bitset = partials.treeReduce(np.bitwise_or)
+    return bitset, m, k
+
+
+def decontaminate_ngram_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bits_per_key: int = 16,
+    verify: bool = True,
+) -> DataFrame:
+    """``decontaminate_ngram`` semantics through a Bloom prefilter —
+    the route for eval/blocklist sides too large to broadcast as a
+    hash relation (where the auto mode above falls back to shuffling
+    the ENTIRE corpus gram table).
+
+    1. Bloom bitset over hashed eval grams (``build_ngram_bloom``) —
+       ~10–20 bits/gram, broadcast once.
+    2. One narrow corpus pass (``mapInPandas``): each doc's grams are
+       hashed and probed against the bitset; docs with ≥1 hit become
+       SUSPECTS. No corpus shuffle, no exploded gram table in the JVM.
+    3. ``verify=True`` (default): exact string-shingle semi-join of
+       the suspects' grams against the eval grams — the expensive join
+       now runs over the (contaminated + false-positive) sliver
+       instead of the whole corpus, so its shuffle volume is
+       eval-grams + suspect-grams. Bloom false negatives are
+       impossible (a string match implies a hash match implies set
+       bits), so the verified result EQUALS ``decontaminate_ngram``
+       exactly — same DuckDB oracle. ``verify=False`` skips the join
+       and over-drops by the measured ~4·10⁻⁴ FP rate (acceptable for
+       a training corpus, not for a parity gate).
+    """
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.dedup import (
+        _shingle_hash_batch,
+        _shingle_table,
+    )
+
+    bitset, m, k = build_ngram_bloom(eval_set, text_col, n, bits_per_key)
+    bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
+
+    def probe(pdf_iter):
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col]
+            h, counts = _shingle_hash_batch(texts, n, np)
+            if len(h) == 0:
+                continue
+            pos = _bloom_positions(h.astype(np.uint64), m, k, np)
+            word = bits[pos >> np.uint64(6)]
+            mask = np.uint64(1) << (pos & np.uint64(63))
+            gram_hit = ((word & mask) == mask).all(axis=1)
+            doc_of = np.repeat(np.arange(len(counts)), counts)
+            doc_hit = np.zeros(len(counts), dtype=bool)
+            np.logical_or.at(doc_hit, doc_of, gram_hit)
+            if doc_hit.any():
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[doc_hit]})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    suspects = corpus.select(id_col, text_col).mapInPandas(
+        probe, f"{id_col} {id_type}"
+    )
+    if not verify:
+        return corpus.join(suspects, id_col, "left_anti")
+    suspect_docs = corpus.join(F.broadcast(suspects), id_col, "left_semi")
+    ev_grams = (
+        _shingle_table(eval_set, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        _shingle_table(suspect_docs, text_col, id_col, n)
+        .join(ev_grams, "shingle", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
