@@ -283,6 +283,48 @@ def nb_predict_corpus(spark, sf_dir):
     return nb_predict(docs, weights, priors, NB_CLASSES)
 
 
+def semdedup_corpus(spark, sf_dir):
+    """SemDeDup keep at corpus scale under the documented k-scaling
+    contract: num_clusters ≈ n/6000 keeps every per-task Gram matmul
+    at ~6000² doubles (~300 MB), so the cost is Σcᵢ² ≈ n·6000 — linear
+    in corpus size for a fixed target cluster size. The count feeding
+    k is parquet-metadata-cheap."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_keep
+
+    emb = _emb(spark, sf_dir)
+    k = max(8, emb.count() // 6000)
+    return semdedup_keep(emb, num_clusters=k, threshold=0.4)
+
+
+def decontam_ngram_corpus(spark, sf_dir):
+    """Exact n-gram decontamination at corpus scale, eval side = the
+    stored 2% new-docs slice (contamination exists by construction —
+    eval docs ARE corpus docs). The auto mode counts the eval side's
+    distinct grams and picks broadcast vs shuffle itself — this row
+    records whatever the production default does at each sf, the
+    baseline the bloom row is compared against."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate_ngram
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(_p(sf_dir, "new_docs"))
+    return decontaminate_ngram(docs, ev, n=5).select("doc_id")
+
+
+def decontam_bloom_corpus(spark, sf_dir):
+    """Same decontamination through the Bloom prefilter (bitset
+    broadcast + narrow probe pass + exact verify of the suspect
+    sliver). Identical output to decontam_ngram_corpus; the row pair
+    measures where the bloom route's constant costs (bitset build,
+    per-doc probe) pay for themselves vs the auto route."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        decontaminate_ngram_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(_p(sf_dir, "new_docs"))
+    return decontaminate_ngram_bloom(docs, ev, n=5).select("doc_id")
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -303,6 +345,9 @@ FAMILY = {
     "bigram_lm_corpus": bigram_lm_corpus,
     "dsir_score_corpus": dsir_score_corpus,
     "nb_predict_corpus": nb_predict_corpus,
+    "semdedup_corpus": semdedup_corpus,
+    "decontam_ngram_corpus": decontam_ngram_corpus,
+    "decontam_bloom_corpus": decontam_bloom_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
