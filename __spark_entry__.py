@@ -1334,6 +1334,39 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination gate (operators/pipeline.py
+    decontaminate_fuzzy): drop docs whose 3-gram Jaccard vs ANY eval
+    doc (every 50th doc) reaches 0.5 — the RefinedWeb/Llama near-dup
+    decontamination rule, between exact-match and any-shared-gram.
+    Exact route (the minhash prefilter's recall is a pytest contract,
+    tests/test_fuzzy_decontam.py)."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_fuzzy_contam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination REPORT behind decontam_fuzzy: per
+    (corpus doc, eval doc) Jaccard ≥ 0.5 with the score — what an
+    operator audits before deleting training docs."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        fuzzy_contaminated_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    return fuzzy_contaminated_pairs(docs, eval_set, n=3, threshold=0.5).orderBy(
+        "doc_id", "eval_id"
+    )
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition gate (plans/curate.py): every
     stage — decontaminate → token/dup-word quality filter → top-2-gram
@@ -2275,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": q_semdedup_keep,
         "semdedup_stats": q_semdedup_stats,
         "decontam_bloom": q_decontam_bloom,
+        "decontam_fuzzy": q_decontam_fuzzy,
+        "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -2444,6 +2479,40 @@ _DECONTAM_NGRAM_SQL = r"""
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM hit)
     ORDER BY doc_id
+"""
+
+
+# Fuzzy-decontamination oracle: 3-gram Jaccard between every corpus
+# doc and the every-50th-doc eval slice, exactly the pipeline
+# operator's semantics (distinct whitespace shingles, short docs get
+# one whole-doc shingle, round(jaccard, 6) compared at the threshold).
+_FUZZY_DECONTAM_CTE = r"""
+ftok AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+),
+fsh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM ftok,
+         LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+),
+fsizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+fev AS (SELECT doc_id AS eid, shingle FROM fsh WHERE doc_id % 50 = 0),
+finter AS (
+    SELECT c.doc_id AS cid, e.eid, count(*) AS n_common
+    FROM fsh c JOIN fev e ON c.shingle = e.shingle
+    GROUP BY 1, 2
+),
+fpairs AS (
+    SELECT cid, eid,
+           round(n_common * 1.0 / (sc.n_sh + se.n_sh - n_common), 6)
+               AS jaccard
+    FROM finter
+    JOIN fsizes sc ON sc.doc_id = cid
+    JOIN fsizes se ON se.doc_id = eid
+    WHERE round(n_common * 1.0 / (sc.n_sh + se.n_sh - n_common), 6) >= 0.5
+)
 """
 
 
@@ -3148,6 +3217,17 @@ def oracle_sql() -> dict[str, str]:
         # verify=True makes its result equal the exact n-gram
         # decontamination, so the two gates share one oracle string.
         "decontam_bloom": _DECONTAM_NGRAM_SQL,
+        "decontam_fuzzy": f"""
+            WITH {_FUZZY_DECONTAM_CTE}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT cid FROM fpairs)
+            ORDER BY doc_id
+        """,
+        "fuzzy_contam_pairs": f"""
+            WITH {_FUZZY_DECONTAM_CTE}
+            SELECT cid AS doc_id, eid AS eval_id, jaccard FROM fpairs
+            ORDER BY doc_id, eval_id
+        """,
         # The curation oracle chains the per-operator oracle fragments
         # (decontam anti-join, whitespace-token quality predicates,
         # 2-gram repetition share, keep-min dedup window, Knuth hash

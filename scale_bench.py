@@ -288,12 +288,21 @@ def semdedup_corpus(spark, sf_dir):
     contract: num_clusters ≈ n/6000 keeps every per-task Gram matmul
     at ~6000² doubles (~300 MB), so the cost is Σcᵢ² ≈ n·6000 — linear
     in corpus size for a fixed target cluster size. The count feeding
-    k is parquet-metadata-cheap."""
+    k is parquet-metadata-cheap.
+
+    threshold=0.95 (the embedding rows' convention): the timed cost is
+    the cluster assignment + per-cluster Gram — the row's subject. At
+    0.4 this synthetic corpus's density makes the pair graph connect
+    almost everything as sf grows (measured: kept rows 1739 → 1706 →
+    41 at sf0.1/1/10 — a threshold artifact, within-cluster pair
+    volume ~c²·k, not an engine property), so the dedup-collapse
+    semantics stay gated at the oracle scale and the scale row keeps a
+    stable ~n output."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_keep
 
     emb = _emb(spark, sf_dir)
     k = max(8, emb.count() // 6000)
-    return semdedup_keep(emb, num_clusters=k, threshold=0.4)
+    return semdedup_keep(emb, num_clusters=k, threshold=0.95)
 
 
 def decontam_ngram_corpus(spark, sf_dir):

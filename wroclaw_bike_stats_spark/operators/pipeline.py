@@ -149,6 +149,126 @@ def decontaminate_ngram(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def fuzzy_contaminated_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "exact",
+    num_hashes: int = 128,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc_id, eval_id, jaccard) for every corpus×eval pair with word
+    ``n``-gram Jaccard ≥ threshold — the NEAR-duplicate contamination
+    report behind ``decontaminate_fuzzy`` (the RefinedWeb/Llama-style
+    fuzzy decontamination rule, vs ``decontaminate_ngram``'s
+    any-shared-gram rule which is stricter but unscored).
+
+    ``method="exact"`` (default; the oracle-gated route): both sides'
+    distinct hashed shingles, per-doc set sizes computed MAP-SIDE from
+    the un-exploded shingle arrays (no corpus-wide count shuffle) and
+    carried inline through the join — the only shuffle is the
+    (corpus_doc, eval_doc) intersection groupBy, whose input is just
+    the shingle matches against the BROADCAST eval side. Cost: one
+    narrow corpus pass + one matched-rows shuffle.
+
+    ``method="minhash"``: corpus docs are first pre-filtered to those
+    sharing ≥1 MinHash LSH band with any eval doc (eval band table
+    broadcast), then the exact verify above runs on that sliver.
+    Linear signature pass over the corpus, per-doc recall < 1 like
+    every LSH route (measured in tests); the route for eval sets too
+    gram-rich to broadcast as shingles.
+    """
+    from wroclaw_bike_stats_spark.operators.dedup import (
+        _make_hashed_shingle_udf,
+        minhash_band_table,
+        minhash_signatures,
+    )
+
+    eval_id_col = eval_id_col or id_col
+    if method == "minhash":
+        ev_bands = minhash_band_table(
+            minhash_signatures(
+                eval_set, text_col, eval_id_col,
+                num_hashes=num_hashes, shingle_n=n,
+            ),
+            bands=bands,
+        ).select("band_idx", "band_hash")
+        c_bands = minhash_band_table(
+            minhash_signatures(
+                corpus, text_col, id_col,
+                num_hashes=num_hashes, shingle_n=n,
+            ),
+            bands=bands,
+        )
+        cand_ids = (
+            c_bands.join(
+                F.broadcast(ev_bands), ["band_idx", "band_hash"], "left_semi"
+            )
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+        corpus = corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+    elif method != "exact":
+        raise ValueError(f"unknown method {method!r}")
+
+    sh = _make_hashed_shingle_udf(n)
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), sh(F.col(text_col)).alias("_arr")
+    ).select("_cid", F.size("_arr").alias("_cn"), F.explode("_arr").alias("shingle"))
+    e = eval_set.select(
+        F.col(eval_id_col).alias("_eid"), sh(F.col(text_col)).alias("_arr")
+    ).select("_eid", F.size("_arr").alias("_en"), F.explode("_arr").alias("shingle"))
+    inter = (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("_cid", "_eid")
+        .agg(
+            F.count(F.lit(1)).alias("_common"),
+            F.first("_cn").alias("_cn"),
+            F.first("_en").alias("_en"),
+        )
+    )
+    jac = F.round(
+        F.col("_common") / (F.col("_cn") + F.col("_en") - F.col("_common")), 6
+    )
+    return (
+        inter.select(
+            F.col("_cid").alias(id_col),
+            F.col("_eid").alias("eval_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "exact",
+    num_hashes: int = 128,
+    bands: int = 16,
+) -> DataFrame:
+    """Drop corpus documents whose ``n``-gram Jaccard against ANY eval
+    document reaches ``threshold`` — fuzzy decontamination. Sits
+    between ``decontaminate`` (exact normalized text) and
+    ``decontaminate_ngram`` (any single shared gram): it catches
+    paraphrase-level overlap without nuking every doc that quotes one
+    common phrase. See ``fuzzy_contaminated_pairs`` for shapes."""
+    hits = fuzzy_contaminated_pairs(
+        corpus, eval_set, text_col, id_col, eval_id_col, n, threshold,
+        method, num_hashes, bands,
+    ).select(id_col).distinct()
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def _bloom_bitset_params(n_keys: int, bits_per_key: int) -> tuple[int, int]:
     """(m_bits, k_hashes) for a Bloom filter sized at ``bits_per_key``
     bits per key. m rounds up to a power of two so every position is a
