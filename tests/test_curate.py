@@ -241,3 +241,46 @@ def test_curation_stages_run_in_streaming(spark, docs, tmp_path):
         for r in spark.read.parquet(sink_dir).collect()
     )
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_decontam_modes_compose_and_stay_lazy(spark, docs):
+    """r07 decontam_mode knob: each mode's survivors equal the
+    standalone operator's decision applied inside the same pipeline,
+    and the lazy modes build zero jobs at plan-construction time."""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    base_kwargs = dict(min_tokens=5, decontam_n=3)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    plans = {
+        mode: curate_corpus(
+            docs, eval_set, decontam_mode=mode, **base_kwargs
+        )
+        for mode in ("exact", "ngram", "fuzzy")
+    }
+    assert tracker.getJobIdsForGroup(None) == before  # all three lazy
+
+    got = {m: {r.doc_id for r in p.select("doc_id").collect()} for m, p in plans.items()}
+    # standalone-stage expectation: curation with mode m keeps exactly
+    # the mode-m survivors that then pass the downstream stages, i.e.
+    # mode-m curation == exact-mode curation restricted to mode-m
+    # survivors (downstream stages are per-doc filters + dedup whose
+    # keep-min rule only depends on surviving ids... dedup canonical
+    # may differ, so compare via direct operator survivors instead)
+    ng = {r.doc_id for r in P.decontaminate_ngram(docs, eval_set, n=3).collect()}
+    fz = {r.doc_id for r in P.decontaminate_fuzzy(docs, eval_set, n=3).collect()}
+    assert got["ngram"] <= ng
+    assert got["fuzzy"] <= fz
+    # strictness ordering: ngram drops a superset of fuzzy's drops,
+    # fuzzy at least the exact-copy eval docs
+    assert got["ngram"] <= got["fuzzy"] <= got["exact"]
+
+    # bloom mode: documented as eager (bitset build) but must equal
+    # the ngram result row-for-row
+    bloom = curate_corpus(docs, eval_set, decontam_mode="bloom", **base_kwargs)
+    assert {r.doc_id for r in bloom.select("doc_id").collect()} == got["ngram"]
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, eval_set, decontam_mode="nope")

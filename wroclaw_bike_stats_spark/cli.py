@@ -266,6 +266,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
         eval_set,
         min_tokens=args.min_tokens,
         max_dup_word_frac=args.max_dup_word_frac,
+        decontam_mode=args.decontam_mode,
+        decontam_n=args.decontam_n,
+        fuzzy_threshold=args.fuzzy_threshold,
         lm=lm,
         max_ppl=args.max_ppl,
         min_ppl=args.min_ppl,
@@ -375,6 +378,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(Lee et al. 2022; output text is the stripped rebuild)",
     )
     curate.add_argument("--span-k", type=int, default=13)
+    curate.add_argument(
+        "--decontam-mode", default="exact",
+        choices=["exact", "ngram", "fuzzy", "bloom"],
+        help="Decontamination rule vs --eval: exact normalized text, "
+        "any shared n-gram, Jaccard >= --fuzzy-threshold, or the "
+        "ngram rule via a Bloom prefilter (huge blocklists)",
+    )
+    curate.add_argument("--decontam-n", type=int, default=5)
+    curate.add_argument("--fuzzy-threshold", type=float, default=0.5)
     curate.set_defaults(func=cmd_curate)
     return p
 

@@ -38,6 +38,9 @@ def curate_corpus(
     max_tokens: int = 100_000,
     max_dup_word_frac: float = 0.9,
     max_top2gram_frac: float = 0.5,
+    decontam_mode: str = "exact",
+    decontam_n: int = 5,
+    fuzzy_threshold: float = 0.5,
     lm: "tuple[DataFrame, DataFrame] | None" = None,
     max_ppl: float | None = None,
     min_ppl: float | None = None,
@@ -78,7 +81,36 @@ def curate_corpus(
         # set eagerly to pick a route, which would break this plan's
         # no-jobs-until-action contract. Curation decontaminates
         # against an EVAL set (thousands of rows) — always broadcast.
-        out = P.decontaminate(out, eval_set, text_col=text_col, broadcast=True)
+        #
+        # decontam_mode picks the rule (all stay lazy except bloom):
+        #   "exact"  — identical normalized text (the default);
+        #   "ngram"  — ANY shared word n-gram (strictest);
+        #   "fuzzy"  — n-gram Jaccard ≥ fuzzy_threshold (near-dup);
+        #   "bloom"  — ngram semantics via the Bloom prefilter; the
+        #              bitset build RUNS JOBS at plan-construction
+        #              time (a standing asset — at scale build it once
+        #              outside the plan and prefilter explicitly).
+        if decontam_mode == "exact":
+            out = P.decontaminate(
+                out, eval_set, text_col=text_col, broadcast=True
+            )
+        elif decontam_mode == "ngram":
+            out = P.decontaminate_ngram(
+                out, eval_set, text_col=text_col, id_col=id_col,
+                n=decontam_n, broadcast=True,
+            )
+        elif decontam_mode == "fuzzy":
+            out = P.decontaminate_fuzzy(
+                out, eval_set, text_col=text_col, id_col=id_col,
+                n=decontam_n, threshold=fuzzy_threshold,
+            )
+        elif decontam_mode == "bloom":
+            out = P.decontaminate_ngram_bloom(
+                out, eval_set, text_col=text_col, id_col=id_col,
+                n=decontam_n,
+            )
+        else:
+            raise ValueError(f"unknown decontam_mode {decontam_mode!r}")
 
     # narrow quality predicates (no shuffle)
     n_tok = T.token_count_ws(F.col(text_col))
