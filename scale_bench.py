@@ -334,6 +334,19 @@ def decontam_bloom_corpus(spark, sf_dir):
     return decontaminate_ngram_bloom(docs, ev, n=5).select("doc_id")
 
 
+def decontam_fuzzy_corpus(spark, sf_dir):
+    """Fuzzy-Jaccard decontamination at corpus scale (exact route):
+    the eval side's shingles broadcast with inline set sizes; the only
+    shuffle is the matched-rows intersection groupBy — cost should
+    track the corpus shingle volume (linear), the same class as
+    decontam_ngram_corpus plus the per-pair Jaccard arithmetic."""
+    from wroclaw_bike_stats_spark.operators.pipeline import decontaminate_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    ev = spark.read.parquet(_p(sf_dir, "new_docs"))
+    return decontaminate_fuzzy(docs, ev, n=5, threshold=0.5).select("doc_id")
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -357,6 +370,7 @@ FAMILY = {
     "semdedup_corpus": semdedup_corpus,
     "decontam_ngram_corpus": decontam_ngram_corpus,
     "decontam_bloom_corpus": decontam_bloom_corpus,
+    "decontam_fuzzy_corpus": decontam_fuzzy_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
