@@ -1367,6 +1367,23 @@ def q_fuzzy_contam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing gate (operators/pipeline.py
+    temperature_mix_apply; XLM-R §3.1): α=0.3 over the skewed `lang`
+    column — head lang (en) downsampled, tail langs upsampled with
+    whole-copy repeats; hash-accept fractional parts, zero RNG."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        temperature_mix_apply,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_mix_apply(docs, "lang", alpha=0.3)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition gate (plans/curate.py): every
     stage — decontaminate → token/dup-word quality filter → top-2-gram
@@ -2310,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "decontam_fuzzy": q_decontam_fuzzy,
         "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
+        "temperature_mix": q_temperature_mix,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -3227,6 +3245,34 @@ def oracle_sql() -> dict[str, str]:
             WITH {_FUZZY_DECONTAM_CTE}
             SELECT cid AS doc_id, eid AS eval_id, jaccard FROM fpairs
             ORDER BY doc_id, eval_id
+        """,
+        "temperature_mix": """
+            -- rates rounded to 6 dp on BOTH sides before the hash
+            -- accept: pow() ulp differences between engines cannot
+            -- flip a bucket decision after the rounding
+            WITH tcounts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            ttot AS (
+                SELECT sum(n) AS nn, sum(pow(n, 0.3)) AS sp FROM tcounts
+            ),
+            trates AS (
+                SELECT lang, round(pow(n, 0.3) / sp * nn / n, 6) AS rate
+                FROM tcounts, ttot
+            ),
+            tk AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(floor(rate) AS BIGINT)
+                       + CASE WHEN ((doc_id * 2654435761) % 4294967296)
+                                   % 1000000
+                              < CAST(round((rate - floor(rate)) * 1000000,
+                                           0) AS BIGINT)
+                              THEN 1 ELSE 0 END AS k
+                FROM documents d JOIN trates USING (lang)
+            )
+            SELECT doc_id, lang, CAST(i AS BIGINT) AS copy
+            FROM tk, LATERAL unnest(range(0, k)) AS t(i)
+            ORDER BY doc_id, copy
         """,
         # The curation oracle chains the per-operator oracle fragments
         # (decontam anti-join, whitespace-token quality predicates,

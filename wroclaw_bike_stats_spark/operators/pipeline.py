@@ -565,6 +565,78 @@ def chunk_documents(
     )
 
 
+def temperature_mix_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-source sampling rates for TEMPERATURE-scaled mixing — the
+    multilingual-LM rebalancing rule (XLM-R §3.1 / mT5: sample source
+    i with probability pᵢ ∝ nᵢ^α, α<1 flattens the distribution so
+    head sources shrink and tail sources grow).
+
+    Returns the lazy one-aggregation frame (source, n_rows, rate):
+    ``rate = pᵢ·N/nᵢ`` is the PER-ROW multiplicity that realizes the
+    target share — < 1 downsamples a head source, > 1 upsamples a
+    tail source with whole-copy repeats. Rates are rounded to 6 dp —
+    the boundary convention that keeps the deterministic accept step
+    (`temperature_mix_apply`) bit-stable across engines."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("_N"),
+        F.sum(F.pow("n_rows", F.lit(alpha))).alias("_sp"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_rows",
+        F.round(
+            F.pow("n_rows", F.lit(alpha)) / F.col("_sp")
+            * F.col("_N") / F.col("n_rows"),
+            6,
+        ).alias("rate"),
+    )
+
+
+def temperature_mix_apply(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    rates: DataFrame | None = None,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Materialize a temperature-scaled mix deterministically: each
+    row appears ``floor(rate)`` times plus one more iff its id's hash
+    bucket (out of ``resolution``) falls under the fractional part —
+    so realized counts hit the target share within hash noise, with
+    ZERO RNG state (reruns, retries and engines agree).
+
+    Adds ``copy`` (0-based repeat index — downstream shuffling/packing
+    needs distinct example identities). Shape: the rates frame is a
+    #sources-row broadcast join; the repeat is a map-side
+    explode(sequence) — no corpus shuffle, and the whole plan stays
+    lazy (rates may be passed precomputed, e.g. thinned or edited by
+    an operator)."""
+    if rates is None:
+        rates = temperature_mix_rates(df, source_col, alpha)
+    whole = F.floor("rate").cast("long")
+    frac = F.col("rate") - F.floor("rate")
+    extra = (
+        hash_bucket(F.col(id_col), resolution)
+        < F.round(frac * resolution, 0).cast("long")
+    ).cast("long")
+    k = (whole + extra).alias("_k")
+    return (
+        df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        .withColumn("_k", k)
+        .filter(F.col("_k") > 0)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+        )
+        .drop("rate", "_k")
+    )
+
+
 def hash_split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
