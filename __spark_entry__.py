@@ -2208,6 +2208,17 @@ def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.add_global_index(docs, "doc_id").orderBy("doc_id")
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle gate (operators/pipeline.py
+    shuffle_corpus): dense rank over (knuth_hash(id), id) via the
+    two-phase global index — the zero-RNG corpus permutation every
+    training run needs, auditable forever from the id alone."""
+    from wroclaw_bike_stats_spark.operators import pipeline as P
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return P.shuffle_corpus(docs).orderBy("doc_id")
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style keyed diff of two corpus versions (operators/
     table_diff.py): v2 deterministically drops doc_id%7==0, rewrites
@@ -2328,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy": q_decontam_fuzzy,
         "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
         "temperature_mix": q_temperature_mix,
+        "corpus_shuffle": q_corpus_shuffle,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -4476,6 +4488,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
                        AS idx
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) - 1 AS BIGINT) AS idx
             FROM documents
             ORDER BY doc_id
         """,

@@ -421,3 +421,30 @@ def test_chunk_documents_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_shuffle_corpus_is_deterministic_permutation(spark):
+    """r07 deterministic training-order shuffle: dense 0..n-1
+    permutation, decorrelated from id order, invariant to partition
+    count (the auditability/resumability contract), no RNG."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    got5 = {
+        r.doc_id: r.idx
+        for r in P.shuffle_corpus(docs, num_partitions=5).collect()
+    }
+    n = len(got5)
+    assert sorted(got5.values()) == list(range(n))  # dense permutation
+    by_doc = [idx for _, idx in sorted(got5.items())]
+    assert by_doc != list(range(n))  # actually shuffled vs id order
+    # partition-count invariance
+    got11 = {
+        r.doc_id: r.idx
+        for r in P.shuffle_corpus(docs, num_partitions=11).collect()
+    }
+    assert got11 == got5
+    # matches the spec: rank by (knuth(id) mod 2^32, id)
+    key = {d: (d * 2654435761) % 4294967296 for d in got5}
+    expect = {
+        d: i for i, d in enumerate(sorted(got5, key=lambda d: (key[d], d)))
+    }
+    assert expect == got5

@@ -662,13 +662,14 @@ def hash_split_assign(
 
 def add_global_index(
     df: DataFrame,
-    order_col: str,
+    order_col: "str | list[str]",
     out: str = "idx",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense 0-based global index in ``order_col`` order — stable
     example ids for a training corpus — WITHOUT the single-partition
-    global sort.
+    global sort. ``order_col`` may be a list for a composite order
+    (e.g. a hash key plus the unique id as tie-break).
 
     ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses
     the whole table into one reducer; at 100 TB that is the job. The
@@ -687,11 +688,12 @@ def add_global_index(
     """
     from pyspark.sql import Window
 
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     local = ranged.withColumn("_rn", F.row_number().over(w) - 1)
     counts = (
         local.groupBy("_pid")
@@ -715,6 +717,32 @@ def add_global_index(
         .withColumn(out, (F.col("_rn") + F.col("_offset")).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every LLM pipeline
+    permutes the curated corpus before packing so batches decorrelate
+    from source/crawl/time order — this does it with ZERO RNG state.
+
+    Order key = the Knuth multiplicative hash of the id (an odd
+    multiplier mod 2³² is a BIJECTION on [0, 2³²), so distinct ids
+    under 2³² never collide; above that the id itself is the
+    tie-break), ranked by the two-phase ``add_global_index`` — one
+    range shuffle, no single-reducer sort. Rerunning, re-partitioning
+    or re-ingesting yields the identical permutation, which is what
+    makes a training run's data order auditable and resumable."""
+    key = hash_bucket(F.col(id_col), _MOD)
+    return add_global_index(
+        df.withColumn("_shuffle_key", key),
+        ["_shuffle_key", id_col],
+        out=out,
+        num_partitions=num_partitions,
+    ).drop("_shuffle_key")
 
 
 # PII patterns shared verbatim with the DuckDB oracle: restricted to
