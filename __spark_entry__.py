@@ -918,6 +918,26 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule signals (operators/text.py
+    gopher_quality_stats; Rae et al. 2021 §A1.1) — one narrow
+    codegen projection per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.gopher_quality_stats(docs).orderBy("doc_id")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule conjunction as a pure scan-pushed filter
+    (word floor lowered for the short synthetic docs; same bounds in
+    the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        T.gopher_quality_filter(docs, min_words=5, min_mean_word_len=1.0)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2340,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
         "temperature_mix": q_temperature_mix,
         "corpus_shuffle": q_corpus_shuffle,
+        "gopher_stats": q_gopher_stats,
+        "gopher_filter": q_gopher_filter,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -2509,6 +2531,50 @@ _DECONTAM_NGRAM_SQL = r"""
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM hit)
     ORDER BY doc_id
+"""
+
+
+# Gopher quality-rule signals in DuckDB — mirrors _gopher_signals
+# exactly (coalesce NULL text to '', whitespace tokens of the trimmed
+# text, lines split on \n, round(.,6)).
+_GOPHER_SIGNALS_CTE = r"""
+gg AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+gs AS (
+    SELECT doc_id, t,
+           CASE WHEN trim(t) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS wc,
+           regexp_split_to_array(trim(t), '\s+') AS toks,
+           string_split(t, chr(10)) AS lns
+    FROM gg
+),
+gsig AS (
+    SELECT doc_id,
+        wc AS word_count,
+        round(CASE WHEN len(toks) > 0 THEN
+            list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+            * 1.0 / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+        round((CASE WHEN wc > 0 THEN
+            (length(t) - length(replace(t, '...', ''))) / 3
+            + (length(t) - length(replace(t, '…', '')))
+            + (length(t) - length(replace(t, '#', '')))
+            ELSE 0 END) * 1.0 / greatest(wc, 1), 6) AS symbol_word_ratio,
+        round(CASE WHEN wc > 0 THEN
+            len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+            * 1.0 / wc ELSE 0.0 END, 6) AS alpha_word_frac,
+        CASE WHEN wc > 0 THEN
+            len(list_filter(list_transform(toks, x -> lower(x)),
+                x -> x IN ('the','be','to','of','and','that','have','with')))
+            ELSE 0 END AS n_stopwords,
+        round(len(list_filter(lns,
+                x -> left(trim(x), 1) IN ('-','*','•','‣','▪')))
+              * 1.0 / greatest(len(lns), 1), 6) AS bullet_line_frac,
+        round(len(list_filter(lns,
+                x -> trim(x) LIKE '%...' OR trim(x) LIKE '%…'))
+              * 1.0 / greatest(len(lns), 1), 6) AS ellipsis_line_frac
+    FROM gs
+)
 """
 
 
@@ -4497,6 +4563,22 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
                    ) - 1 AS BIGINT) AS idx
             FROM documents
+            ORDER BY doc_id
+        """,
+        "gopher_stats": f"""
+            WITH {_GOPHER_SIGNALS_CTE}
+            SELECT * FROM gsig ORDER BY doc_id
+        """,
+        "gopher_filter": f"""
+            WITH {_GOPHER_SIGNALS_CTE}
+            SELECT doc_id FROM gsig
+            WHERE word_count BETWEEN 5 AND 100000
+              AND mean_word_len BETWEEN 1.0 AND 10.0
+              AND symbol_word_ratio <= 0.1
+              AND alpha_word_frac >= 0.8
+              AND n_stopwords >= 2
+              AND bullet_line_frac <= 0.9
+              AND ellipsis_line_frac <= 0.3
             ORDER BY doc_id
         """,
         "table_diff_docs": """

@@ -194,6 +194,104 @@ def tfidf_top_terms(
     )
 
 
+# Gopher rules §A1.1 (Rae et al. 2021, arXiv:2112.11446): the
+# stop-word presence rule counts hits from this fixed list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLETS = ("-", "*", "•", "‣", "▪")
+
+
+def _gopher_signals(text_col: str) -> dict[str, Column]:
+    """The Gopher rule signals as per-row native expressions — the ONE
+    implementation both the stats report and the filter compile from
+    (whole-stage codegen, no shuffle, no Python). NULL text behaves as
+    empty (zero counts/ratios)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text)
+    wc = token_count_ws(text)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3 + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.filter(
+            F.transform(toks, F.lower),
+            lambda t: t.isin(*GOPHER_STOPWORDS),
+        )
+    )
+    lines = F.split(text, "\n")
+    is_bullet = lambda ln: F.substring(F.trim(ln), 1, 1).isin(*_BULLETS)  # noqa: E731
+    ends_ell = lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…")  # noqa: E731
+    n_lines = F.size(lines)
+    return {
+        "word_count": wc,
+        "mean_word_len": F.round(mean_word_len(text), 6),
+        "symbol_word_ratio": F.round(
+            F.when(wc > 0, n_ell + n_hash).otherwise(F.lit(0))
+            / F.greatest(wc, F.lit(1)),
+            6,
+        ),
+        "alpha_word_frac": F.round(
+            F.when(wc > 0, alpha / wc).otherwise(F.lit(0.0)), 6
+        ),
+        "n_stopwords": F.when(wc > 0, n_stop).otherwise(F.lit(0)),
+        "bullet_line_frac": F.round(
+            F.size(F.filter(lines, is_bullet)) / F.greatest(n_lines, F.lit(1)),
+            6,
+        ),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, ends_ell)) / F.greatest(n_lines, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def gopher_quality_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document signals for the Gopher quality rules (Rae et al.
+    2021 §A1.1): word_count, mean_word_len, symbol_word_ratio (# and
+    … per word), alpha_word_frac (words containing ≥1 [a-zA-Z]),
+    n_stopwords (GOPHER_STOPWORDS hits), bullet_line_frac (lines
+    starting with a bullet glyph), ellipsis_line_frac (lines ending
+    in … or ...). One narrow projection."""
+    sig = _gopher_signals(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in sig.items()]
+    )
+
+
+def gopher_quality_filter(
+    df,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+):
+    """Keep documents passing every Gopher rule (paper defaults; all
+    bounds overridable — short-doc corpora need a lower word floor).
+    Compiled INLINE from the same signal expressions as the stats
+    report: a pure narrow filter pushed at the scan — never a
+    join-back (a kept-id set is corpus-sized, the one thing you must
+    not broadcast)."""
+    s = _gopher_signals(text_col)
+    return df.filter(
+        (s["word_count"] >= min_words)
+        & (s["word_count"] <= max_words)
+        & (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (s["alpha_word_frac"] >= min_alpha_word_frac)
+        & (s["n_stopwords"] >= min_stopwords)
+        & (s["bullet_line_frac"] <= max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+    )
+
+
 def dup_word_frac(col: Column) -> Column:
     """Fraction of token occurrences that are repeats of an earlier
     token (Gopher-style repetition signal): 1 - distinct/total.
