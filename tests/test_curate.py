@@ -284,3 +284,20 @@ def test_decontam_modes_compose_and_stay_lazy(spark, docs):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, eval_set, decontam_mode="nope")
+
+
+def test_gopher_stage_composes_and_stays_lazy(spark, docs):
+    from wroclaw_bike_stats_spark.operators import text as T2
+
+    bounds = dict(min_words=5, min_mean_word_len=1.0)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    plan = curate_corpus(docs, None, min_tokens=1, gopher_bounds=bounds)
+    assert tracker.getJobIdsForGroup(None) == before
+    got = {r.doc_id for r in plan.select("doc_id").collect()}
+    # every survivor individually passes the standalone gopher filter
+    standalone = {
+        r.doc_id for r in T2.gopher_quality_filter(docs, **bounds).collect()
+    }
+    assert got <= standalone
+    assert len(got) > 0

@@ -38,6 +38,7 @@ def curate_corpus(
     max_tokens: int = 100_000,
     max_dup_word_frac: float = 0.9,
     max_top2gram_frac: float = 0.5,
+    gopher_bounds: dict | None = None,
     decontam_mode: str = "exact",
     decontam_n: int = 5,
     fuzzy_threshold: float = 0.5,
@@ -119,6 +120,11 @@ def curate_corpus(
         & (n_tok <= max_tokens)
         & (T.dup_word_frac(F.col(text_col)) <= max_dup_word_frac)
     )
+
+    # optional Gopher rule conjunction (Rae et al. 2021 §A1.1) — also
+    # a pure narrow filter, so it fuses into the same scan stage
+    if gopher_bounds is not None:
+        out = T.gopher_quality_filter(out, text_col=text_col, **gopher_bounds)
 
     # repetition filter: top-2-gram share (explode+agg over survivors)
     rep = T.repetition_stats(out, text_col=text_col, id_col=id_col).select(
