@@ -938,6 +938,41 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch contract gate (operators/sketch.py; Cormode &
+    Muthukrishnan 2005). The sketch itself is hash-defined (not
+    SQL-expressible) but its CONTRACT is: estimate ≥ exact count
+    always, and ≤ exact + ⌈(e/w)·N⌉ (deterministic under the fixed
+    xxhash64 row seeds). The top-20 exact counts ARE SQL-computable,
+    so the oracle checks real numbers plus the two invariants as
+    literals — same pattern as minhash_recall."""
+    import math
+
+    from wroclaw_bike_stats_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = SK._term_stream(docs, "text")
+    exact = stream.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(20)
+    sk = SK.cms_build(docs, width=2048, depth=4)
+    est = SK.cms_estimate(top, sk)
+    ntot = stream.agg(F.count(F.lit(1)).alias("_n"))
+    bound = F.ceil(F.lit(math.e / 2048) * F.col("_n"))
+    return (
+        top.join(est, "term")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "term",
+            "exact_cnt",
+            (F.col("cms_count") >= F.col("exact_cnt")).alias("lower_ok"),
+            (F.col("cms_count") <= F.col("exact_cnt") + bound).alias(
+                "within_upper"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2362,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "gopher_stats": q_gopher_stats,
         "gopher_filter": q_gopher_filter,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -4580,6 +4616,23 @@ def oracle_sql() -> dict[str, str]:
               AND bullet_line_frac <= 0.9
               AND ellipsis_line_frac <= 0.3
             ORDER BY doc_id
+        """,
+        "cms_heavy_hitters": r"""
+            -- exact top-20 term counts; the CMS invariants are
+            -- deterministic under the fixed sketch seed, asserted as
+            -- literals (the minhash_recall contract-gate pattern)
+            WITH ctok AS (
+                SELECT unnest(regexp_split_to_array(
+                           trim(lower(text)), '\s+')) AS term
+                FROM documents
+                WHERE coalesce(trim(text), '') <> ''
+            ),
+            ccnt AS (SELECT term, count(*) AS c FROM ctok GROUP BY term)
+            SELECT term, CAST(c AS BIGINT) AS exact_cnt,
+                   TRUE AS lower_ok, TRUE AS within_upper
+            FROM ccnt
+            ORDER BY exact_cnt DESC, term
+            LIMIT 20
         """,
         "table_diff_docs": """
             WITH v1 AS (SELECT doc_id, text FROM documents),

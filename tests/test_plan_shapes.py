@@ -111,6 +111,7 @@ BNLJ_ALLOWED = {
     "ppl_buckets": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     "temperature_mix": "1-row (N, sum n^alpha) totals scalar broadcast (operators/pipeline.py temperature_mix_rates)",
+    "cms_heavy_hitters": "1-row token-total scalar broadcast (the e/w*N error bound)",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",
     "embedding_topk_ivf": "broadcast query vectors + probe literals",
