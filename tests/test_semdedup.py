@@ -154,3 +154,21 @@ def test_zero_norm_vector_never_duplicates(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
     kept = {r.vec_id for r in SD.semdedup_keep(df, num_clusters=1).collect()}
     assert kept == {0, 2}
+
+
+def test_blocked_gram_equals_unblocked(spark, corpus, monkeypatch):
+    """The Gram tiling (hot-cluster memory guard) must not change the
+    pair set: force tiny tiles and compare against the join route."""
+    df, _ = corpus
+    monkeypatch.setattr(SD, "_GRAM_BLOCK", 3)
+    tiled = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_pairs(df, num_clusters=6, threshold=THRESH).collect()
+    }
+    jn = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_pairs(
+            df, num_clusters=6, threshold=THRESH, pair_method="join"
+        ).collect()
+    }
+    assert tiled == jn and len(tiled) > 0

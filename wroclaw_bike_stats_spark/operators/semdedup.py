@@ -95,42 +95,63 @@ def semdedup_assign(
     return centroids, assigned
 
 
+#: block edge for the per-cluster Gram: a B×B similarity tile is
+#: B²·8 bytes (4096 → 134 MB), so the QUADRATIC memory term stays
+#: bounded even for a hot cluster the k-sizing contract missed — the
+#: remaining per-task footprint is the cluster's vectors themselves
+#: (c·dim·8, linear), which applyInPandas materializes regardless.
+_GRAM_BLOCK = 4096
+
+
 def _cluster_pairs_matmul(
     assigned: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Upper-triangle cosine pairs ≥ threshold, one Gram matmul per
-    cluster group. Emits (id_a, id_b, cosine_sim) with id_a < id_b;
-    cosine rounded to 6 dp BEFORE thresholding — the family-wide
-    convention (`similarity._cosine_verify`) so every route and the
-    DuckDB oracles agree at the boundary."""
+    """Upper-triangle cosine pairs ≥ threshold per cluster group, as
+    BLOCKED Gram tiles (see _GRAM_BLOCK). Emits (id_a, id_b,
+    cosine_sim) with id_a < id_b; cosine rounded to 6 dp BEFORE
+    thresholding — the family-wide convention
+    (`similarity._cosine_verify`) so every route and the DuckDB
+    oracles agree at the boundary."""
     import numpy as np
 
     id_type = assigned.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    B = _GRAM_BLOCK
 
     def emit(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(id_col)
-        E = _vec_matrix(pdf[vec_col], np)
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "cosine_sim": []}
             ).astype({"cosine_sim": "float64"})
+        E = _vec_matrix(pdf[vec_col], np)
         norms = np.linalg.norm(E, axis=1, keepdims=True)
         with np.errstate(divide="ignore", invalid="ignore"):
             En = E / norms
-        S = np.round(En @ En.T, 6)
-        iu, ju = np.triu_indices(len(pdf), k=1)
-        # NaN (zero-norm vector) compares False -> never a duplicate,
-        # matching _make_cosine_udf's NaN falling the >= filter.
-        hit = S[iu, ju] >= threshold
         ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, B):
+            for j0 in range(i0, n, B):
+                Si = np.round(En[i0 : i0 + B] @ En[j0 : j0 + B].T, 6)
+                if i0 == j0:
+                    iu, ju = np.triu_indices(Si.shape[0], k=1)
+                else:
+                    iu, ju = np.indices(Si.shape).reshape(2, -1)
+                # NaN (zero-norm vector) compares False -> never a
+                # duplicate, matching _make_cosine_udf's NaN falling
+                # the >= filter.
+                hit = Si[iu, ju] >= threshold
+                out_a.append(ids[i0 + iu[hit]])
+                out_b.append(ids[j0 + ju[hit]])
+                out_s.append(Si[iu[hit], ju[hit]])
         return pd.DataFrame(
             {
-                "id_a": ids[iu[hit]],
-                "id_b": ids[ju[hit]],
-                "cosine_sim": S[iu[hit], ju[hit]],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
             }
         )
 
