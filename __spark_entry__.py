@@ -1422,6 +1422,20 @@ def q_fuzzy_contam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus budget report (operators/pipeline.py
+    corpus_token_budget): docs / whitespace tokens / UTF-8 bytes /
+    token share — one map-side-combined aggregation."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        corpus_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_token_budget(docs, ["source", "lang"]).orderBy(
+        "source", "lang"
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixing gate (operators/pipeline.py
     temperature_mix_apply; XLM-R §3.1): α=0.3 over the skewed `lang`
@@ -2398,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_stats": q_gopher_stats,
         "gopher_filter": q_gopher_filter,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "token_budget": q_token_budget,
         # --- latest driver row r05 (stalest oracle-backed; pushed past
         #     the r06 window) ----------------------------------------
         "validate_orders": q_validate_orders,
@@ -3359,6 +3374,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_FUZZY_DECONTAM_CTE}
             SELECT cid AS doc_id, eid AS eval_id, jaccard FROM fpairs
             ORDER BY doc_id, eval_id
+        """,
+        "token_budget": r"""
+            WITH per AS (
+                SELECT source, lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN trim(coalesce(text, '')) = ''
+                                     THEN 0
+                                     ELSE len(regexp_split_to_array(
+                                          trim(coalesce(text, '')), '\s+'))
+                                END) AS BIGINT) AS n_tokens,
+                       CAST(sum(octet_length(encode(coalesce(text, ''))))
+                            AS BIGINT) AS n_bytes
+                FROM documents
+                GROUP BY source, lang
+            )
+            SELECT source, lang, n_docs, n_tokens, n_bytes,
+                   round(n_tokens * 1.0 /
+                         greatest((SELECT sum(n_tokens) FROM per), 1), 6)
+                       AS token_share
+            FROM per
+            ORDER BY source, lang
         """,
         "temperature_mix": """
             -- rates rounded to 6 dp on BOTH sides before the hash

@@ -112,6 +112,7 @@ BNLJ_ALLOWED = {
     "profile_orders": "1-row basic × 1-row distinct agg join",
     "temperature_mix": "1-row (N, sum n^alpha) totals scalar broadcast (operators/pipeline.py temperature_mix_rates)",
     "cms_heavy_hitters": "1-row token-total scalar broadcast (the e/w*N error bound)",
+    "token_budget": "1-row grand-total scalar broadcast (token_share divisor)",
     # broadcast-literal query fan-out (tiny fixed query set × corpus)
     "embedding_topk": "5 broadcast query vectors × corpus",
     "embedding_topk_ivf": "broadcast query vectors + probe literals",

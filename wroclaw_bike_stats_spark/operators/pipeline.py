@@ -565,6 +565,38 @@ def chunk_documents(
     )
 
 
+def corpus_token_budget(
+    df: DataFrame,
+    group_cols: "list[str] | str" = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus budget report: docs, whitespace tokens, UTF-8
+    bytes, and each group's token share — the numbers a mixing /
+    epoch-planning decision actually consumes (`temperature_mix_rates`
+    eats the counts; a human eats the shares). ONE map-side-combined
+    aggregation + a broadcast 1-row total; NULL text counts as 0
+    tokens / 0 bytes."""
+    from wroclaw_bike_stats_spark.operators.text import token_count_ws
+
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    per = df.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(text)).alias("n_tokens"),
+        F.sum(F.length(F.encode(text, "UTF-8"))).alias("n_bytes"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        *cols,
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.round(F.col("n_tokens") / F.greatest("_tot", F.lit(1)), 6).alias(
+            "token_share"
+        ),
+    )
+
+
 def temperature_mix_rates(
     df: DataFrame,
     source_col: str,
