@@ -1785,6 +1785,27 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "label").orderBy("vec_id")
 
 
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N incremental SemDeDup gate: new batch = vec_id % 50 == 0
+    (the family convention), resident corpus assigned with centroids
+    sampled from ITS OWN min ids (the stored standing asset); the
+    incremental pair set must EQUAL the full recompute's pairs under
+    the same centroids restricted to pairs touching new vectors —
+    which is exactly what the oracle SQL computes."""
+    from wroclaw_bike_stats_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_incremental_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 50 == 0)
+    old = emb.filter(F.col("vec_id") % 50 != 0)
+    centroids, old_assigned = semdedup_assign(old, num_clusters=8)
+    return semdedup_incremental_pairs(
+        new, old_assigned, centroids, threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
 def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster SemDeDup profile — the operational check that
     num_clusters keeps cluster sizes (and the per-task Gram cost)
@@ -2404,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
         "semdedup_stats": q_semdedup_stats,
+        "semdedup_incremental": q_semdedup_incremental,
         "decontam_bloom": q_decontam_bloom,
         "decontam_fuzzy": q_decontam_fuzzy,
         "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
@@ -4045,6 +4067,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT node FROM sd_comps
                                  WHERE node <> component_id)
             ORDER BY vec_id
+        """,
+        "semdedup_incremental": """
+            -- centroids from the RESIDENT (old) slice's min ids; all
+            -- vectors assigned to them; pairs touching the new batch
+            WITH icent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id % 50 <> 0
+                ORDER BY vec_id LIMIT 8
+            ),
+            iassign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]),
+                                   c.cvec) DESC,
+                               c.cid ASC) AS rn
+                    FROM embeddings e CROSS JOIN icent c
+                ) WHERE rn = 1
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 6) AS cosine_sim
+            FROM iassign a
+            JOIN iassign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
+              AND (a.vec_id % 50 = 0 OR b.vec_id % 50 = 0)
+            ORDER BY id_a, id_b
         """,
         "semdedup_stats": f"""
             WITH {_SEMDEDUP_CTE},

@@ -149,10 +149,21 @@ def prepare_stores(spark, sf_dir) -> None:
     emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
         _p(sf_dir, "new_emb")
     )
+
     emb.filter(F.col("vec_id") % 50 != 0).write.mode("overwrite").parquet(
         _p(sf_dir, "old_emb")
     )
     old_e = spark.read.parquet(_p(sf_dir, "old_emb"))
+
+    # SemDeDup standing assets: the resident corpus's centroids +
+    # assignment table (fit once per corpus; per-ingest runs assign
+    # only the new batch against them).
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_assign
+
+    sem_k = max(8, old_e.count() // 6000)
+    sem_cent, sem_assigned = semdedup_assign(old_e, num_clusters=sem_k)
+    sem_cent.write.mode("overwrite").parquet(_p(sf_dir, "sem_centroids"))
+    sem_assigned.write.mode("overwrite").parquet(_p(sf_dir, "emb_assigned"))
     SIM.hyperplane_band_table(old_e, EMB_PLANES, EMB_BANDS).write.mode(
         "overwrite"
     ).parquet(_p(sf_dir, "emb_bands"))
@@ -305,6 +316,22 @@ def semdedup_corpus(spark, sf_dir):
     return semdedup_keep(emb, num_clusters=k, threshold=0.95)
 
 
+def semdedup_incremental_corpus(spark, sf_dir):
+    """Day-N SemDeDup increment against the STORED assignment table +
+    centroids: assign only the 2% new batch (zero-Exchange matmul),
+    broadcast-join it to the resident cluster members, exact-verify
+    the candidate sliver. Per-ingest cost ∝ |new| × cluster size —
+    the speedup target vs semdedup_corpus grows with corpus size."""
+    from wroclaw_bike_stats_spark.operators.semdedup import (
+        semdedup_incremental_pairs,
+    )
+
+    new = spark.read.parquet(_p(sf_dir, "new_emb"))
+    cent = spark.read.parquet(_p(sf_dir, "sem_centroids"))
+    assigned = spark.read.parquet(_p(sf_dir, "emb_assigned"))
+    return semdedup_incremental_pairs(new, assigned, cent, threshold=0.95)
+
+
 def decontam_ngram_corpus(spark, sf_dir):
     """Exact n-gram decontamination at corpus scale, eval side = the
     stored 2% new-docs slice (contamination exists by construction —
@@ -368,6 +395,7 @@ FAMILY = {
     "dsir_score_corpus": dsir_score_corpus,
     "nb_predict_corpus": nb_predict_corpus,
     "semdedup_corpus": semdedup_corpus,
+    "semdedup_incremental_corpus": semdedup_incremental_corpus,
     "decontam_ngram_corpus": decontam_ngram_corpus,
     "decontam_bloom_corpus": decontam_bloom_corpus,
     "decontam_fuzzy_corpus": decontam_fuzzy_corpus,
@@ -379,6 +407,7 @@ INCREMENTAL_OF = {
     "minhash_neardup_incremental": "minhash_neardup_full",
     "embedding_neardup_incremental": "embedding_neardup_full",
     "span_strip_incremental": "span_strip_full",
+    "semdedup_incremental_corpus": "semdedup_corpus",
 }
 
 RATIO_KEY = {

@@ -172,3 +172,35 @@ def test_blocked_gram_equals_unblocked(spark, corpus, monkeypatch):
         ).collect()
     }
     assert tiled == jn and len(tiled) > 0
+
+
+def test_incremental_equals_full_restricted(spark, corpus):
+    """With centroids held fixed (the standing-asset contract), the
+    incremental pair set EQUALS the full recompute's pairs restricted
+    to pairs touching the new batch — an equality, not a recall bound."""
+    df, _ = corpus
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    old = df.filter(F.col("vec_id") % 5 != 0)
+    centroids, old_assigned = SD.semdedup_assign(old, num_clusters=6)
+    # full reference under the SAME centroids
+    all_assigned = SD.assign_to_centroids(df, centroids)
+    full = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_pairs(
+            df, threshold=THRESH, assigned=all_assigned
+        ).collect()
+    }
+    new_ids = {r.vec_id for r in new.collect()}
+    expect = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    }
+    got = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_incremental_pairs(
+            new, old_assigned, centroids, threshold=THRESH
+        ).collect()
+    }
+    assert got == expect
+    # sanity: old-old pairs exist in full but are excluded here
+    assert any(p not in expect for p in full) or len(full) == len(expect)
+    assert len(got) > 0

@@ -247,6 +247,64 @@ def semdedup_keep(
     return corpus.join(drops, id_col, "left_anti")
 
 
+def semdedup_incremental_pairs(
+    new: DataFrame,
+    old_assigned: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    old_vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Day-N incremental SemDeDup: duplicate pairs INVOLVING at least
+    one NEW vector (new↔new and new↔old; old↔old was resolved when the
+    resident corpus was deduped) — the per-ingest cost is ∝ |new| ×
+    cluster size, never corpus².
+
+    Standing assets (built once, read per ingest — the family pattern
+    of the stored MinHash band / span-window / IVF index tables):
+    ``old_assigned`` = the resident corpus's (id, vec, centroid_id)
+    assignment table, ``centroids`` = the centroid frame it was
+    assigned with. New vectors are assigned to the SAME centroids
+    (zero-Exchange matmul), so a new vector lands exactly in the
+    cluster its duplicates live in — with centroids held fixed, the
+    incremental pair set EQUALS the full recompute's pairs restricted
+    to pairs touching the new batch (an equality contract, not a
+    recall bound; tests + the driver gate pin it).
+
+    Route: candidate (new × cluster-member) id pairs via an equi-join
+    on centroid_id — the new side is a day-ingest sliver, so the join
+    broadcasts it — then the shared exact-cosine verify, corpus-pruned
+    to candidate ids (`similarity._cosine_verify(prune_corpus=True)`).
+    ``old_vectors`` defaults to ``old_assigned`` itself (it carries
+    the vectors); pass the raw corpus frame if your stored assignment
+    table was thinned to ids."""
+    new_assigned = assign_to_centroids(new, centroids, id_col, vec_col)
+    members = old_assigned.select(
+        F.col(id_col).alias("_mid"), "centroid_id"
+    ).unionByName(
+        new_assigned.select(F.col(id_col).alias("_mid"), "centroid_id")
+    )
+    na = new_assigned.select(F.col(id_col).alias("_nid"), "centroid_id")
+    cands = (
+        F.broadcast(na)
+        .join(members, "centroid_id")
+        .filter(F.col("_nid") != F.col("_mid"))
+        .select(
+            F.least("_nid", "_mid").alias("id_a"),
+            F.greatest("_nid", "_mid").alias("id_b"),
+        )
+        .distinct()
+    )
+    vectors = old_vectors if old_vectors is not None else old_assigned
+    corpus = vectors.select(id_col, vec_col).unionByName(
+        new.select(id_col, vec_col)
+    )
+    return _cosine_verify(
+        cands, corpus, threshold, id_col, vec_col, prune_corpus=True
+    )
+
+
 def semdedup_stats(
     corpus: DataFrame,
     num_clusters: int = 8,
