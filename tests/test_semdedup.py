@@ -204,3 +204,33 @@ def test_incremental_equals_full_restricted(spark, corpus):
     # sanity: old-old pairs exist in full but are excluded here
     assert any(p not in expect for p in full) or len(full) == len(expect)
     assert len(got) > 0
+
+
+def test_incremental_routes_agree(spark, corpus):
+    df, _ = corpus
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    old = df.filter(F.col("vec_id") % 5 != 0)
+    centroids, old_assigned = SD.semdedup_assign(old, num_clusters=6)
+    kw = dict(threshold=THRESH)
+    mm = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_incremental_pairs(
+            new, old_assigned, centroids, **kw
+        ).collect()
+    }
+    jn = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_incremental_pairs(
+            new, old_assigned, centroids, pair_method="join", **kw
+        ).collect()
+    }
+    assert mm == jn and len(mm) > 0
+    # thinned assignment table route: vectors supplied separately
+    thin = old_assigned.select("vec_id", "centroid_id")
+    via_vectors = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SD.semdedup_incremental_pairs(
+            new, thin, centroids, old_vectors=old, **kw
+        ).collect()
+    }
+    assert via_vectors == mm

@@ -255,6 +255,7 @@ def semdedup_incremental_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     old_vectors: DataFrame | None = None,
+    pair_method: str = "cluster_matmul",
 ) -> DataFrame:
     """Day-N incremental SemDeDup: duplicate pairs INVOLVING at least
     one NEW vector (new↔new and new↔old; old↔old was resolved when the
@@ -272,37 +273,118 @@ def semdedup_incremental_pairs(
     to pairs touching the new batch (an equality contract, not a
     recall bound; tests + the driver gate pin it).
 
-    Route: candidate (new × cluster-member) id pairs via an equi-join
-    on centroid_id — the new side is a day-ingest sliver, so the join
-    broadcasts it — then the shared exact-cosine verify, corpus-pruned
-    to candidate ids (`similarity._cosine_verify(prune_corpus=True)`).
+    Default route (``pair_method="cluster_matmul"``): one
+    ``applyInPandas`` per new-touching cluster computes the
+    RECTANGULAR (new × members) cosine block with tiled matmuls —
+    the same vectorization as the full path, so the increment's cost
+    is |new|·c̄ multiply-adds, not |new|·c̄ interpreted pair rows
+    (the r07 first-cut relational route — kept as
+    ``pair_method="join"`` for differential testing — built the
+    candidate PAIR TABLE through a join + per-row cosine UDF and
+    measured SLOWER than the full Gram recompute at sf10: the full
+    path's matmul beat it per pair ~50×).
     ``old_vectors`` defaults to ``old_assigned`` itself (it carries
     the vectors); pass the raw corpus frame if your stored assignment
     table was thinned to ids."""
+    import numpy as np
+
     new_assigned = assign_to_centroids(new, centroids, id_col, vec_col)
-    members = old_assigned.select(
-        F.col(id_col).alias("_mid"), "centroid_id"
-    ).unionByName(
-        new_assigned.select(F.col(id_col).alias("_mid"), "centroid_id")
-    )
-    na = new_assigned.select(F.col(id_col).alias("_nid"), "centroid_id")
-    cands = (
-        F.broadcast(na)
-        .join(members, "centroid_id")
-        .filter(F.col("_nid") != F.col("_mid"))
-        .select(
-            F.least("_nid", "_mid").alias("id_a"),
-            F.greatest("_nid", "_mid").alias("id_b"),
+    if pair_method == "join":
+        members = old_assigned.select(
+            F.col(id_col).alias("_mid"), "centroid_id"
+        ).unionByName(
+            new_assigned.select(F.col(id_col).alias("_mid"), "centroid_id")
         )
-        .distinct()
+        na = new_assigned.select(F.col(id_col).alias("_nid"), "centroid_id")
+        cands = (
+            F.broadcast(na)
+            .join(members, "centroid_id")
+            .filter(F.col("_nid") != F.col("_mid"))
+            .select(
+                F.least("_nid", "_mid").alias("id_a"),
+                F.greatest("_nid", "_mid").alias("id_b"),
+            )
+            .distinct()
+        )
+        vectors = old_vectors if old_vectors is not None else old_assigned
+        corpus = vectors.select(id_col, vec_col).unionByName(
+            new.select(id_col, vec_col)
+        )
+        return _cosine_verify(
+            cands, corpus, threshold, id_col, vec_col, prune_corpus=True
+        )
+    if pair_method != "cluster_matmul":
+        raise ValueError(f"unknown pair_method {pair_method!r}")
+
+    if old_vectors is not None:
+        old_src = old_assigned.select(id_col, "centroid_id").join(
+            old_vectors.select(id_col, vec_col), id_col
+        )
+    else:
+        old_src = old_assigned
+    tagged = old_src.select(
+        id_col, vec_col, "centroid_id", F.lit(False).alias("_is_new")
+    ).unionByName(
+        new_assigned.select(
+            id_col, vec_col, "centroid_id", F.lit(True).alias("_is_new")
+        )
     )
-    vectors = old_vectors if old_vectors is not None else old_assigned
-    corpus = vectors.select(id_col, vec_col).unionByName(
-        new.select(id_col, vec_col)
-    )
-    return _cosine_verify(
-        cands, corpus, threshold, id_col, vec_col, prune_corpus=True
-    )
+    # only clusters the new batch touches do any work (tiny distinct)
+    new_cids = new_assigned.select("centroid_id").distinct()
+    tagged = tagged.join(F.broadcast(new_cids), "centroid_id", "left_semi")
+
+    id_type = tagged.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    B = _GRAM_BLOCK
+
+    def emit(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine_sim": []}
+        ).astype({"cosine_sim": "float64"})
+        pdf = pdf.sort_values(id_col)
+        is_new = pdf["_is_new"].to_numpy(dtype=bool)
+        n = len(pdf)
+        if n < 2 or not is_new.any():
+            return empty
+        E = _vec_matrix(pdf[vec_col], np)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            En = E / norms
+        ids = pdf[id_col].to_numpy()
+        En_new, ids_new = En[is_new], ids[is_new]
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, len(ids_new), B):
+            ri = ids_new[i0 : i0 + B]
+            for j0 in range(0, n, B):
+                S = np.round(En_new[i0 : i0 + B] @ En[j0 : j0 + B].T, 6)
+                cj = ids[j0 : j0 + B]
+                nj = is_new[j0 : j0 + B]
+                # keep: above threshold, not self, and a new↔new pair
+                # only from its smaller-id row (the other direction
+                # re-emits it)
+                keep = (
+                    (S >= threshold)
+                    & (cj[None, :] != ri[:, None])
+                    & ~(nj[None, :] & (cj[None, :] < ri[:, None]))
+                )
+                iu, ju = np.nonzero(keep)
+                a, b = ri[iu], cj[ju]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_s.append(S[iu, ju])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    return tagged.groupBy("centroid_id").applyInPandas(emit, out_schema)
 
 
 def semdedup_stats(
