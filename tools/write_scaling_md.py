@@ -39,7 +39,13 @@ TARGET_SPEEDUP = {"minhash_neardup_incremental": 4.0,
                   # full recompute that re-hashes and re-shuffles all
                   # 750M window sites (~169 s) — measured 19× at
                   # sf100; 8× leaves room for host variance.
-                  "span_strip_incremental": 8.0}
+                  "span_strip_incremental": 8.0,
+                  # semdedup: the increment re-does |new|*cluster-size
+                  # multiply-adds vs the full corpus's n*cluster-size —
+                  # attainable speedup ~ corpus/new = 50x minus the
+                  # fixed costs (new-batch assignment, stored-table
+                  # scan); measured 10.5x at sf100.
+                  "semdedup_incremental_corpus": 5.0}
 
 POINTS = ("sf0.1", "sf1", "sf10", "sf100")
 RATIO_OF = {
