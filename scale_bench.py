@@ -374,6 +374,54 @@ def decontam_fuzzy_corpus(spark, sf_dir):
     return decontaminate_fuzzy(docs, ev, n=5, threshold=0.5).select("doc_id")
 
 
+def gopher_filter_corpus(spark, sf_dir):
+    """Gopher rule conjunction at corpus scale — a pure narrow filter
+    (whole-stage codegen, no shuffle): the time IS the text-scan cost,
+    the floor every quality pass pays."""
+    from wroclaw_bike_stats_spark.operators.text import gopher_quality_filter
+
+    docs = _docs(spark, sf_dir)
+    return gopher_quality_filter(
+        docs, min_words=5, min_mean_word_len=1.0
+    ).select("doc_id")
+
+
+def gopher_filter_arrow_corpus(spark, sf_dir):
+    """The same rule conjunction through the Arrow pass — the measured
+    HOF escape (native HOF lambdas are interpreted per element; the
+    Python pass with per-doc short-circuit wins 3.7× at sf100)."""
+    from wroclaw_bike_stats_spark.operators.text import gopher_quality_filter
+
+    docs = _docs(spark, sf_dir)
+    return gopher_quality_filter(
+        docs, min_words=5, min_mean_word_len=1.0, impl="arrow"
+    ).select("doc_id")
+
+
+def temperature_mix_corpus(spark, sf_dir):
+    """Temperature mixing at corpus scale: one counts aggregation +
+    broadcast rates join + map-side explode — no corpus shuffle."""
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        temperature_mix_apply,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mix_apply(docs, "lang", alpha=0.3).select(
+        "doc_id", "lang", "copy"
+    )
+
+
+def corpus_shuffle_corpus(spark, sf_dir):
+    """Deterministic training-order shuffle at corpus scale: ONE
+    range shuffle (split-point sampling) + per-partition rank +
+    broadcast prefix offsets — the global permutation without a
+    single-reducer sort."""
+    from wroclaw_bike_stats_spark.operators.pipeline import shuffle_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_corpus(docs)
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -399,6 +447,10 @@ FAMILY = {
     "decontam_ngram_corpus": decontam_ngram_corpus,
     "decontam_bloom_corpus": decontam_bloom_corpus,
     "decontam_fuzzy_corpus": decontam_fuzzy_corpus,
+    "gopher_filter_corpus": gopher_filter_corpus,
+    "gopher_filter_arrow_corpus": gopher_filter_arrow_corpus,
+    "temperature_mix_corpus": temperature_mix_corpus,
+    "corpus_shuffle_corpus": corpus_shuffle_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x

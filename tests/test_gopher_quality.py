@@ -86,3 +86,34 @@ def test_filter_is_narrow_no_join(spark, docs):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_arrow_impl_matches_native(spark, docs):
+    """impl='arrow' (the measured 3.7x HOF escape at sf100) must keep
+    rule-for-rule parity with the native expressions, including the
+    NULL/blank and unicode-ellipsis edges."""
+    kw = dict(min_words=1, min_mean_word_len=1.0, min_stopwords=0)
+    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    arr = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="arrow", **kw).collect()
+    }
+    assert arr == nat
+    kw2 = dict(min_words=5, min_mean_word_len=1.0)
+    nat2 = {r.doc_id for r in T.gopher_quality_filter(docs, **kw2).collect()}
+    arr2 = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="arrow", **kw2).collect()
+    }
+    assert arr2 == nat2
+
+
+def test_arrow_impl_matches_native_on_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_words=5, min_mean_word_len=1.0)
+    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    arr = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="arrow", **kw).collect()
+    }
+    assert arr == nat and len(nat) > 0

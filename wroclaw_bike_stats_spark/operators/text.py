@@ -200,14 +200,29 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 _BULLETS = ("-", "*", "•", "‣", "▪")
 
 
+def _with_gopher_inputs(df, text_col: str):
+    """Project the shared token/line arrays ONCE: every signal that
+    follows references the named columns, so Catalyst's subexpression
+    elimination computes one split per row instead of one per signal
+    — measured 128 → 86 s on the 5M-doc sf100 filter (the split and
+    the interpreted HOF lambdas are the cost; sharing the split is
+    the cheap half of it)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.withColumn("_gtoks", tokens(text)).withColumn(
+        "_glines", F.split(text, "\n")
+    )
+
+
 def _gopher_signals(text_col: str) -> dict[str, Column]:
     """The Gopher rule signals as per-row native expressions — the ONE
     implementation both the stats report and the filter compile from
-    (whole-stage codegen, no shuffle, no Python). NULL text behaves as
-    empty (zero counts/ratios)."""
+    (whole-stage codegen for the scalar parts; the array lambdas are
+    interpreted, which is why the arrays are shared via
+    ``_with_gopher_inputs``). NULL text behaves as empty (zero
+    counts/ratios)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text)
-    wc = token_count_ws(text)
+    toks = F.col("_gtoks")
+    wc = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
     n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
     n_ell = (
         F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
@@ -219,13 +234,17 @@ def _gopher_signals(text_col: str) -> dict[str, Column]:
             lambda t: t.isin(*GOPHER_STOPWORDS),
         )
     )
-    lines = F.split(text, "\n")
+    lines = F.col("_glines")
     is_bullet = lambda ln: F.substring(F.trim(ln), 1, 1).isin(*_BULLETS)  # noqa: E731
     ends_ell = lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…")  # noqa: E731
     n_lines = F.size(lines)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mwl = F.when(F.size(toks) > 0, tok_chars / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
     return {
         "word_count": wc,
-        "mean_word_len": F.round(mean_word_len(text), 6),
+        "mean_word_len": F.round(mwl, 6),
         "symbol_word_ratio": F.round(
             F.when(wc > 0, n_ell + n_hash).otherwise(F.lit(0))
             / F.greatest(wc, F.lit(1)),
@@ -254,7 +273,7 @@ def gopher_quality_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     starting with a bullet glyph), ellipsis_line_frac (lines ending
     in … or ...). One narrow projection."""
     sig = _gopher_signals(text_col)
-    return df.select(
+    return _with_gopher_inputs(df, text_col).select(
         F.col(id_col), *[c.alias(name) for name, c in sig.items()]
     )
 
@@ -271,25 +290,110 @@ def gopher_quality_filter(
     min_stopwords: int = 2,
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
+    impl: str = "native",
 ):
     """Keep documents passing every Gopher rule (paper defaults; all
     bounds overridable — short-doc corpora need a lower word floor).
     Compiled INLINE from the same signal expressions as the stats
     report: a pure narrow filter pushed at the scan — never a
     join-back (a kept-id set is corpus-sized, the one thing you must
-    not broadcast)."""
+    not broadcast).
+
+    ``impl="arrow"``: the same rules in an Arrow-batched Python pass.
+    This is the family's MEASURED exception to "stay JVM-side": the
+    token-level signals are higher-order-function lambdas, which
+    Spark evaluates INTERPRETED per array element (no whole-stage
+    codegen), and at the sf100 scaling point the native form costs
+    130 s vs 35 s for the Python pass with per-doc short-circuiting
+    (3.7×). Semantics identical (ASCII \\s+ split, same rounding) —
+    differential-tested; the native form stays the default because it
+    is the oracle-gated route and wins when most rules are scalar."""
+    if impl == "arrow":
+        return _gopher_filter_arrow(
+            df, text_col, min_words, max_words, min_mean_word_len,
+            max_mean_word_len, max_symbol_word_ratio, min_alpha_word_frac,
+            min_stopwords, max_bullet_line_frac, max_ellipsis_line_frac,
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}")
     s = _gopher_signals(text_col)
-    return df.filter(
-        (s["word_count"] >= min_words)
-        & (s["word_count"] <= max_words)
-        & (s["mean_word_len"] >= min_mean_word_len)
-        & (s["mean_word_len"] <= max_mean_word_len)
-        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
-        & (s["alpha_word_frac"] >= min_alpha_word_frac)
-        & (s["n_stopwords"] >= min_stopwords)
-        & (s["bullet_line_frac"] <= max_bullet_line_frac)
-        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+    return (
+        _with_gopher_inputs(df, text_col)
+        .filter(
+            (s["word_count"] >= min_words)
+            & (s["word_count"] <= max_words)
+            & (s["mean_word_len"] >= min_mean_word_len)
+            & (s["mean_word_len"] <= max_mean_word_len)
+            & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+            & (s["alpha_word_frac"] >= min_alpha_word_frac)
+            & (s["n_stopwords"] >= min_stopwords)
+            & (s["bullet_line_frac"] <= max_bullet_line_frac)
+            & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        )
+        .drop("_gtoks", "_glines")
     )
+
+
+def _gopher_filter_arrow(
+    df, text_col, min_words, max_words, min_mean_word_len,
+    max_mean_word_len, max_symbol_word_ratio, min_alpha_word_frac,
+    min_stopwords, max_bullet_line_frac, max_ellipsis_line_frac,
+):
+    """Arrow-batched Gopher rule pass (see gopher_quality_filter
+    docstring for when this wins). Tokenization = ASCII \\s+ over the
+    space-trimmed text — the exact split the native `tokens()` and
+    the DuckDB oracles use; per-doc short-circuit in rule order."""
+    import re as _re
+
+    stop = set(GOPHER_STOPWORDS)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    alpha_re = _re.compile(r"[a-zA-Z]")
+    cols = df.columns
+
+    def passes(t) -> bool:
+        t = t or ""
+        ts = t.strip(" ")
+        toks = ws.split(ts) if ts != "" else []
+        wc = len(toks)
+        if not (min_words <= wc <= max_words):
+            return False
+        mwl = round(sum(map(len, toks)) / wc, 6) if wc else 0.0
+        if not (min_mean_word_len <= mwl <= max_mean_word_len):
+            return False
+        n_sym = (
+            (len(t) - len(t.replace("...", ""))) / 3
+            + t.count("…")
+            + t.count("#")
+        )
+        if round(n_sym / max(wc, 1), 6) > max_symbol_word_ratio:
+            return False
+        alpha_frac = (
+            round(sum(1 for x in toks if alpha_re.search(x)) / wc, 6)
+            if wc
+            else 0.0
+        )
+        if alpha_frac < min_alpha_word_frac:
+            return False
+        if sum(1 for x in toks if x.lower() in stop) < min_stopwords:
+            return False
+        lines = t.split("\n")
+        nl = max(len(lines), 1)
+        n_bul = sum(1 for ln in lines if ln.strip(" ")[:1] in _BULLETS)
+        if round(n_bul / nl, 6) > max_bullet_line_frac:
+            return False
+        n_ell = sum(
+            1
+            for ln in lines
+            if ln.strip(" ").endswith("...") or ln.strip(" ").endswith("…")
+        )
+        return round(n_ell / nl, 6) <= max_ellipsis_line_frac
+
+    def emit(pdf_iter):
+        for pdf in pdf_iter:
+            mask = [passes(t) for t in pdf[text_col]]
+            yield pdf[mask]
+
+    return df.mapInPandas(emit, df.schema)[cols]
 
 
 def dup_word_frac(col: Column) -> Column:
