@@ -1372,10 +1372,12 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter n-gram decontamination (operators/pipeline.py
     decontaminate_ngram_bloom): same semantics — and the SAME oracle —
     as decontam_ngram, reached through a broadcast Bloom bitset + one
-    narrow corpus probe pass + exact verification of the suspect
-    sliver only. The route for blocklists too large to broadcast as a
-    hash relation (false negatives impossible, so verify=True equals
-    the exact result)."""
+    narrow corpus probe pass + hashed-shingle verification of the
+    suspect sliver only. The route for blocklists too large to
+    broadcast as a hash relation (false negatives impossible, so
+    verify=True equals the exact result up to 64-bit shingle-hash
+    collisions — the module's documented tolerance, same as the
+    ngram_jaccard gates)."""
     from wroclaw_bike_stats_spark.operators.pipeline import (
         decontaminate_ngram_bloom,
     )

@@ -374,27 +374,37 @@ def decontam_fuzzy_corpus(spark, sf_dir):
     return decontaminate_fuzzy(docs, ev, n=5, threshold=0.5).select("doc_id")
 
 
+# The scale corpora suffix EVERY token with _s<shard>
+# (tools/make_scale_data.py — shingle-disjointness for the dedup
+# rows), which defeats the GOPHER stop-word presence rule: with the
+# default min_stopwords the filter keeps a constant 2493 docs at
+# sf0.1/1/10 and 0 of 5M at sf100 — a degenerate workload where the
+# keep path never runs at scale. The scale rows therefore drop that
+# one rule (min_stopwords=0) so the pass rate stays density-constant;
+# the rule itself is oracle-gated at sf0.01 on unsuffixed text.
+GOPHER_SCALE_BOUNDS = dict(min_words=5, min_mean_word_len=1.0,
+                           max_mean_word_len=14.0, min_stopwords=0)
+
+
 def gopher_filter_corpus(spark, sf_dir):
     """Gopher rule conjunction at corpus scale — a pure narrow filter
-    (whole-stage codegen, no shuffle): the time IS the text-scan cost,
-    the floor every quality pass pays."""
+    (no shuffle): the time IS the text-scan cost, the floor every
+    quality pass pays. Bounds per GOPHER_SCALE_BOUNDS above."""
     from wroclaw_bike_stats_spark.operators.text import gopher_quality_filter
 
     docs = _docs(spark, sf_dir)
-    return gopher_quality_filter(
-        docs, min_words=5, min_mean_word_len=1.0
-    ).select("doc_id")
+    return gopher_quality_filter(docs, **GOPHER_SCALE_BOUNDS).select("doc_id")
 
 
 def gopher_filter_arrow_corpus(spark, sf_dir):
     """The same rule conjunction through the Arrow pass — the measured
     HOF escape (native HOF lambdas are interpreted per element; the
-    Python pass with per-doc short-circuit wins 3.7× at sf100)."""
+    Python pass with per-doc short-circuit wins ~4× at sf100)."""
     from wroclaw_bike_stats_spark.operators.text import gopher_quality_filter
 
     docs = _docs(spark, sf_dir)
     return gopher_quality_filter(
-        docs, min_words=5, min_mean_word_len=1.0, impl="arrow"
+        docs, impl="arrow", **GOPHER_SCALE_BOUNDS
     ).select("doc_id")
 
 

@@ -89,7 +89,7 @@ def test_filter_is_narrow_no_join(spark, docs):
 
 
 def test_arrow_impl_matches_native(spark, docs):
-    """impl='arrow' (the measured 3.7x HOF escape at sf100) must keep
+    """impl='arrow' (the measured 3.4x HOF escape at sf100) must keep
     rule-for-rule parity with the native expressions, including the
     NULL/blank and unicode-ellipsis edges."""
     kw = dict(min_words=1, min_mean_word_len=1.0, min_stopwords=0)

@@ -75,3 +75,23 @@ def test_apply_is_lazy_and_accepts_precomputed_rates(spark, corpus):
     rates = P.temperature_mix_rates(corpus, "source", 0.5)
     _ = P.temperature_mix_apply(corpus, "source", rates=rates)
     assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_null_source_rows_are_kept_and_rated(spark):
+    """NULL-source rows form their own rate group (groupBy keeps the
+    NULL group; the rate join is null-safe) — they must not silently
+    vanish from the mix."""
+    rows = [(i, "head") for i in range(90)] + [(i, None) for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r.source: r.rate
+        for r in P.temperature_mix_rates(df, "source", 0.3).collect()
+    }
+    assert None in rates and rates[None] > 1  # tail group upsampled
+    out = P.temperature_mix_apply(df, "source", 0.3)
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.get(None, 0) >= 10  # kept, and upsampled (rate > 1)
+    assert abs(got[None] - 10 * rates[None]) <= 6

@@ -291,10 +291,11 @@ def _bloom_positions(h, m: int, k: int, np):
 
 
 def build_ngram_bloom(
-    eval_set: DataFrame,
+    eval_set: DataFrame | None,
     text_col: str = "text",
     n: int = 13,
     bits_per_key: int = 16,
+    grams: DataFrame | None = None,
 ):
     """Bloom bitset over the eval set's hashed word ``n``-grams.
 
@@ -304,12 +305,16 @@ def build_ngram_bloom(
     with ``treeReduce`` so the driver never holds more than
     O(log partitions) bitsets. Returns ``(bitset uint64[], m, k)``.
 
-    Sizing: m is computed from an upstream distinct-gram count (one
-    map-side-combined agg over the eval side — same pre-count the
-    auto-broadcast mode already pays). At 16 bits/key the false-
-    positive rate is ~4·10⁻⁴; 1 BILLION eval grams fit in a 2 GB
-    bitset where a broadcast hash relation of the same grams is
-    ~100 GB — this is what extends the zero-corpus-shuffle
+    ``grams``: a precomputed single-column frame of hashed grams —
+    pass a PERSISTED one to pay the eval-side shingle pass once
+    across the sizing count, the bitset build, and a later verify
+    join (``decontaminate_ngram_bloom`` does exactly this; the eval
+    side is the operator's dominant cost at blocklist scale).
+
+    Sizing: m comes from a distinct-gram count over that frame. At 16
+    bits/key the false-positive rate is ~4·10⁻⁴; 1 BILLION eval grams
+    fit in a 2 GB bitset where a broadcast hash relation of the same
+    grams is ~100 GB — this is what extends the zero-corpus-shuffle
     decontamination route past ``BROADCAST_MAX_FPS``.
 
     The bitset lives only in-session (built and consumed by the same
@@ -321,9 +326,12 @@ def build_ngram_bloom(
         _make_hashed_shingle_udf,
     )
 
-    grams = eval_set.select(
-        F.explode(_make_hashed_shingle_udf(n)(F.col(text_col))).alias("g")
-    )
+    if grams is None:
+        grams = eval_set.select(
+            F.explode(_make_hashed_shingle_udf(n)(F.col(text_col))).alias("g")
+        )
+    else:
+        grams = grams.toDF("g")
     n_keys = grams.agg(F.approx_count_distinct("g").alias("n")).first()["n"]
     m, k = _bloom_bitset_params(n_keys, bits_per_key)
     words = m // 64
@@ -368,16 +376,22 @@ def decontaminate_ngram_bloom(
     2. One narrow corpus pass (``mapInPandas``): each doc's grams are
        hashed and probed against the bitset; docs with ≥1 hit become
        SUSPECTS. No corpus shuffle, no exploded gram table in the JVM.
-    3. ``verify=True`` (default): exact string-shingle semi-join of
-       the suspects' grams against the eval grams — the expensive join
+    3. ``verify=True`` (default): HASHED-shingle semi-join of the
+       suspects' grams against the eval grams — the expensive join
        now runs over the (contaminated + false-positive) sliver
        instead of the whole corpus, so its shuffle volume is
-       eval-grams + suspect-grams. Bloom false negatives are
-       impossible (a string match implies a hash match implies set
-       bits), so the verified result EQUALS ``decontaminate_ngram``
-       exactly — same DuckDB oracle. ``verify=False`` skips the join
-       and over-drops by the measured ~4·10⁻⁴ FP rate (acceptable for
-       a training corpus, not for a parity gate).
+       eval-grams + suspect-grams; the eval gram frame is hashed and
+       persisted ONCE and feeds the sizing count, the bitset build
+       AND this join (the r07 first cut re-shingled the eval side
+       three times — at blocklist scale that tripled the dominant
+       cost). Bloom false negatives are impossible (a string match
+       implies a hash match implies set bits), so the verified result
+       equals ``decontaminate_ngram`` up to 64-bit shingle-hash
+       collisions — the module's documented tolerance
+       (``dedup._shingle_table``), shared with the ngram_jaccard
+       gates. ``verify=False`` skips the join and over-drops by the
+       measured ~4·10⁻⁴ FP rate (acceptable for a training corpus,
+       not for a parity gate).
     """
     import numpy as np
 
@@ -385,8 +399,16 @@ def decontaminate_ngram_bloom(
         _shingle_hash_batch,
         _shingle_table,
     )
+    from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
 
-    bitset, m, k = build_ngram_bloom(eval_set, text_col, n, bits_per_key)
+    ev_grams = _sp(
+        _shingle_table(eval_set, text_col, id_col, n, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    bitset, m, k = build_ngram_bloom(
+        None, text_col, n, bits_per_key, grams=ev_grams
+    )
     bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
 
     def probe(pdf_iter):
@@ -417,13 +439,8 @@ def decontaminate_ngram_bloom(
     if not verify:
         return corpus.join(suspects, id_col, "left_anti")
     suspect_docs = corpus.join(F.broadcast(suspects), id_col, "left_semi")
-    ev_grams = (
-        _shingle_table(eval_set, text_col, id_col, n)
-        .select("shingle")
-        .distinct()
-    )
     contaminated = (
-        _shingle_table(suspect_docs, text_col, id_col, n)
+        _shingle_table(suspect_docs, text_col, id_col, n, hashed=True)
         .join(ev_grams, "shingle", "left_semi")
         .select(F.col("_id").alias(id_col))
         .distinct()
@@ -658,8 +675,17 @@ def temperature_mix_apply(
         < F.round(frac * resolution, 0).cast("long")
     ).cast("long")
     k = (whole + extra).alias("_k")
+    # NULL-safe rate join: groupBy keeps a NULL-source group and
+    # computes its rate, but a plain equi-join key never matches NULL
+    # — null-source rows would silently VANISH from the mix (neither
+    # sampled nor passed through). <=> keeps them governed by their
+    # own group's rate.
+    r = rates.select(F.col(source_col).alias("_mix_src"), "rate")
     return (
-        df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+        df.join(
+            F.broadcast(r), df[source_col].eqNullSafe(r["_mix_src"])
+        )
+        .drop("_mix_src")
         .withColumn("_k", k)
         .filter(F.col("_k") > 0)
         .withColumn(

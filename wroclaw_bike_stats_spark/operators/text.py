@@ -303,11 +303,14 @@ def gopher_quality_filter(
     This is the family's MEASURED exception to "stay JVM-side": the
     token-level signals are higher-order-function lambdas, which
     Spark evaluates INTERPRETED per array element (no whole-stage
-    codegen), and at the sf100 scaling point the native form costs
-    130 s vs 35 s for the Python pass with per-doc short-circuiting
-    (3.7×). Semantics identical (ASCII \\s+ split, same rounding) —
-    differential-tested; the native form stays the default because it
-    is the oracle-gated route and wins when most rules are scalar."""
+    codegen). Official SCALING.json rows at the 5M-doc sf100 point
+    (density-constant bounds, every rule evaluated): native 187 s vs
+    arrow 55 s (3.4×); with bounds where most docs fail an early rule
+    the arrow pass's per-doc short-circuit widens the gap (probe run:
+    128 vs 30 s). Semantics identical (ASCII \\s+ split, same
+    rounding) — differential-tested; the native form stays the
+    default because it is the oracle-gated route and wins when most
+    rules are scalar."""
     if impl == "arrow":
         return _gopher_filter_arrow(
             df, text_col, min_words, max_words, min_mean_word_len,
