@@ -107,3 +107,25 @@ def test_plan_is_python_free_single_doc_shuffle(spark, labeled):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_column_unsafe_labels_rejected(spark, labeled):
+    """Labels are interpolated into column names (pivot values,
+    w_<c>, score_<c>) — a backtick/dot/space label would break
+    resolution deep in Catalyst, so entry validation must be loud."""
+    for bad in (["co`de", "prose"], ["a.b", "c"], ["", "x"], ["a b", "c"]):
+        with pytest.raises(ValueError, match="column-unsafe|non-empty"):
+            NB.nb_train(labeled, bad)
+    weights, priors = NB.nb_train(labeled, CLASSES)
+    with pytest.raises(ValueError, match="column-unsafe"):
+        NB.nb_predict(labeled, weights, priors, ["co`de", "prose"])
+    with pytest.raises(ValueError, match="duplicate"):
+        NB.nb_train(labeled, ["code", "code"])
+    # hyphen/underscore labels are fine (backtick-quoted internally)
+    w2, p2 = NB.nb_train(
+        labeled.withColumn(
+            "label", F.concat(F.col("label"), F.lit("-v2"))
+        ),
+        ["code-v2", "prose-v2"],
+    )
+    assert {"w_code-v2", "w_prose-v2"} <= set(w2.columns)

@@ -301,3 +301,50 @@ def test_gopher_stage_composes_and_stays_lazy(spark, docs):
     }
     assert got <= standalone
     assert len(got) > 0
+
+
+def test_persist_stages_parity_and_release(spark, docs):
+    """persist_stages=True must produce byte-identical output to the
+    fully-lazy plan (it only changes WHERE the survivor frame is read
+    from) and register its persisted frames with the scratch registry
+    so release() frees them."""
+    from wroclaw_bike_stats_spark.operators import scratch
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+    scratch.release()
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    kw = dict(
+        min_tokens=5, lm=lm, max_ppl=40.0, strip_spans=True, scrub=False
+    )
+    eval_set = docs.limit(5)
+    lazy = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(docs, eval_set, **kw).collect()
+    )
+    persisted = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            docs, eval_set, persist_stages=True, **kw
+        ).collect()
+    )
+    assert lazy == persisted
+    # three self-join branches active => three registered frames
+    assert len(scratch._SCRATCH) == 3
+    cached = [df for df in scratch._SCRATCH if df.storageLevel.useMemory]
+    assert len(cached) == 3
+    scratch.release()
+    assert not scratch._SCRATCH
+
+
+def test_persist_stages_single_scan_per_branch(spark, docs):
+    """The point of persist_stages: after the first action, the
+    repetition branch reads the survivor frame from cache — the
+    executed plan contains InMemoryTableScan nodes."""
+    from wroclaw_bike_stats_spark.operators import scratch
+
+    scratch.release()
+    out = curate_corpus(docs, None, min_tokens=5, persist_stages=True)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    scratch.release()

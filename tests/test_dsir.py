@@ -116,3 +116,44 @@ def test_plan_is_python_free_and_broadcast(spark, corpus):
     # the B-row model side joins broadcast into the gram stream
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_snowflake_ids_sample_without_loss(spark, corpus):
+    """Gumbel noise must survive ids >= 2^32 (snowflake-style, the
+    hash_bucket contract): the naive `id * KNUTH` int64 multiply
+    overflows there — ANSI mode throws, legacy wraps negative and
+    log(u) NULLs the doc silently out of the sample. The split-multiply
+    route must keep every doc eligible."""
+    base = 1 << 40
+    big = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    target = big.filter((F.col("doc_id") - base).isin(0, 2, 4, 6))
+    model = DS.dsir_logratio(target, big)
+    picked = DS.importance_resample(big, model, k=60)
+    rows = picked.collect()
+    # every doc scored and carries a finite key — none NULLed out
+    assert len(rows) == 60
+    assert all(r.key is not None and r.logw is not None for r in rows)
+    # determinism holds at large ids too
+    again = {r.doc_id for r in DS.importance_resample(big, model, k=10).collect()}
+    assert again == {
+        r.doc_id
+        for r in DS.importance_resample(big.repartition(7), model, k=10).collect()
+    }
+
+
+def test_gumbel_matches_portable_hash_arithmetic(spark):
+    """The split-multiply u must equal the full-width
+    (id*K) mod 2^32 arithmetic the SQL oracle computes (congruence
+    claim of pipeline.hash_bucket) — checked for small AND huge ids."""
+    import math
+
+    ids = [0, 1, 7, 123456, (1 << 33) + 5, (1 << 41) + 99]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", DS._gumbel("doc_id").alias("g")).collect()
+    }
+    for i in ids:
+        u = ((i * 2654435761) % (1 << 32) + 0.5) / float(1 << 32)
+        want = -math.log(-math.log(u))
+        assert abs(got[i] - want) < 1e-9, i

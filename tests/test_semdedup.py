@@ -234,3 +234,16 @@ def test_incremental_routes_agree(spark, corpus):
         ).collect()
     }
     assert via_vectors == mm
+
+
+def test_threshold_defaults_shared():
+    """Default-argument use must not violate the incremental equality
+    contract: every entry point defaults to the SAME module-level
+    duplicate threshold."""
+    import inspect
+
+    for fn in (SD.semdedup_pairs, SD.semdedup_keep, SD.semdedup_incremental_pairs):
+        assert (
+            inspect.signature(fn).parameters["threshold"].default
+            == SD.DEFAULT_THRESHOLD
+        ), fn.__name__

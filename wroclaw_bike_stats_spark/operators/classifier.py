@@ -37,11 +37,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
 from wroclaw_bike_stats_spark.operators.dsir import (
     _bucket,
     _grams,
     _scheme,
 )
+
+#: Labels are interpolated into column names (pivot values, ``w_<c>``,
+#: ``score_<c>``, the backtick-quoted ``F.col`` lookups) — a label
+#: containing a backtick, dot, or other column-unsafe character would
+#: break train/predict resolution, and the ``score_<c>`` names are
+#: part of the output contract the SQL oracles hash. Reject anything
+#: outside the safe set loudly at entry instead of failing deep in
+#: Catalyst with an unresolved-column error.
+_SAFE_LABEL = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def _check_labels(classes: list[str]) -> None:
+    if not classes:
+        raise ValueError("classes must be a non-empty label list")
+    if len(set(classes)) != len(classes):
+        raise ValueError(f"duplicate labels in classes={classes}")
+    bad = [c for c in classes if not isinstance(c, str) or not _SAFE_LABEL.match(c)]
+    if bad:
+        raise ValueError(
+            f"column-unsafe class labels {bad!r}: labels are embedded in "
+            "column names (w_<label>, score_<label>) and must match "
+            "[A-Za-z0-9_-]+ — rename the labels (e.g. map them to slugs) "
+            "before training"
+        )
 
 
 def nb_train(
@@ -61,6 +87,7 @@ def nb_train(
     ``classes`` are ignored. Both frames are lazy; write ``weights``
     to parquet and it is the standing model (scheme tag in column
     metadata, validated by ``nb_predict``)."""
+    _check_labels(classes)
     grams = labeled.filter(F.col(label_col).isin(classes)).select(
         F.col(label_col).alias("_cls"),
         F.explode(_grams(F.col(text_col))).alias("_g"),
@@ -125,6 +152,7 @@ def nb_predict(
     (vanishingly rare with double scores) break toward the first
     class in ``classes``. One corpus shuffle (the per-doc groupBy);
     the model joins broadcast."""
+    _check_labels(classes)
     for c in classes:
         col = f"w_{c}"
         if col not in weights.columns:

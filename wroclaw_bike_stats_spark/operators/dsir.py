@@ -45,12 +45,14 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wroclaw_bike_stats_spark.operators.pipeline import hash_bucket
 from wroclaw_bike_stats_spark.operators.text import tokens
 
-#: Knuth multiplicative constant — the same portable hash arithmetic
-#: pipeline.hash_split_assign uses, so the Gumbel noise is exactly
-#: reproducible in ANSI SQL.
-_KNUTH = 2654435761
+#: 2^32 — the modulus of the portable multiplicative hash
+#: (pipeline.hash_bucket). Gumbel noise derives u from that hash so
+#: the arithmetic is identical to hash_split_assign's and exactly
+#: reproducible in ANSI SQL (DuckDB's HUGEINT full-width product is
+#: congruent mod 2^32 with the overflow-safe split multiply).
 _M32 = 4294967296
 
 
@@ -208,10 +210,14 @@ def _gumbel(id_col: str) -> Column:
     the portable multiplicative hash (never exactly 0 or 1 — the
     +0.5/M midpoint), g = −ln(−ln u). Seeded-by-id sampling is the
     reproducibility contract: rerunning selection on the same corpus
-    picks the same docs, and the oracle reproduces it in SQL."""
-    u = (
-        (F.col(id_col) * _KNUTH) % _M32 + F.lit(0.5)
-    ) / F.lit(float(_M32))
+    picks the same docs, and the oracle reproduces it in SQL.
+
+    The hash routes through ``pipeline.hash_bucket`` (16-bit split
+    multiply): a naive ``id * 2654435761`` overflows int64 for ids
+    ≥ ~2^32 (snowflake-style, in-scope per hash_bucket's docstring) —
+    ANSI mode throws, legacy mode wraps negative and log(u) of a
+    negative u silently NULLs the doc out of the sample."""
+    u = (hash_bucket(F.col(id_col), _M32) + F.lit(0.5)) / F.lit(float(_M32))
     return -F.log(-F.log(u))
 
 

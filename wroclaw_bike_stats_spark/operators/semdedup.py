@@ -70,6 +70,13 @@ __all__ = [
     "semdedup_stats",
 ]
 
+#: One duplicate-cosine threshold shared by EVERY entry point (full
+#: pairs, keep, and the incremental form) — the incremental contract
+#: is "incremental pairs == full recompute restricted to the new
+#: batch", which default-argument use would silently violate if the
+#: defaults diverged.
+DEFAULT_THRESHOLD = 0.4
+
 
 def semdedup_assign(
     corpus: DataFrame,
@@ -161,7 +168,7 @@ def _cluster_pairs_matmul(
 def semdedup_pairs(
     corpus: DataFrame,
     num_clusters: int = 8,
-    threshold: float = 0.4,
+    threshold: float = DEFAULT_THRESHOLD,
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -190,7 +197,7 @@ def semdedup_pairs(
 def semdedup_keep(
     corpus: DataFrame,
     num_clusters: int = 8,
-    threshold: float = 0.4,
+    threshold: float = DEFAULT_THRESHOLD,
     refine_iters: int = 0,
     keep: str = "min_id",
     id_col: str = "vec_id",
@@ -251,7 +258,7 @@ def semdedup_incremental_pairs(
     new: DataFrame,
     old_assigned: DataFrame,
     centroids: DataFrame,
-    threshold: float = 0.95,
+    threshold: float = DEFAULT_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     old_vectors: DataFrame | None = None,
@@ -390,7 +397,7 @@ def semdedup_incremental_pairs(
 def semdedup_stats(
     corpus: DataFrame,
     num_clusters: int = 8,
-    threshold: float = 0.4,
+    threshold: float = DEFAULT_THRESHOLD,
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -51,6 +51,7 @@ def curate_corpus(
     scrub: bool = True,
     train_pct: int = 80,
     val_pct: int = 10,
+    persist_stages: bool = False,
 ) -> DataFrame:
     """Return the curated corpus: surviving rows with ``text``
     (PII-scrubbed when ``scrub``) plus ``split``. Deterministic —
@@ -67,15 +68,33 @@ def curate_corpus(
       tokens have no signal and pass). The model joins broadcast —
       for a corpus-trained model pass count tables you have already
       thinned, or score standalone with ``broadcast_model=False``.
+      NOTE: like the strip, this stage scores ``out`` and joins the
+      result back onto ``out``, so without ``persist_stages`` the
+      whole upstream subplan is referenced twice per action.
     - ``strip_spans`` runs exact substring-span dedup
       (operators/span_dedup.py, Lee et al. 2022) over the
       exact-dedup survivors, replacing ``text_col`` with the
       stripped rebuild. NOTE: the rebuild is a tokenizer round-trip,
       so ALL surviving docs get whitespace normalized, and the strip
       references the survivor plan twice (site generation + rebuild
-      join) — at production scale persist/checkpoint the survivor
-      frame first or run the strip as its own pass over materialized
-      output."""
+      join).
+
+    ``persist_stages`` is the composed-pipeline scale switch: three
+    stages (repetition, ppl band, span strip) each derive a signal
+    frame FROM the survivor plan and join it BACK onto the survivor
+    plan, so the fully-lazy composition re-reads the progressively
+    filtered corpus once per self-referencing branch (~5 scans per
+    action with everything enabled). With ``persist_stages=True`` the
+    survivor frame is scratch-persisted (operators/scratch.py,
+    MEMORY_AND_DISK, lazy — no job until the first action) immediately
+    before each self-join branch, so each stage costs ONE corpus scan
+    plus cache reads. This is what a production 100 TB run wants;
+    call ``operators.scratch.release()`` when done with the output
+    (the bench harness does). Default False keeps the single
+    fully-lazy plan — correct, zero cache footprint, and what the
+    SQL-oracle differential checks."""
+    if persist_stages:
+        from wroclaw_bike_stats_spark.operators import scratch
     out = docs
     if eval_set is not None:
         # broadcast pinned, not auto: auto mode counts the exclusion
@@ -126,7 +145,11 @@ def curate_corpus(
     if gopher_bounds is not None:
         out = T.gopher_quality_filter(out, text_col=text_col, **gopher_bounds)
 
-    # repetition filter: top-2-gram share (explode+agg over survivors)
+    # repetition filter: top-2-gram share (explode+agg over survivors).
+    # Self-referencing branch: `rep` derives from `out` and joins back
+    # onto it — persist the survivor frame first at scale.
+    if persist_stages:
+        out = scratch.persist(out)
     rep = T.repetition_stats(out, text_col=text_col, id_col=id_col).select(
         id_col,
         F.when(
@@ -146,6 +169,9 @@ def curate_corpus(
     # band of exactly this signal; the score joins broadcast and the
     # vocab size is a lazy 1-row aggregate, so the plan stays lazy)
     if lm is not None and (max_ppl is not None or min_ppl is not None):
+        # Self-referencing branch (score `out`, join back onto `out`).
+        if persist_stages:
+            out = scratch.persist(out)
         uni, bi = lm
         ppl = T.bigram_lm_score(
             out, uni, bi, text_col=text_col, id_col=id_col
@@ -180,6 +206,9 @@ def curate_corpus(
             strip_duplicate_spans,
         )
 
+        # Self-referencing branch ×2 (site generation + rebuild join).
+        if persist_stages:
+            out = scratch.persist(out)
         out = (
             strip_duplicate_spans(
                 out,
