@@ -2411,66 +2411,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-7 order: gates new
-    # this round (no driver row yet) come first, then the 42
-    # oracle-backed queries whose latest driver row is r05 (pushed
-    # past the r06 window), then the 50 verified in r06, then the
-    # rows-only (no-oracle) sketch/hash queries last. Every callable
-    # is bound to the _acquire session boundary.
+    # prefix; see COVERAGE.md "gate window"). Round-8 order: gates new
+    # this round (no driver row yet) come first as they land, then the
+    # 10 oracle-backed queries whose latest driver row is r05 (the
+    # exact set COVERAGE.md commits the r08 rotation leads with), then
+    # the 50 last verified in r06, then the 50 verified in r07, then
+    # the rows-only (no-oracle) sketch/hash queries last. Every
+    # callable is bound to the _acquire session boundary.
     q = {
-        # --- new in r07 (no driver row yet) --------------------------
-        "curate_pipeline_full": q_curate_pipeline_full,
-        "dsir_scores": q_dsir_scores,
-        "dsir_resample": q_dsir_resample,
-        "nb_lang_predict": q_nb_lang_predict,
-        "ppl_buckets": q_ppl_buckets,
-        "semdedup_pairs": q_semdedup_pairs,
-        "semdedup_keep": q_semdedup_keep,
-        "semdedup_stats": q_semdedup_stats,
-        "semdedup_incremental": q_semdedup_incremental,
-        "decontam_bloom": q_decontam_bloom,
-        "decontam_fuzzy": q_decontam_fuzzy,
-        "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
-        "temperature_mix": q_temperature_mix,
-        "corpus_shuffle": q_corpus_shuffle,
-        "gopher_stats": q_gopher_stats,
-        "gopher_filter": q_gopher_filter,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "token_budget": q_token_budget,
-        # --- latest driver row r05 (stalest oracle-backed; pushed past
-        #     the r06 window) ----------------------------------------
-        "validate_orders": q_validate_orders,
-        "pricing_summary": q_pricing_summary,
-        "revenue_topk": q_revenue_topk,
-        "region_nation_revenue": q_region_nation_revenue,
-        "topk_customers": q_topk_customers,
-        "filter_project_part": q_filter_project_part,
-        "hourly_histogram": q_hourly_histogram,
-        "daily_event_metrics": q_daily_event_metrics,
-        "user_traffic_fullouter": q_user_traffic_fullouter,
-        "status_change_events": q_status_change_events,
-        "top_transitions": q_top_transitions,
-        "union_distinct_users": q_union_distinct_users,
-        "user_first_last": q_user_first_last,
-        "intersect_users": q_intersect_users,
-        "except_users": q_except_users,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_with_orders": q_customers_with_orders,
-        "rollup_order_stats": q_rollup_order_stats,
-        "order_count_distribution": q_order_count_distribution,
-        "large_orders_having": q_large_orders_having,
-        "suppliers_above_avg": q_suppliers_above_avg,
-        "rich_customers_by_nation": q_rich_customers_by_nation,
-        "promo_revenue_share": q_promo_revenue_share,
-        "order_priority_late": q_order_priority_late,
-        "shipping_volume_nations": q_shipping_volume_nations,
-        "revenue_rank_by_nation": q_revenue_rank_by_nation,
-        "running_customer_revenue": q_running_customer_revenue,
-        "minhash_recall": q_minhash_recall,
-        "simhash_recall": q_simhash_recall,
-        "salted_join_skew": q_salted_join_skew,
-        "curate_pipeline": q_curate_pipeline,
-        "decontam_ngram": q_decontam_ngram,
+        # --- latest driver row r05 (stalest oracle-backed; COVERAGE.md
+        #     commits the r08 rotation leads with exactly these 10) ---
         "incremental_neardup_recall": q_incremental_neardup_recall,
         "hll_bounds": q_hll_bounds,
         "skew_safe_distinct": q_skew_safe_distinct,
@@ -2481,7 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_event_dates": q_distinct_event_dates,
         "latest_event_date": q_latest_event_date,
         "range_reagg_busiest": q_range_reagg_busiest,
-        # --- driver-verified in r06 ----------------------------------
+        # --- latest driver row r06 (pushed past the r07 window) --------
         "group_quota_cap_sparse": q_group_quota_cap_sparse,
         "chunk_documents": q_chunk_documents,
         "span_dup_detect": q_span_dup_detect,
@@ -2532,6 +2482,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_index": q_global_index,
         "table_diff_docs": q_table_diff,
         "skew_orders": q_skew_orders,
+        # --- driver-verified in r07 (the 32 rotated-in stale entries) --
+        "validate_orders": q_validate_orders,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "region_nation_revenue": q_region_nation_revenue,
+        "topk_customers": q_topk_customers,
+        "filter_project_part": q_filter_project_part,
+        "hourly_histogram": q_hourly_histogram,
+        "daily_event_metrics": q_daily_event_metrics,
+        "user_traffic_fullouter": q_user_traffic_fullouter,
+        "status_change_events": q_status_change_events,
+        "top_transitions": q_top_transitions,
+        "union_distinct_users": q_union_distinct_users,
+        "user_first_last": q_user_first_last,
+        "intersect_users": q_intersect_users,
+        "except_users": q_except_users,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_orders": q_customers_with_orders,
+        "rollup_order_stats": q_rollup_order_stats,
+        "order_count_distribution": q_order_count_distribution,
+        "large_orders_having": q_large_orders_having,
+        "suppliers_above_avg": q_suppliers_above_avg,
+        "rich_customers_by_nation": q_rich_customers_by_nation,
+        "promo_revenue_share": q_promo_revenue_share,
+        "order_priority_late": q_order_priority_late,
+        "shipping_volume_nations": q_shipping_volume_nations,
+        "revenue_rank_by_nation": q_revenue_rank_by_nation,
+        "running_customer_revenue": q_running_customer_revenue,
+        "minhash_recall": q_minhash_recall,
+        "simhash_recall": q_simhash_recall,
+        "salted_join_skew": q_salted_join_skew,
+        "curate_pipeline": q_curate_pipeline,
+        "decontam_ngram": q_decontam_ngram,
+        # --- driver-verified in r07 (the 18 gates new that round) ------
+        "curate_pipeline_full": q_curate_pipeline_full,
+        "dsir_scores": q_dsir_scores,
+        "dsir_resample": q_dsir_resample,
+        "nb_lang_predict": q_nb_lang_predict,
+        "ppl_buckets": q_ppl_buckets,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keep": q_semdedup_keep,
+        "semdedup_stats": q_semdedup_stats,
+        "semdedup_incremental": q_semdedup_incremental,
+        "decontam_bloom": q_decontam_bloom,
+        "decontam_fuzzy": q_decontam_fuzzy,
+        "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
+        "temperature_mix": q_temperature_mix,
+        "corpus_shuffle": q_corpus_shuffle,
+        "gopher_stats": q_gopher_stats,
+        "gopher_filter": q_gopher_filter,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "token_budget": q_token_budget,
         # --- rows-only by design (sketch/hash internals; each has a
         #     sibling oracle-backed contract gate above) --------------
         "user_count_hll": q_user_count_hll,
