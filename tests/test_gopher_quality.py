@@ -117,3 +117,64 @@ def test_arrow_impl_matches_native_on_corpus(spark):
         for r in T.gopher_quality_filter(docs, impl="arrow", **kw).collect()
     }
     assert arr == nat and len(nat) > 0
+
+
+def test_auto_impl_routing_and_parity(spark, docs):
+    """impl='auto' picks Arrow when any token-level HOF rule is
+    binding (the paper defaults), native for scalar-only bounds —
+    and either way the result matches an explicitly-pinned impl."""
+    # paper defaults: HOF rules binding -> arrow
+    assert T.pick_gopher_impl() == "arrow"
+    # scalar-only bounds -> native (stay JVM-side)
+    assert (
+        T.pick_gopher_impl(
+            min_mean_word_len=0.0,
+            max_mean_word_len=float("inf"),
+            min_alpha_word_frac=0.0,
+            min_stopwords=0,
+        )
+        == "native"
+    )
+    # routing is zero-jobs: selecting the impl runs nothing
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    kw = dict(min_words=1, min_mean_word_len=1.0, min_stopwords=0)
+    plan = T.gopher_quality_filter(docs, impl="auto", **kw)
+    assert tracker.getJobIdsForGroup(None) == before
+    # auto (-> arrow here) parity with the explicit routes
+    auto = {r.doc_id for r in plan.collect()}
+    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    assert auto == nat
+    # scalar-only auto stays a native codegen filter (no Python eval)
+    scalar_kw = dict(
+        min_words=2,
+        min_mean_word_len=0.0,
+        max_mean_word_len=float("inf"),
+        min_alpha_word_frac=0.0,
+        min_stopwords=0,
+    )
+    scalar_plan = T.gopher_quality_filter(docs, impl="auto", **scalar_kw)
+    exec_plan = scalar_plan._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in exec_plan and "ArrowEvalPython" not in exec_plan
+
+
+def test_curate_gopher_routes_auto_but_caller_can_pin(spark, docs):
+    """curate_corpus routes its Gopher stage through impl='auto'
+    (HOF-binding bounds -> Arrow in the composed plan) unless the
+    caller pins an impl in gopher_bounds; results are identical."""
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    bounds = dict(min_words=5, min_mean_word_len=1.0)
+    auto_plan = curate_corpus(docs, None, min_tokens=1, gopher_bounds=bounds)
+    pinned = curate_corpus(
+        docs, None, min_tokens=1, gopher_bounds={**bounds, "impl": "native"}
+    )
+    a = {r.doc_id for r in auto_plan.select("doc_id").collect()}
+    b = {r.doc_id for r in pinned.select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    # the auto route put the arrow pass in the composed plan; the
+    # pinned-native plan is Python-free
+    auto_exec = auto_plan._jdf.queryExecution().executedPlan().toString()
+    nat_exec = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in auto_exec or "MapInPandas" in auto_exec
+    assert "MapInPandas" not in nat_exec

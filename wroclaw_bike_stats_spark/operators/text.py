@@ -278,6 +278,34 @@ def gopher_quality_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def pick_gopher_impl(
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> str:
+    """Route selection for ``gopher_quality_filter(impl="auto")`` —
+    the Gopher analog of span-dedup's ``pick_span_method``, except no
+    probe job is needed: the winning route is a property of WHICH
+    rules are binding, not of the corpus. The token-level signals
+    (mean_word_len, alpha_word_frac, n_stopwords) are higher-order
+    -function lambdas Spark evaluates INTERPRETED per array element —
+    the measured 3.4× sf100 gap (native 187 s vs arrow 55 s,
+    SCALING.md) is entirely theirs. When any of them is binding the
+    Arrow pass wins at corpus scale; with scalar-only bounds
+    (word_count via one codegen size(), symbol ratio via
+    regexp_replace lengths, line fracs over a handful of lines) the
+    native codegen filter wins and keeps the plan Python-free.
+    Zero jobs — safe inside plans/curate.py's lazy composition."""
+    hof_binding = (
+        min_mean_word_len > 0
+        or max_mean_word_len < float("inf")
+        or min_alpha_word_frac > 0
+        or min_stopwords > 0
+    )
+    return "arrow" if hof_binding else "native"
+
+
 def gopher_quality_filter(
     df,
     text_col: str = "text",
@@ -310,7 +338,17 @@ def gopher_quality_filter(
     128 vs 30 s). Semantics identical (ASCII \\s+ split, same
     rounding) — differential-tested; the native form stays the
     default because it is the oracle-gated route and wins when most
-    rules are scalar."""
+    rules are scalar.
+
+    ``impl="auto"`` routes by rule shape (``pick_gopher_impl``, no
+    probe job): Arrow when any token-level HOF rule is binding —
+    which the paper defaults are — native for scalar-only bounds.
+    ``curate_corpus`` uses this route for its Gopher stage."""
+    if impl == "auto":
+        impl = pick_gopher_impl(
+            min_mean_word_len, max_mean_word_len,
+            min_alpha_word_frac, min_stopwords,
+        )
     if impl == "arrow":
         return _gopher_filter_arrow(
             df, text_col, min_words, max_words, min_mean_word_len,
