@@ -1154,6 +1154,53 @@ def q_neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id").orderBy("doc_id")
 
 
+def q_banded_components_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-level contract for the banded candidate route of
+    ``operators/dedup.py neardup_components`` (the sf100 escape from
+    the exact pair join's cost): banded pairs are exact-verified LSH
+    candidates, so (1) every banded edge is an exact edge, (2) edge
+    recall ≥ 0.9 (the minhash_recall floor), and (3) REFINEMENT —
+    each banded component's nodes all carry ONE exact component_id
+    (LSH can split a cluster it under-recalls, never merge two).
+    Exact side (n_exact_pairs) is the capless shingle CTE; the three
+    invariants are the deterministic booleans Spark must reproduce."""
+    from wroclaw_bike_stats_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = _ngram_pairs_shared(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("_e")
+    )
+    banded_pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    lsh = banded_pairs.select("id_a", "id_b", F.lit(1).alias("_l"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    both = F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+    edges = j.agg(
+        F.count("_e").alias("n_exact_pairs"),
+        (F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)) == 0)
+        .alias("banded_subset_of_exact"),
+        (both / F.greatest(F.count("_e"), F.lit(1)) >= 0.9).alias(
+            "recall_ge_090"
+        ),
+    )
+    bc = connected_components(banded_pairs, rebalance_edges=True).select(
+        "node", F.col("component_id").alias("_bc")
+    )
+    ec = _components_shared(spark, sf_dir).select(
+        "node", F.col("component_id").alias("_ec")
+    )
+    refinement = (
+        bc.join(ec, "node")
+        .groupBy("_bc")
+        .agg(F.countDistinct("_ec").alias("_ne"))
+        .agg(
+            F.coalesce(F.max("_ne") <= 1, F.lit(True)).alias("refinement_ok")
+        )
+    )
+    return edges.crossJoin(F.broadcast(refinement))
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (xxhash64-based — no SQL oracle;
     the jaccard-verified subset is cross-checked against
@@ -1538,6 +1585,129 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_resample(
         docs, model, k=100, portable_hash=True
     ).orderBy("doc_id")
+
+
+#: Scheme-robustness floors for the production-hash contract gates.
+#: Deterministic for the fixed corpora and seeds (measured sf0.001 /
+#: sf0.01: Spearman 0.994/0.999+, resample overlap 0.93/0.97+, NB
+#: agreement 1.0/1.0) — set with margin below the weakest point.
+_SCHEME_SPEARMAN_FLOOR = 0.95
+_SCHEME_OVERLAP_FLOOR = 0.80
+_SCHEME_NB_AGREEMENT_FLOOR = 0.95
+
+
+def q_dsir_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vs-portable hash contract for the DSIR family: the
+    oracle gates run the md5-prefix bucket scheme (DuckDB-computable);
+    production runs xxhash64. The two schemes CANNOT be
+    score-identical (different collision patterns over 4096 buckets),
+    but selection must be scheme-robust — otherwise the oracle greens
+    certify a route nobody runs. Invariants, all deterministic for
+    the fixed corpus: (1) per-doc gram counts identical
+    (featurization is scheme-independent — an exact integer, also
+    summed on the oracle side), (2) Spearman rank correlation of the
+    two logw columns ≥ 0.95, (3) the k=100 Gumbel-resampled sets
+    overlap ≥ 80%. The rank windows are single-partition —
+    verification-grade at gate scale, not a production operator."""
+    from pyspark.sql import Window
+
+    from wroclaw_bike_stats_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        importance_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 9 == 1)
+    m_md5 = dsir_logratio(target, docs, portable_hash=True)
+    m_xx = dsir_logratio(target, docs, portable_hash=False)
+    s_md5 = dsir_scores(docs, m_md5, portable_hash=True).select(
+        "doc_id", "n_grams", F.col("logw").alias("_w1")
+    )
+    s_xx = dsir_scores(docs, m_xx, portable_hash=False).select(
+        "doc_id",
+        F.col("n_grams").alias("_ng2"),
+        F.col("logw").alias("_w2"),
+    )
+    r1 = F.rank().over(Window.orderBy("_w1", "doc_id"))
+    r2 = F.rank().over(Window.orderBy("_w2", "doc_id"))
+    ranked = (
+        s_md5.join(s_xx, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "_ng2",
+            r1.alias("_r1").cast("double"),
+            r2.alias("_r2").cast("double"),
+        )
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams_total"),
+        (
+            F.count(F.when(F.col("n_grams") != F.col("_ng2"), 1)) == 0
+        ).alias("gram_counts_match"),
+        (F.corr("_r1", "_r2") >= _SCHEME_SPEARMAN_FLOOR).alias(
+            "spearman_ge_095"
+        ),
+    )
+    k1 = importance_resample(docs, m_md5, k=100, portable_hash=True).select(
+        F.col("doc_id").alias("_id"), F.lit(1).alias("_a")
+    )
+    k2 = importance_resample(docs, m_xx, k=100, portable_hash=False).select(
+        F.col("doc_id").alias("_id"), F.lit(1).alias("_b")
+    )
+    overlap = (
+        k1.join(k2, "_id", "full_outer")
+        .agg(
+            (
+                F.count(
+                    F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+                )
+                / F.lit(100.0)
+                >= _SCHEME_OVERLAP_FLOOR
+            ).alias("resample_overlap_ge_080")
+        )
+    )
+    return stats.crossJoin(F.broadcast(overlap))
+
+
+def q_nb_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-vs-portable hash contract for the NB classifier:
+    train+predict under BOTH bucket schemes; the argmax predictions
+    must agree on ≥95% of documents (deterministic — fixed corpus,
+    fixed seeds; measured 100% at both gate scales). Exact side:
+    n_docs. The portable route's end-to-end values are already
+    hash-gated by nb_lang_predict — this row certifies the xxhash64
+    route everyone actually runs."""
+    from wroclaw_bike_stats_spark.operators.classifier import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 3 != 0)
+    preds = []
+    for portable in (True, False):
+        w, p = nb_train(
+            labeled, _NB_CLASSES, label_col="lang", portable_hash=portable
+        )
+        preds.append(
+            nb_predict(
+                docs, w, p, _NB_CLASSES, portable_hash=portable
+            ).select(
+                "doc_id",
+                F.col("pred").alias("_p1" if portable else "_p2"),
+            )
+        )
+    j = preds[0].join(preds[1], "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.avg((F.col("_p1") == F.col("_p2")).cast("double"))
+            >= _SCHEME_NB_AGREEMENT_FLOOR
+        ).alias("pred_agreement_ge_095"),
+    )
 
 
 def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,6 +2386,57 @@ def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
 
 
+def q_ppl_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM scoring under a MIN-COUNT-PRUNED model
+    (operators/text.py thin_bigram_lm): singleton bigrams dropped
+    from the reference count table — the shuffle shrinker that takes
+    a corpus-trained model back to broadcastable, with the one-sided
+    contract pruned_ppl ≥ exact_ppl per doc. Full-hash oracle: DuckDB
+    builds the same pruned model with HAVING count(*) >= 2."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        thin_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    uni, bi = thin_bigram_lm(uni, bi, min_count=2)
+    return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
+
+
+def q_ppl_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-thinned corpus-LM contract gate (operators/text.py
+    bigram_lm_score_cms + cms_bigram_sketch): the sketch only
+    over-counts, so cms_ppl ≤ exact_ppl must hold for EVERY document
+    (NULL ⇔ NULL for no-bigram docs). Exact side (n_bigrams, ppl) is
+    real oracle SQL; the invariant is the deterministic boolean the
+    Spark side must reproduce — the hll_bounds gate pattern."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        bigram_lm_score_cms,
+        cms_bigram_sketch,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 3)
+    uni, bi = train_bigram_lm(ref)
+    sk = cms_bigram_sketch(ref, depth=4, width=16384)
+    exact = bigram_lm_score(docs, uni, bi, alpha=0.1)
+    cms = bigram_lm_score_cms(docs, uni, sk, alpha=0.1).select(
+        "doc_id", F.col("ppl").alias("_cp")
+    )
+    ok = F.when(F.col("ppl").isNull(), F.col("_cp").isNull()).otherwise(
+        F.col("_cp") <= F.col("ppl") + F.lit(1e-9)
+    )
+    return (
+        exact.join(cms, "doc_id")
+        .select("doc_id", "n_bigrams", "ppl", ok.alias("cms_le_exact"))
+        .orderBy("doc_id")
+    )
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing: keep 50% of 'web' docs and 25% of
     'books' docs (sources derived from doc_id parity for determinism)
@@ -2419,6 +2640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rows-only (no-oracle) sketch/hash queries last. Every
     # callable is bound to the _acquire session boundary.
     q = {
+        # --- new in r08 (no driver row yet) --------------------------
+        "ppl_pruned": q_ppl_pruned,
+        "ppl_cms_bound": q_ppl_cms_bound,
+        "banded_components_refinement": q_banded_components_refinement,
+        "dsir_scheme_consistency": q_dsir_scheme_consistency,
+        "nb_scheme_consistency": q_nb_scheme_consistency,
         # --- latest driver row r05 (stalest oracle-backed; COVERAGE.md
         #     commits the r08 rotation leads with exactly these 10) ---
         "incremental_neardup_recall": q_incremental_neardup_recall,
@@ -3323,6 +3550,41 @@ def oracle_sql() -> dict[str, str]:
         "simhash_recall": """
             SELECT TRUE AS banded_equals_bruteforce, TRUE AS has_pairs
         """,
+        # Banded-components contract: exact pair count from the
+        # capless shingle CTE; the subset/recall/refinement booleans
+        # are literals the Spark side must reproduce (a broken banded
+        # route flips one and the row goes red).
+        "banded_components_refinement": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 2], ' ') AS shingle
+                FROM tok,
+                     LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            )
+            SELECT count(*) AS n_exact_pairs,
+                   TRUE AS banded_subset_of_exact,
+                   TRUE AS recall_ge_090,
+                   TRUE AS refinement_ok
+            FROM exact
+        """,
         "incremental_neardup_recall": """
             WITH tok AS (
                 SELECT doc_id,
@@ -3554,6 +3816,37 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN lr USING (bucket)
             GROUP BY b.doc_id
             ORDER BY b.doc_id
+        """,
+        # Scheme-consistency contract: the exact integers (doc count,
+        # total gram count over the coalesce(text,'') featurization)
+        # are real SQL; the robustness booleans are literals the
+        # Spark side must reproduce under both bucket schemes.
+        "dsir_scheme_consistency": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(
+                           toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS g
+                FROM t
+            )
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   count(*) AS n_grams_total,
+                   TRUE AS gram_counts_match,
+                   TRUE AS spearman_ge_095,
+                   TRUE AS resample_overlap_ge_080
+            FROM g
+        """,
+        "nb_scheme_consistency": """
+            SELECT count(*) AS n_docs,
+                   TRUE AS pred_agreement_ge_095
+            FROM documents
         """,
         "dsir_resample": r"""
             WITH t AS (
@@ -4496,6 +4789,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    agg.xent_bits,
                    round(pow(2.0, agg.xent_bits), 4) AS ppl
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
+        "ppl_pruned": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), ref AS (
+                SELECT * FROM t WHERE doc_id % 7 = 3
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+            ), v AS (
+                SELECT count(*) + 1 AS vs FROM uni
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                      FROM ref,
+                           LATERAL (SELECT unnest(range(len(toks) - 1))
+                                    AS i) u
+                      WHERE len(toks) >= 2)
+                GROUP BY w1, w2
+                HAVING count(*) >= 2
+            ), db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ), sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(-lp), 4) AS xent_bits
+                FROM sc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   agg.xent_bits,
+                   round(pow(2.0, agg.xent_bits), 4) AS ppl
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
+        "ppl_cms_bound": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), ref AS (
+                SELECT * FROM t WHERE doc_id % 7 = 3
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+            ), v AS (
+                SELECT count(*) + 1 AS vs FROM uni
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                      FROM ref,
+                           LATERAL (SELECT unnest(range(len(toks) - 1))
+                                    AS i) u
+                      WHERE len(toks) >= 2)
+                GROUP BY w1, w2
+            ), db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ), sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(-lp), 4) AS xent_bits
+                FROM sc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(pow(2.0, agg.xent_bits), 4) AS ppl,
+                   TRUE AS cms_le_exact
             FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
             ORDER BY t.doc_id
         """,

@@ -262,6 +262,52 @@ def bigram_lm_corpus(spark, sf_dir):
     return bigram_lm_score(docs, uni, bi, broadcast_model=False)
 
 
+def bigram_lm_pruned_corpus(spark, sf_dir):
+    """The corpus-LM route after the round-8 shuffle shrinker
+    (``thin_bigram_lm``): singleton bigrams dropped from the
+    corpus-trained count table before scoring. Same no-hint
+    AQE-decides join policy as ``bigram_lm_corpus`` — the prune's
+    effect is that the model side AQE must size is roughly halved
+    (Zipf singleton mass), which is what keeps it under the runtime
+    broadcast threshold on corpora where the full table would
+    degrade both joins to shuffles. One-sided score contract
+    (pruned ppl ≥ exact) gated by ``ppl_pruned``."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        thin_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uni, bi = train_bigram_lm(spark.read.parquet(_p(sf_dir, "old_docs")))
+    uni, bi = thin_bigram_lm(uni, bi, min_count=2)
+    return bigram_lm_score(docs, uni, bi, broadcast_model=False)
+
+
+def bigram_lm_cms_corpus(spark, sf_dir):
+    """The CMS-thinned corpus-LM route (``bigram_lm_score_cms``):
+    the bigram table is replaced by a d×w count-min sketch that
+    densifies to ONE broadcast row, so the corpus-side gram stream
+    never joins a corpus-sized count table at all — d codegen array
+    lookups per bigram; the only corpus shuffles left are the w1
+    unigram join (AQE-sized, no hint) and the per-doc groupBy.
+    One-sided score contract (cms ppl ≤ exact) gated by
+    ``ppl_cms_bound``."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score_cms,
+        cms_bigram_sketch,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    uni, _ = train_bigram_lm(old)
+    sk = cms_bigram_sketch(old, depth=4, width=1 << 18)
+    return bigram_lm_score_cms(
+        docs, uni, sk, broadcast_unigrams=False
+    )
+
+
 NB_CLASSES = ["de", "en", "es", "fr", "zh"]
 
 
@@ -292,6 +338,32 @@ def nb_predict_corpus(spark, sf_dir):
     weights = spark.read.parquet(_p(sf_dir, "nb_weights"))
     priors = spark.read.parquet(_p(sf_dir, "nb_priors"))
     return nb_predict(docs, weights, priors, NB_CLASSES)
+
+
+def dsir_score_incremental(spark, sf_dir):
+    """Day-N DSIR scoring: the 2%-of-corpus ingest batch scored
+    against the STORED log-ratio model — the family's incremental
+    form (cost ∝ batch: the model is a B-row broadcast either way,
+    so unlike the dedup families there is no corpus-side index to
+    touch at all; the full-vs-incremental ratio should approach the
+    data ratio, floor-bounded by fixed plan overhead)."""
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
+
+    new = spark.read.parquet(_p(sf_dir, "new_docs"))
+    model = spark.read.parquet(_p(sf_dir, "dsir_model"))
+    return dsir_scores(new, model)
+
+
+def nb_predict_incremental(spark, sf_dir):
+    """Day-N NB classification: the ingest batch against the stored
+    weight/prior tables — cost ∝ batch (broadcast model, no resident
+    corpus touch; same contract as dsir_score_incremental)."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
+
+    new = spark.read.parquet(_p(sf_dir, "new_docs"))
+    weights = spark.read.parquet(_p(sf_dir, "nb_weights"))
+    priors = spark.read.parquet(_p(sf_dir, "nb_priors"))
+    return nb_predict(new, weights, priors, NB_CLASSES)
 
 
 def semdedup_corpus(spark, sf_dir):
@@ -432,6 +504,21 @@ def corpus_shuffle_corpus(spark, sf_dir):
     return shuffle_corpus(docs)
 
 
+def neardup_components_banded(spark, sf_dir):
+    """Near-dup clustering with the BANDED candidate route
+    (operators/dedup.py neardup_components, round 8): MinHash-LSH
+    candidates → exact-Jaccard verify → CC. The exact route's sf100
+    cost (~99% of the 414 s ``neardup_components`` row) is the
+    corpus-wide shingle pair join; banding replaces it with
+    bucket-sized candidate generation, recall/refinement gated by
+    ``banded_components_refinement``."""
+    from wroclaw_bike_stats_spark.operators.dedup import neardup_components
+
+    return neardup_components(
+        _docs(spark, sf_dir), threshold=0.5, candidate_route="banded"
+    )
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -450,8 +537,12 @@ FAMILY = {
     "span_strip_full": span_strip_full,
     "span_strip_incremental": span_strip_incremental,
     "bigram_lm_corpus": bigram_lm_corpus,
+    "bigram_lm_pruned_corpus": bigram_lm_pruned_corpus,
+    "bigram_lm_cms_corpus": bigram_lm_cms_corpus,
     "dsir_score_corpus": dsir_score_corpus,
+    "dsir_score_incremental": dsir_score_incremental,
     "nb_predict_corpus": nb_predict_corpus,
+    "nb_predict_incremental": nb_predict_incremental,
     "semdedup_corpus": semdedup_corpus,
     "semdedup_incremental_corpus": semdedup_incremental_corpus,
     "decontam_ngram_corpus": decontam_ngram_corpus,
@@ -461,6 +552,7 @@ FAMILY = {
     "gopher_filter_arrow_corpus": gopher_filter_arrow_corpus,
     "temperature_mix_corpus": temperature_mix_corpus,
     "corpus_shuffle_corpus": corpus_shuffle_corpus,
+    "neardup_components_banded": neardup_components_banded,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
@@ -470,6 +562,8 @@ INCREMENTAL_OF = {
     "embedding_neardup_incremental": "embedding_neardup_full",
     "span_strip_incremental": "span_strip_full",
     "semdedup_incremental_corpus": "semdedup_corpus",
+    "dsir_score_incremental": "dsir_score_corpus",
+    "nb_predict_incremental": "nb_predict_corpus",
 }
 
 RATIO_KEY = {

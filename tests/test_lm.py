@@ -195,3 +195,83 @@ def test_corpus_scale_route_degrades_to_shuffle_joins(spark, model):
             )
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_thin_bigram_lm_prune_and_one_sided_bound(spark, model):
+    """Min-count prune: kept rows exact, dropped rows score as
+    unseen — pruned ppl >= exact ppl for EVERY doc, equal for docs
+    whose bigrams are all kept."""
+    uni, bi = model
+    uni_t, bi_t = T.thin_bigram_lm(uni, bi, min_count=2)
+    assert {(r.w1, r.w2, r.c12) for r in bi_t.collect()} == {("a", "b", 2)}
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "b a"), (12, "z z z"), (13, "a")],
+        "doc_id int, text string",
+    )
+    exact = {
+        r.doc_id: r.ppl
+        for r in T.bigram_lm_score(docs, uni, bi, alpha=0.5).collect()
+    }
+    pruned = {
+        r.doc_id: r.ppl
+        for r in T.bigram_lm_score(docs, uni_t, bi_t, alpha=0.5).collect()
+    }
+    # all-kept doc: identical; dropped-bigram doc: strictly higher;
+    # all-OOV doc: identical (was already unseen); <2 tokens: NULL
+    assert pruned[10] == exact[10]
+    assert pruned[11] > exact[11]
+    assert pruned[12] == exact[12]
+    assert pruned[13] is None and exact[13] is None
+    for d in (10, 11, 12):
+        assert pruned[d] >= exact[d]
+
+
+def test_cms_scoring_one_sided_and_tight_when_collision_free(spark, model):
+    """CMS route: ppl_cms <= ppl_exact for every doc (the sketch only
+    over-counts), and with a wide sketch (no collisions on a tiny
+    vocab) the scores are bit-identical to the exact route."""
+    uni, bi = model
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id int, text string"
+    )
+    sk = T.cms_bigram_sketch(ref, width=4096)
+    docs = spark.createDataFrame(
+        [(10, "a b a b"), (11, "b a c"), (12, "z q"), (13, "a")],
+        "doc_id int, text string",
+    )
+    exact = {
+        r.doc_id: (r.n_bigrams, r.xent_bits, r.ppl)
+        for r in T.bigram_lm_score(docs, uni, bi, alpha=0.5).collect()
+    }
+    cms = {
+        r.doc_id: (r.n_bigrams, r.xent_bits, r.ppl)
+        for r in T.bigram_lm_score_cms(docs, uni, sk, alpha=0.5).collect()
+    }
+    assert cms == exact  # collision-free width -> exact counts
+    # collision-prone width: the inequality must still hold one-sided
+    sk2 = T.cms_bigram_sketch(ref, width=2, depth=2)
+    cms2 = {
+        r.doc_id: r.ppl
+        for r in T.bigram_lm_score_cms(docs, uni, sk2, alpha=0.5).collect()
+    }
+    for d in (10, 11, 12):
+        assert cms2[d] <= exact[d][2] + 1e-9, d
+
+
+def test_cms_score_plan_has_no_bigram_join_shuffle(spark, model):
+    """The point of the CMS route: the gram stream joins ONLY the
+    broadcast unigram table — no shuffle exchange keyed by the gram
+    pair, no Python, one aggregate exchange (the per-doc groupBy)."""
+    uni, _ = model
+    ref = spark.createDataFrame([(1, "a b a b")], "doc_id int, text string")
+    sk = T.cms_bigram_sketch(ref, width=1024)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = T.bigram_lm_score_cms(docs, uni, sk)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    # the only Exchange over the corpus stream is the doc groupBy's
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) >= 1
+    assert "Exchange hashpartitioning(w1", plan.count("Exchange") <= 4

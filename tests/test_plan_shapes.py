@@ -109,6 +109,8 @@ BNLJ_ALLOWED = {
     "dsir_resample": "two 1-row gram-total scalar broadcasts (operators/dsir.py dsir_logratio)",
     "nb_lang_predict": "1-row class-totals + priors scalar broadcasts (operators/classifier.py)",
     "ppl_buckets": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
+    "ppl_pruned": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
+    "ppl_cms_bound": "vocab-size 1-row scalar + 1-row dense-CMS broadcast (operators/sketch.py cms_dense)",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     "temperature_mix": "1-row (N, sum n^alpha) totals scalar broadcast (operators/pipeline.py temperature_mix_rates)",
     "cms_heavy_hitters": "1-row token-total scalar broadcast (the e/w*N error bound)",

@@ -881,6 +881,56 @@ def minhash_incremental_pairs(
     )
 
 
+def neardup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidate_route: str = "exact",
+    num_hashes: int = 32,
+    bands: int = 8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup cluster assignment (``node``, ``component_id``) from
+    exact-Jaccard-verified pairs, with a selectable CANDIDATE
+    GENERATOR:
+
+    - ``candidate_route="exact"`` — the inverted-index shingle
+      self-join (``ngram_jaccard_pairs``): every qualifying pair is
+      found; this is the oracle route (DuckDB recursive-CTE
+      checkable) and the sf100 cost driver — pair GENERATION is ~99%
+      of the measured 414 s ``neardup_components`` band (SCALING.md).
+    - ``candidate_route="banded"`` — MinHash-LSH banding feeds the
+      SAME exact-Jaccard verification (``minhash_dedup_pairs``), so
+      every emitted edge is a true pair (banded edges ⊆ exact edges ⇒
+      banded components REFINE exact components, never merge across
+      them); pairs LSH misses stay missed — recall ≥ 0.9 is the
+      standing ``minhash_recall`` contract, and the component-level
+      consequence is gated by ``banded_components_refinement``. This
+      is the 100 TB route: candidate cost is banded-bucket-sized, not
+      shingle-df² (cf. Lee et al. 2022 §4 run dedup clustering off
+      MinHash candidates at corpus scale for the same reason).
+
+    Components run with ``rebalance_edges=True`` — either route's
+    pairs arrive off a skew-prone shuffle."""
+    from wroclaw_bike_stats_spark.operators.components import (
+        connected_components,
+    )
+
+    if candidate_route == "exact":
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_n, threshold, df_cap=df_cap
+        )
+    elif candidate_route == "banded":
+        pairs = minhash_dedup_pairs(
+            df, text_col, id_col, num_hashes, bands, shingle_n, threshold
+        )
+    else:
+        raise ValueError(f"unknown candidate_route {candidate_route!r}")
+    return connected_components(pairs, rebalance_edges=True)
+
+
 def _make_simhash_udf(shingle_n: int):
     """Arrow-batched 64-bit SimHash (Charikar 2002): bit b of the
     fingerprint is the sign of the sum of ±1 votes from bit b of each

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from wroclaw_bike_stats_spark.operators.text import tokens
 
-__all__ = ["cms_build", "cms_estimate", "cms_upper_bound"]
+__all__ = [
+    "cms_build",
+    "cms_build_terms",
+    "cms_dense",
+    "cms_estimate",
+    "cms_upper_bound",
+]
 
 
 def _term_stream(df: DataFrame, text_col: str):
@@ -69,18 +75,84 @@ def cms_build(
     rows regardless of corpus size. Carries (depth, width) as column
     metadata so a stored sketch validates its own parameterization
     (the band-table convention, dedup.py)."""
-    cells = (
-        _term_stream(df, text_col)
-        .select(F.posexplode(_cells(F.col("term"), depth, width)))
-        .toDF("row", "bucket")
+    return cms_build_terms(
+        _term_stream(df, text_col), "term", depth=depth, width=width
     )
-    out = cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_build_terms(
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``cms_build`` over an ALREADY-MATERIALIZED term stream — the
+    composition point for non-token keys (bigram strings for the
+    CMS-thinned LM, user ids, any categorical stream). One row per
+    occurrence in ``terms`` (pass ``weight_col`` for pre-aggregated
+    (term, count) input); same (row, bucket, cnt) output and metadata
+    contract as ``cms_build``."""
+    cells = terms.select(
+        F.posexplode(_cells(F.col(term_col), depth, width)).alias(
+            "row", "bucket"
+        ),
+        *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
+    )
+    agg = (
+        F.sum("_w") if weight_col else F.count(F.lit(1))
+    ).alias("cnt")
+    out = cells.groupBy("row", "bucket").agg(agg)
     return out.select(
         "row",
         "bucket",
         F.col("cnt").alias(
             "cnt", metadata={"cms_depth": depth, "cms_width": width}
         ),
+    )
+
+
+def cms_dense(sketch: DataFrame) -> DataFrame:
+    """The sketch as ONE row: ``map<row, array<cnt>>`` with every
+    bucket present (absent cells = 0). This is the broadcast-lookup
+    form: cross-join it broadcast and probe with
+    ``element_at(element_at(_cms, row), bucket+1)`` — pure codegen,
+    zero joins per probe, the shape ``bigram_lm_score_cms`` scores
+    an entire corpus with. d·w longs (4×16384 = 512 KB) regardless
+    of corpus size. Lazy — composes into the consumer's plan."""
+    meta = sketch.schema["cnt"].metadata or {}
+    depth, width = meta.get("cms_depth"), meta.get("cms_width")
+    if not depth or not width:
+        raise ValueError("cms_dense needs a cms_build sketch (metadata)")
+    spark = sketch.sparkSession
+    domain = spark.range(depth).select(F.col("id").alias("row")).crossJoin(
+        spark.range(width).select(F.col("id").alias("bucket"))
+    )
+    rows = (
+        # the sketch side is <= d*w rows by construction — broadcast,
+        # never a sort-merge exchange pair over the tiny domain
+        domain.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("row")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bucket").alias("b"),
+                            F.coalesce("cnt", F.lit(0)).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ).alias("arr")
+        )
+    )
+    return rows.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("row", "arr"))
+        ).alias(
+            "_cms", metadata={"cms_depth": depth, "cms_width": width}
+        )
     )
 
 

@@ -535,6 +535,33 @@ def train_bigram_lm(
     return uni, bi
 
 
+def thin_bigram_lm(
+    unigrams, bigrams, min_count: int = 2
+) -> "tuple[DataFrame, DataFrame]":
+    """Min-count prune of a bigram LM's count tables — the shuffle
+    shrinker for corpus-trained models. Under Zipf, singleton bigrams
+    are roughly half the DISTINCT rows of a count table while being
+    statistically indistinguishable from unseen (add-α already floors
+    them): dropping ``c12 < min_count`` rows keeps every frequent
+    transition exact and usually takes the table from
+    shuffle-join-only territory to BROADCASTABLE — after thinning,
+    score with ``broadcast_model=True`` and the corpus-side gram
+    stream never shuffles for the model joins at all (the round-7
+    Bloom-decontamination move, applied to the LM family).
+
+    Error contract (the pruned model is the approximation, scoring is
+    exact under it): a dropped bigram scores as unseen — its smoothed
+    P falls from (c12+α)/(c1+αV) to α/(c1+αV), so per-bigram log-prob
+    drops by at most log2((min_count−1+α)/α) bits and NEVER rises ⇒
+    pruned xent ≥ exact xent, pruned ppl ≥ exact ppl, with equality
+    for docs whose bigrams are all kept or all already-unseen. The
+    one-sided bound is the driver contract gate (``ppl_pruned``
+    family); unigrams are returned untouched (the vocab table is V
+    rows — the divisor c1 and the smoothing V must stay exact or the
+    bound above stops being one-sided)."""
+    return unigrams, bigrams.filter(F.col("c12") >= min_count)
+
+
 def _bigram_pairs(col: Column) -> Column:
     """Adjacent token pairs as ``array<struct<w1,w2>>`` — the LM's
     join keys, built without the string-gram concat+split round-trip
@@ -605,6 +632,106 @@ def bigram_lm_score(
         grams.join(bi, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
         .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.round(F.avg(-logp), 4).alias("xent_bits"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "xent_bits",
+            F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4).alias("ppl"),
+        )
+    )
+
+
+def cms_bigram_sketch(
+    reference,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 16384,
+):
+    """Count-min sketch of a reference corpus's BIGRAM counts — the
+    constant-size alternative to the exact ``train_bigram_lm`` bigram
+    table for corpus-trained models (the table is
+    distinct-bigram-sized; the sketch is d·w cells no matter what).
+    Terms are ``"w1 w2"`` (single-space join — injective for
+    whitespace tokens, the ``_grams`` convention). Build cost: one
+    narrow explode + ONE (row, bucket) groupBy with map-side combine."""
+    from wroclaw_bike_stats_spark.operators.sketch import cms_build_terms
+
+    pairs = reference.select(
+        F.explode(_bigram_pairs(F.col(text_col))).alias("_g")
+    ).select(F.concat_ws(" ", "_g.w1", "_g.w2").alias("term"))
+    return cms_build_terms(pairs, "term", depth=depth, width=width)
+
+
+def bigram_lm_score_cms(
+    df,
+    unigrams,
+    bi_sketch,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_unigrams: bool = True,
+):
+    """``bigram_lm_score`` with the bigram table replaced by a
+    count-min sketch (``cms_bigram_sketch``) — the corpus-LM route
+    that never shuffles the exploded gram stream against a
+    corpus-sized count table: the sketch densifies to one broadcast
+    row (``sketch.cms_dense``) and every bigram's count estimate is
+    d codegen array lookups, so the only corpus-wide shuffle left is
+    the per-doc groupBy (plus the w1 unigram join when
+    ``broadcast_unigrams=False`` for a vocabulary too big to ship).
+
+    Error contract (one-sided, the CMS classic): ĉ12 ≥ c12 always ⇒
+    P̂ ≥ P per bigram ⇒ ``xent_cms ≤ xent_exact`` and
+    ``ppl_cms ≤ ppl_exact`` for EVERY document, with
+    ĉ12 ≤ c12 + (e/w)·N w.p. ≥ 1−e^−d bounding the deflation
+    (deterministic for the fixed xxhash64 seeds — the contract gate
+    asserts the one-sided inequality corpus-wide). Same output schema
+    as ``bigram_lm_score``; c1 and V stay exact (unigram table)."""
+    from wroclaw_bike_stats_spark.operators.sketch import cms_dense
+
+    meta = bi_sketch.schema["cnt"].metadata or {}
+    depth, width = meta.get("cms_depth"), meta.get("cms_width")
+    if not depth or not width:
+        raise ValueError("bi_sketch must come from cms_bigram_sketch")
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_bigram_pairs(F.col(text_col))).alias("_g"),
+    ).select(
+        id_col,
+        F.col("_g.w1").alias("w1"),
+        F.col("_g.w2").alias("w2"),
+    )
+    v = unigrams.agg((F.count(F.lit(1)) + 1).alias("_V"))
+    uni = F.broadcast(unigrams) if broadcast_unigrams else unigrams
+    term = F.concat_ws(" ", F.col("w1"), F.col("w2"))
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at(F.col("_cms"), F.lit(i).cast("long")),
+                (
+                    F.pmod(F.xxhash64(term, F.lit(i)), F.lit(width))
+                ).cast("int")
+                + F.lit(1),
+            )
+            for i in range(depth)
+        ]
+    )
+    logp = F.when(
+        F.col("w1").isNotNull(),
+        F.log2(
+            (est + F.lit(alpha))
+            / (F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("_V"))
+        ),
+    )
+    return (
+        grams.join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(cms_dense(bi_sketch)))
         .groupBy(id_col)
         .agg(
             F.count("w1").alias("n_bigrams"),

@@ -1,0 +1,338 @@
+"""Streaming daily-ingest curation — the incremental dedup assets
+(MinHash band table, span window index, SemDeDup assignments) wired
+into a ``foreachBatch`` job, so "the incremental operators exist"
+becomes "the pipeline runs incrementally".
+
+Production shape this models (RefinedWeb/Dolma-class): documents land
+daily; each ingest must (a) find near-duplicates of the new batch
+against the RESIDENT corpus without re-hashing the corpus, (b) strip
+spans the corpus already contains, and (c) leave the standing assets
+updated so tomorrow's ingest pays the same batch-proportional cost.
+The reference repo's analog is the idempotent daily upsert
+(src/data_import.py:31 insert-new-rides-only); here the "already
+seen" test is similarity, not key equality.
+
+Store layout (plain parquet dirs under ``store_dir``; appends only,
+no in-place rewrites — the streaming/merge_sink.py discipline is not
+needed because nothing here overwrites what a lazy plan reads):
+
+- ``docs/``      admitted documents, ``text`` already span-stripped;
+                 the ORIGINAL text rides along as ``text_orig`` (the
+                 dedup/index substrate — parity with a one-shot run
+                 demands hashing originals, not rebuilt text).
+- ``bands/``     banded MinHash rows (``dedup.minhash_band_table``),
+                 appended per batch — tomorrow's candidate probe side.
+- ``pairs/``     exact-Jaccard-verified near-dup pairs, appended per
+                 batch (each batch contributes the pairs INVOLVING its
+                 docs).
+- ``winindex/``  per-batch ``span_dedup.window_index`` parts; readers
+                 re-aggregate (the (cnt, canonical) monoid) — append
+                 beats merge-rewrite and the re-agg is one groupBy
+                 over index-sized data.
+
+Exactness (the batch-parity contract, pinned in
+tests/test_curate_stream.py): every near-dup pair of the union is
+discovered by the batch that delivers its LATER member (new↔old or
+new↔new), so the cumulative ``pairs/`` store is exactly the one-shot
+pair graph and ``kept_view`` (CC + keep-min-id over it) equals the
+full-run ``neardup_components``/``keep_canonical`` result. Span
+parity likewise: with ingest in ascending-id order (daily ingests —
+new ids are higher), each batch's incremental strip against the
+accumulated index reproduces the full-run keep-first strip. Two
+deliberate divergences from plans/curate.py's one-shot ordering,
+both documented contracts: the window index accumulates over ALL
+admitted docs (not just dedup survivors — survivor-only indexing is
+unstable under retroactive component merges), and near-dup KEEP
+decisions are a VIEW (``kept_view``), not row deletions: a later
+batch can merge two components and re-elect the canonical doc, which
+an append-only store can only express by recomputing the view (the
+same reasoning as the reference's recompute-don't-update metrics
+flow, src/compute_daily_metrics.py).
+
+Embedding-side ingest (``ingest_embedding_batch``) maintains the
+SemDeDup assets the same way: assignments accumulate against FIXED
+centroids (fit once at ``init_embedding_store`` — the paper's
+contract; refitting per batch would silently re-cluster history),
+semantic pairs accumulate to the full within-cluster pair set, and
+``kept_view_embeddings`` is the one-shot ``semdedup_keep``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wroclaw_bike_stats_spark.operators import dedup as D
+from wroclaw_bike_stats_spark.operators import span_dedup as SD
+from wroclaw_bike_stats_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+
+__all__ = [
+    "ingest_document_batch",
+    "ingest_embedding_batch",
+    "init_embedding_store",
+    "kept_view",
+    "kept_view_embeddings",
+    "read_window_index_store",
+    "run_curation_stream",
+]
+
+
+def _d(store_dir: str, what: str) -> str:
+    return os.path.join(store_dir, what)
+
+
+def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a store directory if it has content, else None — first
+    batch bootstrap (os-level check; these are local/DFS dirs the job
+    itself writes)."""
+    if os.path.isdir(path) and any(
+        n.endswith(".parquet") or n == "_SUCCESS" or not n.startswith("_")
+        for n in os.listdir(path)
+    ):
+        return spark.read.parquet(path)
+    return None
+
+
+def read_window_index_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The accumulated window index: per-batch parts re-aggregated by
+    the (count, canonical) monoid — identical result to folding each
+    part through ``span_dedup.merge_window_index``, in ONE groupBy.
+    Field metadata (span_k / span_scheme) survives the parquet
+    round-trip, so the incremental strip's parameterization guard
+    still fires on a mismatched store."""
+    raw = _maybe(spark, _d(store_dir, "winindex"))
+    if raw is None:
+        return None
+    meta = dict(raw.schema["h"].metadata or {})
+    merged = (
+        raw.groupBy("h")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min(
+                F.struct(
+                    F.col("canon_id").alias("_id"),
+                    F.col("canon_pos").alias("pos"),
+                )
+            ).alias("_canon"),
+        )
+    )
+    return merged.select(
+        F.col("h").alias("h", metadata=meta),
+        "cnt",
+        F.col("_canon._id").alias("canon_id"),
+        F.col("_canon.pos").alias("canon_pos"),
+    )
+
+
+def ingest_document_batch(
+    batch: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    span_k: int = 13,
+) -> None:
+    """Admit one daily batch: batch-proportional work only.
+
+    1. Near-dup pairs involving the batch via the STORED band table
+       (``minhash_incremental_pairs(old_banded=...)`` — the corpus is
+       never re-shingled); appended to ``pairs/``.
+    2. Span strip of the batch against the accumulated window index
+       (``strip_duplicate_spans_incremental`` — one narrow scan of
+       index-sized data); first batch falls back to the full
+       within-batch strip (it IS the whole corpus then).
+    3. Asset maintenance: append the batch's band rows and its
+       original-text ``window_index`` part; append the stripped docs
+       (original text kept as ``text_orig``).
+
+    Each step materializes eagerly (this runs inside foreachBatch —
+    eager is the contract there), and every write is an append of
+    batch-derived rows."""
+    spark = batch.sparkSession
+    batch = batch.persist()
+    try:
+        old_docs = _maybe(spark, _d(store_dir, "docs"))
+        old_banded = _maybe(spark, _d(store_dir, "bands"))
+        if old_docs is None:
+            pairs = D.minhash_dedup_pairs(
+                batch, text_col, id_col, threshold=threshold
+            )
+        else:
+            pairs = D.minhash_incremental_pairs(
+                batch,
+                old_docs.select(
+                    F.col(id_col), F.col("text_orig").alias(text_col)
+                ),
+                text_col,
+                id_col,
+                threshold=threshold,
+                old_banded=old_banded,
+            )
+        pairs.write.mode("append").parquet(_d(store_dir, "pairs"))
+
+        idx = read_window_index_store(spark, store_dir)
+        if idx is None:
+            stripped = SD.strip_duplicate_spans(
+                batch, text_col, id_col, k=span_k, keep_all=True
+            )
+        else:
+            stripped = SD.strip_duplicate_spans_incremental(
+                batch, idx, text_col, id_col, k=span_k, keep_all=True
+            )
+        admitted = (
+            stripped.withColumn("text_orig", F.col(text_col))
+            .withColumn(text_col, F.col("text_clean"))
+            .drop("text_clean", "n_removed")
+        )
+        admitted.write.mode("append").parquet(_d(store_dir, "docs"))
+
+        D.minhash_band_table(
+            D.minhash_signatures(batch, text_col, id_col)
+        ).write.mode("append").parquet(_d(store_dir, "bands"))
+        SD.window_index(batch, text_col, id_col, k=span_k).write.mode(
+            "append"
+        ).parquet(_d(store_dir, "winindex"))
+    finally:
+        batch.unpersist()
+
+
+def kept_view(
+    spark: SparkSession, store_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The curated corpus as of now: admitted (span-stripped) docs
+    minus non-canonical near-dup cluster members — CC over the
+    CUMULATIVE pair store (exactly the one-shot pair graph, see
+    module docstring), keep = min id. A view, recomputed on read:
+    append-only stores cannot retract a doc a later batch
+    retroactively merged into an existing cluster, so keep decisions
+    must never be baked into the store."""
+    docs = _maybe(spark, _d(store_dir, "docs"))
+    if docs is None:
+        raise ValueError(f"empty curation store {store_dir!r}")
+    pairs = _maybe(spark, _d(store_dir, "pairs"))
+    if pairs is None or not pairs.head(1):
+        return docs
+    comps = connected_components(pairs, rebalance_edges=True)
+    return keep_canonical(docs, comps=comps, id_col=id_col)
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    schema,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    span_k: int = 13,
+    available_now: bool = True,
+):
+    """Wire ``ingest_document_batch`` to a file-source stream: one
+    input file per daily drop, ``maxFilesPerTrigger=1`` so each day
+    is its own micro-batch in file order (ascending-id ingest is the
+    span-parity precondition), AvailableNow for catch-up-then-stop
+    (the streaming/status_stream.py trigger contract) or continuous
+    with ``available_now=False``. Exactly-once here comes from the
+    checkpoint (a replayed batch re-appends — run compaction or the
+    merge sink for stores that must also survive MID-batch crashes;
+    the parity tests run clean-checkpoint)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.head(1):
+            ingest_document_batch(
+                batch, store_dir, text_col, id_col, threshold, span_k
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- embedding side: the SemDeDup standing assets -------------------
+
+
+def init_embedding_store(
+    resident: DataFrame,
+    store_dir: str,
+    num_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit the FIXED centroids on the resident corpus (or the first
+    drop) and store centroids + assignments + the resident vectors.
+    Centroids are fit exactly once: every later batch assigns against
+    them (the SemDeDup contract — per-batch refits would re-cluster
+    history and break the incremental==full equality)."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_assign
+
+    cents, assigned = semdedup_assign(
+        resident, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(_d(store_dir, "centroids"))
+    assigned.write.mode("overwrite").parquet(_d(store_dir, "assigned"))
+
+
+def ingest_embedding_batch(
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit one embedding batch: semantic pairs involving the batch
+    (``semdedup_incremental_pairs`` against the stored assignments +
+    fixed centroids — cost ∝ |batch| × cluster size), appended to
+    ``sem_pairs/``; the batch's assignments appended so the NEXT
+    batch sees it as resident."""
+    from wroclaw_bike_stats_spark.operators.semdedup import (
+        assign_to_centroids,
+        semdedup_incremental_pairs,
+    )
+
+    spark = batch.sparkSession
+    cents = spark.read.parquet(_d(store_dir, "centroids"))
+    assigned = spark.read.parquet(_d(store_dir, "assigned"))
+    pairs = semdedup_incremental_pairs(
+        batch,
+        assigned,
+        cents,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pairs.write.mode("append").parquet(_d(store_dir, "sem_pairs"))
+    assign_to_centroids(batch, cents, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(_d(store_dir, "assigned"))
+
+
+def kept_view_embeddings(
+    spark: SparkSession, store_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """SemDeDup keep over everything admitted so far: CC + min-id
+    keep over the cumulative semantic pair store — equals the
+    one-shot ``semdedup_keep`` under the stored centroids."""
+    assigned = spark.read.parquet(_d(store_dir, "assigned"))
+    pairs = _maybe(spark, _d(store_dir, "sem_pairs"))
+    base = assigned.drop("centroid_id")
+    if pairs is None or not pairs.head(1):
+        return base
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", rebalance_edges=True
+    )
+    return keep_canonical(base, comps=comps, id_col=id_col)
