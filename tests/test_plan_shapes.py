@@ -111,6 +111,9 @@ BNLJ_ALLOWED = {
     "ppl_buckets": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
     "ppl_pruned": "embeds bigram_lm_score's vocab-size 1-row scalar broadcast",
     "ppl_cms_bound": "vocab-size 1-row scalar + 1-row dense-CMS broadcast (operators/sketch.py cms_dense)",
+    "banded_components_refinement": "1-row edge-stats × 1-row refinement-bool scalar crossJoin (__spark_entry__.py q_banded_components_refinement)",
+    "dsir_scheme_consistency": "1-row rank-stats × 1-row resample-overlap scalar crossJoin, plus the dsir_logratio gram-total broadcasts",
+    "nb_scheme_consistency": "1-row class-totals + priors scalar broadcasts under BOTH bucket schemes (operators/classifier.py)",
     "profile_orders": "1-row basic × 1-row distinct agg join",
     "temperature_mix": "1-row (N, sum n^alpha) totals scalar broadcast (operators/pipeline.py temperature_mix_rates)",
     "cms_heavy_hitters": "1-row token-total scalar broadcast (the e/w*N error bound)",

@@ -75,6 +75,12 @@ __all__ = [
 #: is "incremental pairs == full recompute restricted to the new
 #: batch", which default-argument use would silently violate if the
 #: defaults diverged.
+#:
+#: .. versionchanged:: round 8
+#:    ``semdedup_incremental_pairs`` previously defaulted to 0.95;
+#:    unifying on the shared constant loosened its default to 0.4.
+#:    Callers that relied on the old implicit 0.95 must now pass
+#:    ``threshold=0.95`` explicitly.
 DEFAULT_THRESHOLD = 0.4
 
 
