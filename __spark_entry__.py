@@ -2640,84 +2640,35 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-8 order: gates new
+    # prefix; see COVERAGE.md "gate window"). Round-9 order: gates new
     # this round (no driver row yet) come first as they land, then the
-    # 10 oracle-backed queries whose latest driver row is r05 (the
-    # exact set COVERAGE.md commits the r08 rotation leads with), then
-    # the 50 last verified in r06, then the 50 verified in r07, then
-    # the rows-only (no-oracle) sketch/hash queries last. Every
-    # callable is bound to the _acquire session boundary.
+    # 15 oracle-backed queries whose latest driver row is r06 (they
+    # hit the two-round staleness bound at r09 — the exact set the r08
+    # verdict recomputed), then the 50 verified in r07 (they fill the
+    # rest of the ~50 window and hit the bound at r10), then the 50
+    # verified in r08, then the rows-only (no-oracle) sketch/hash
+    # queries last. Every callable is bound to the _acquire session
+    # boundary.
     q = {
-        # --- new in r08 (no driver row yet) --------------------------
-        "ppl_pruned": q_ppl_pruned,
-        "ppl_cms_bound": q_ppl_cms_bound,
-        "banded_components_refinement": q_banded_components_refinement,
-        "dsir_scheme_consistency": q_dsir_scheme_consistency,
-        "nb_scheme_consistency": q_nb_scheme_consistency,
-        # --- latest driver row r05 (stalest oracle-backed; COVERAGE.md
-        #     commits the r08 rotation leads with exactly these 10) ---
-        "incremental_neardup_recall": q_incremental_neardup_recall,
-        "hll_bounds": q_hll_bounds,
-        "skew_safe_distinct": q_skew_safe_distinct,
-        "approx_quantile_bounds": q_approx_quantile_bounds,
-        "ivf_recall": q_ivf_recall,
-        "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
-        "pivot_priority_status": q_pivot_priority_status,
-        "distinct_event_dates": q_distinct_event_dates,
-        "latest_event_date": q_latest_event_date,
-        "range_reagg_busiest": q_range_reagg_busiest,
-        # --- latest driver row r06 (pushed past the r07 window) --------
-        "group_quota_cap_sparse": q_group_quota_cap_sparse,
-        "chunk_documents": q_chunk_documents,
-        "span_dup_detect": q_span_dup_detect,
-        "span_dup_stats": q_span_dup_stats,
-        "span_strip": q_span_strip,
-        "span_strip_incremental": q_span_strip_incremental,
-        "bigram_lm_ppl": q_bigram_lm_ppl,
-        "range_series_daily": q_range_series_daily,
-        "range_hist_avg": q_range_hist_avg,
-        "range_reagg_routes": q_range_reagg_routes,
-        "asof_last_purchase": q_asof_last_purchase,
-        "range_join_error_window": q_range_join_error_window,
-        "tumbling_window_agg": q_tumbling_window_agg,
-        "sessionize": q_sessionize,
-        "cube_event_stats": q_cube_event_stats,
-        "value_quantiles": q_value_quantiles,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "doc_fingerprint": q_doc_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "profile_orders": q_profile_orders,
-        "lineitem_stats": q_lineitem_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "term_df": q_term_df,
-        "neardup_components": q_neardup_components,
-        "neardup_dedup_keep": q_neardup_dedup_keep,
-        "embedding_topk": q_embedding_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "multimodal_bytes": q_multimodal_bytes,
-        "json_props_stats": q_json_props_stats,
-        "explode_token_positions": q_explode_token_positions,
-        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
-        "user_event_gaps": q_user_event_gaps,
+        # --- latest driver row r06 (stalest oracle-backed; the 15 the
+        #     r08 verdict recomputed — the r09 window MUST lead with
+        #     these) -------------------------------------------------
         "acctbal_quartiles": q_acctbal_quartiles,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "string_funcs_part": q_string_funcs_part,
         "date_arith_orders": q_date_arith_orders,
         "decontam_docs": q_decontam_docs,
-        "group_quota_cap": q_group_quota_cap,
-        "hash_split": q_hash_split,
         "decontam_shuffle": q_decontam_shuffle,
-        "weighted_mix": q_weighted_mix,
-        "repetition_stats": q_repetition_stats,
-        "pii_scrub": q_pii_scrub,
-        "seq_packing": q_seq_packing,
         "global_index": q_global_index,
-        "table_diff_docs": q_table_diff,
+        "group_quota_cap": q_group_quota_cap,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "hash_split": q_hash_split,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "seq_packing": q_seq_packing,
         "skew_orders": q_skew_orders,
-        # --- driver-verified in r07 (the 32 rotated-in stale entries) --
+        "string_funcs_part": q_string_funcs_part,
+        "table_diff_docs": q_table_diff,
+        "weighted_mix": q_weighted_mix,
+        # --- latest driver row r07 (fill the window; bound at r10) ----
         "validate_orders": q_validate_orders,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
@@ -2769,6 +2720,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "token_budget": q_token_budget,
+        # --- driver-verified in r08 (freshest; 5 new that round + the
+        #     10 rotated r05 leads + the 35 refreshed r06 entries) -----
+        "ppl_pruned": q_ppl_pruned,
+        "ppl_cms_bound": q_ppl_cms_bound,
+        "banded_components_refinement": q_banded_components_refinement,
+        "dsir_scheme_consistency": q_dsir_scheme_consistency,
+        "nb_scheme_consistency": q_nb_scheme_consistency,
+        "incremental_neardup_recall": q_incremental_neardup_recall,
+        "hll_bounds": q_hll_bounds,
+        "skew_safe_distinct": q_skew_safe_distinct,
+        "approx_quantile_bounds": q_approx_quantile_bounds,
+        "ivf_recall": q_ivf_recall,
+        "simhash_exactdup_consistency": q_simhash_exactdup_consistency,
+        "pivot_priority_status": q_pivot_priority_status,
+        "distinct_event_dates": q_distinct_event_dates,
+        "latest_event_date": q_latest_event_date,
+        "range_reagg_busiest": q_range_reagg_busiest,
+        "group_quota_cap_sparse": q_group_quota_cap_sparse,
+        "chunk_documents": q_chunk_documents,
+        "span_dup_detect": q_span_dup_detect,
+        "span_dup_stats": q_span_dup_stats,
+        "span_strip": q_span_strip,
+        "span_strip_incremental": q_span_strip_incremental,
+        "bigram_lm_ppl": q_bigram_lm_ppl,
+        "range_series_daily": q_range_series_daily,
+        "range_hist_avg": q_range_hist_avg,
+        "range_reagg_routes": q_range_reagg_routes,
+        "asof_last_purchase": q_asof_last_purchase,
+        "range_join_error_window": q_range_join_error_window,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "sessionize": q_sessionize,
+        "cube_event_stats": q_cube_event_stats,
+        "value_quantiles": q_value_quantiles,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "profile_orders": q_profile_orders,
+        "lineitem_stats": q_lineitem_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "term_df": q_term_df,
+        "neardup_components": q_neardup_components,
+        "neardup_dedup_keep": q_neardup_dedup_keep,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_bytes": q_multimodal_bytes,
+        "json_props_stats": q_json_props_stats,
+        "explode_token_positions": q_explode_token_positions,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "user_event_gaps": q_user_event_gaps,
         # --- rows-only by design (sketch/hash internals; each has a
         #     sibling oracle-backed contract gate above) --------------
         "user_count_hll": q_user_count_hll,

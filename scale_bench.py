@@ -519,6 +519,48 @@ def neardup_components_banded(spark, sf_dir):
     )
 
 
+def curate_full_corpus(spark, sf_dir):
+    """The COMPOSED curation pipeline — the job a 100 TB user actually
+    runs (plans/curate.py curate_corpus; same stage chain as the
+    ``curate_pipeline_full`` gate) with the production scale switches
+    ON: ``persist_stages=True`` (survivors scratch-persisted before
+    each self-join branch → one corpus scan per stage), ``impl="auto"``
+    Gopher routing (Arrow pass for the HOF rules), and the THINNED
+    reference LM (``thin_bigram_lm``, ppl_pruned contract). Stages:
+    exact decontam against the 2% ingest slice → token/dup-word
+    quality → Gopher bounds (density-constant at scale, per
+    GOPHER_SCALE_BOUNDS) → repetition cap → ppl band [23, 40]
+    (probed: corpus ppl median ≈31, p95 ≈33 at sf0.1 and sf1 under
+    the %7==3-trained thinned model) → exact dedup → span strip
+    (k=13) → hash split. Timing includes the LM fit (1/7 slice) —
+    at 100 TB the reference model is usually a standing asset, so
+    this row is an upper bound on the per-run cost."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        thin_bigram_lm,
+        train_bigram_lm,
+    )
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    eval_set = spark.read.parquet(_p(sf_dir, "new_docs")).select(
+        "doc_id", "text"
+    )
+    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    uni, bi = thin_bigram_lm(uni, bi, min_count=2)
+    return curate_corpus(
+        docs,
+        eval_set,
+        scrub=False,
+        gopher_bounds=GOPHER_SCALE_BOUNDS,
+        lm=(uni, bi),
+        max_ppl=40.0,
+        min_ppl=23.0,
+        strip_spans=True,
+        span_k=13,
+        persist_stages=True,
+    )
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -553,6 +595,7 @@ FAMILY = {
     "temperature_mix_corpus": temperature_mix_corpus,
     "corpus_shuffle_corpus": corpus_shuffle_corpus,
     "neardup_components_banded": neardup_components_banded,
+    "curate_full_corpus": curate_full_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
@@ -576,6 +619,14 @@ RATIO_KEY = {
 def _cold() -> None:
     try:
         entry_mod.release_shared()
+    except Exception:  # noqa: BLE001
+        pass
+    # persist_stages rows (curate_full_corpus) register survivor
+    # frames with the scratch pool — a cold run must not inherit them
+    try:
+        from wroclaw_bike_stats_spark.operators import scratch
+
+        scratch.release()
     except Exception:  # noqa: BLE001
         pass
 

@@ -1,0 +1,283 @@
+"""Batch-parity contract for streaming/curate_stream.py (the pin the
+module docstring promises): N daily ingests through
+``ingest_document_batch`` must leave stores equal to ONE-SHOT runs of
+the batch operators over the union —
+
+- cumulative ``pairs/``  == ``minhash_dedup_pairs(union)`` (every
+  near-dup pair is delivered by the batch of its LATER member);
+- admitted ``docs/`` text == the full-run keep-first span strip
+  (ascending-id ingest is the stated precondition);
+- ``kept_view``          == CC + keep-min-id over the one-shot graph;
+- the re-aggregated window-index store == ``window_index(union)``
+  (the (cnt, canonical) monoid);
+- embedding side: ``sem_pairs/`` / ``kept_view_embeddings`` ==
+  ``semdedup_pairs`` / keep over the union under the FIXED stored
+  centroids, given the documented precondition that the resident
+  first drop is internally deduped;
+- replaying the whole input against the SAME checkpoint appends
+  nothing (exactly-once via the streaming checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from wroclaw_bike_stats_spark.operators import dedup as D
+from wroclaw_bike_stats_spark.operators import span_dedup as SD
+from wroclaw_bike_stats_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+from wroclaw_bike_stats_spark.streaming.curate_stream import (
+    _maybe,
+    ingest_document_batch,
+    ingest_embedding_batch,
+    init_embedding_store,
+    kept_view,
+    kept_view_embeddings,
+    read_window_index_store,
+    run_curation_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 0.5
+SPAN_K = 13
+EMB_THRESHOLD = 0.4
+
+
+def _doc_batches(docs, n=3):
+    """Split into n ascending-doc_id ranges (daily ingests: new ids
+    are higher — the span-parity precondition)."""
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    size = (len(ids) + n - 1) // n
+    cuts = [ids[i * size] for i in range(1, n)]
+    lows = [None] + cuts
+    highs = cuts + [None]
+    out = []
+    for lo, hi in zip(lows, highs):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        out.append(b)
+    return out
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_multibatch_ingest_equals_one_shot(spark, docs, tmp_path):
+    store = str(tmp_path / "store")
+    batches = _doc_batches(docs, n=3)
+    for b in batches:
+        ingest_document_batch(
+            b, store, threshold=THRESHOLD, span_k=SPAN_K
+        )
+
+    # (1) cumulative pair store == one-shot pair graph
+    one_shot_pairs = D.minhash_dedup_pairs(docs, threshold=THRESHOLD)
+    got = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    want = _pair_set(one_shot_pairs)
+    assert want, "vacuous: the fixture corpus must contain near-dups"
+    assert got == want
+
+    # (2) admitted text == full-run keep-first strip (every doc kept)
+    full_strip = {
+        r.doc_id: r.text_clean
+        for r in SD.strip_duplicate_spans(
+            docs, k=SPAN_K, keep_all=True
+        ).collect()
+    }
+    admitted = spark.read.parquet(os.path.join(store, "docs"))
+    got_text = {r.doc_id: r.text for r in admitted.collect()}
+    assert set(got_text) == set(full_strip)
+    assert got_text == full_strip
+    n_stripped = sum(
+        1 for r in docs.collect() if full_strip[r.doc_id] != r.text
+    )
+    assert n_stripped > 0, "vacuous: no duplicated spans in fixture"
+    # original text rides along for tomorrow's dedup substrate
+    orig = {r.doc_id: r.text_orig for r in admitted.collect()}
+    assert orig == {r.doc_id: r.text for r in docs.collect()}
+
+    # (3) kept_view == CC + keep-min-id over the one-shot graph,
+    #     rows carry the STRIPPED text
+    comps = connected_components(one_shot_pairs, rebalance_edges=True)
+    want_ids = {
+        r.doc_id
+        for r in keep_canonical(docs, comps=comps).select("doc_id").collect()
+    }
+    view = kept_view(spark, store)
+    got_view = {r.doc_id: r.text for r in view.collect()}
+    assert set(got_view) == want_ids
+    assert len(want_ids) < docs.count(), "vacuous: nothing deduped"
+    assert got_view == {i: full_strip[i] for i in want_ids}
+
+    # (4) the re-aggregated window-index store == window_index(union)
+    one_shot_idx = {
+        r.h: (r.cnt, r.canon_id, r.canon_pos)
+        for r in SD.window_index(docs, k=SPAN_K).collect()
+    }
+    merged = read_window_index_store(spark, store)
+    got_idx = {
+        r.h: (r.cnt, r.canon_id, r.canon_pos) for r in merged.collect()
+    }
+    assert got_idx == one_shot_idx
+    # parameterization metadata survives the store round-trip
+    assert merged.schema["h"].metadata == SD.window_index(
+        docs, k=SPAN_K
+    ).schema["h"].metadata
+
+
+def test_maybe_ignores_success_only_dir(spark, tmp_path):
+    """A crashed append can leave a directory holding only _SUCCESS;
+    the store probe must treat it as empty rather than letting
+    parquet schema inference fail."""
+    d = tmp_path / "empty_store"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    assert _maybe(spark, str(d)) is None
+    assert _maybe(spark, str(tmp_path / "never_created")) is None
+
+
+def test_stream_checkpoint_makes_replay_idempotent(spark, docs, tmp_path):
+    """run_curation_stream end-to-end: three daily files in ascending
+    id order through the file source, then the SAME input re-run
+    against the SAME checkpoint — the second run must process nothing
+    (stores byte-identical in row counts, kept_view unchanged)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    batches = _doc_batches(subset, n=3)
+    for i, b in enumerate(batches):
+        pdf = b.orderBy("doc_id").toPandas()
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        # ascending mtimes pin the file-source delivery order
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    q = run_curation_stream(
+        spark, str(input_dir), store, schema, ckpt,
+        threshold=THRESHOLD, span_k=SPAN_K,
+    )
+    q.awaitTermination(300)
+
+    counts = {
+        what: spark.read.parquet(os.path.join(store, what)).count()
+        for what in ("docs", "pairs", "bands", "winindex")
+    }
+    assert counts["docs"] == subset.count()
+    view_before = {r.doc_id: r.text for r in kept_view(spark, store).collect()}
+
+    # parity of the streamed stores with the one-shot graph
+    want = _pair_set(D.minhash_dedup_pairs(subset, threshold=THRESHOLD))
+    got = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    assert got == want
+
+    # replay: same input, same checkpoint -> no new work
+    q2 = run_curation_stream(
+        spark, str(input_dir), store, schema, ckpt,
+        threshold=THRESHOLD, span_k=SPAN_K,
+    )
+    q2.awaitTermination(300)
+    for what, n in counts.items():
+        assert (
+            spark.read.parquet(os.path.join(store, what)).count() == n
+        ), what
+    assert {
+        r.doc_id: r.text for r in kept_view(spark, store).collect()
+    } == view_before
+
+
+def test_embedding_side_parity(spark, tmp_path):
+    """sem_pairs / kept_view_embeddings == one-shot semdedup under the
+    FIXED stored centroids, given the documented precondition that the
+    resident first drop is internally deduped (old-old pairs were
+    resolved before the store was initialized)."""
+    from wroclaw_bike_stats_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_pairs,
+    )
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    resident = emb.filter(F.col("vec_id") < cut1)
+    d2 = emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))
+    d3 = emb.filter(F.col("vec_id") >= cut2)
+
+    # dedup the resident to a fixpoint of its own (deterministic)
+    # centroid fit — after the loop, a refit on the survivors yields
+    # zero internal pairs, which is exactly what init_embedding_store
+    # will fit and store
+    for _ in range(4):
+        cents, assigned = semdedup_assign(resident, num_clusters=4)
+        prs = semdedup_pairs(
+            resident, threshold=EMB_THRESHOLD, assigned=assigned
+        )
+        if not prs.head(1):
+            break
+        resident = keep_canonical(
+            resident,
+            comps=connected_components(prs, rebalance_edges=True),
+            id_col="vec_id",
+        )
+    else:
+        pytest.fail("resident dedup did not reach a fixpoint")
+
+    store = str(tmp_path / "emb_store")
+    init_embedding_store(resident, store, num_clusters=4)
+    for batch in (d2, d3):
+        ingest_embedding_batch(batch, store, threshold=EMB_THRESHOLD)
+
+    union = resident.unionByName(d2).unionByName(d3)
+    cents = spark.read.parquet(os.path.join(store, "centroids"))
+    assigned_u = assign_to_centroids(union, cents)
+    one_shot = semdedup_pairs(
+        union, threshold=EMB_THRESHOLD, assigned=assigned_u
+    )
+    want = _pair_set(one_shot)
+    assert want, "vacuous: no semantic pairs at this threshold"
+    got = _pair_set(spark.read.parquet(os.path.join(store, "sem_pairs")))
+    assert got == want
+
+    want_keep = {
+        r.vec_id
+        for r in keep_canonical(
+            union,
+            comps=connected_components(one_shot, rebalance_edges=True),
+            id_col="vec_id",
+        ).collect()
+    }
+    got_keep = {
+        r.vec_id for r in kept_view_embeddings(spark, store).collect()
+    }
+    assert got_keep == want_keep
+    assert len(want_keep) < union.count(), "vacuous: nothing deduped"

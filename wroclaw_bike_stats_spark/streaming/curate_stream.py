@@ -9,8 +9,9 @@ against the RESIDENT corpus without re-hashing the corpus, (b) strip
 spans the corpus already contains, and (c) leave the standing assets
 updated so tomorrow's ingest pays the same batch-proportional cost.
 The reference repo's analog is the idempotent daily upsert
-(src/data_import.py:31 insert-new-rides-only); here the "already
-seen" test is similarity, not key equality.
+(src/data_load_sqlite.py:218 ``load_to_sqlite`` — INSERT OR IGNORE
+over the staged batch); here the "already seen" test is similarity,
+not key equality.
 
 Store layout (plain parquet dirs under ``store_dir``; appends only,
 no in-place rewrites — the streaming/merge_sink.py discipline is not
@@ -87,14 +88,21 @@ def _d(store_dir: str, what: str) -> str:
 
 
 def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a store directory if it has content, else None — first
-    batch bootstrap (os-level check; these are local/DFS dirs the job
-    itself writes)."""
-    if os.path.isdir(path) and any(
-        n.endswith(".parquet") or n == "_SUCCESS" or not n.startswith("_")
-        for n in os.listdir(path)
-    ):
-        return spark.read.parquet(path)
+    """Read a store directory if it holds at least one DATA file,
+    else None — first-batch bootstrap. Listing goes through the
+    Hadoop FileSystem API so the store can live on any supported
+    filesystem (local, HDFS, S3A...), and a directory left with only
+    ``_SUCCESS`` by a crashed append is treated as empty instead of
+    failing parquet schema inference."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            return spark.read.parquet(path)
     return None
 
 
