@@ -169,6 +169,8 @@ def main() -> None:
          "/root/repo/BENCH_ANCHOR_r06.json", "vs_r06"),
         ("SPARK_GRAFT_BENCH_ANCHOR_R07",
          "/root/repo/BENCH_ANCHOR_r07.json", "vs_r07"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R09",
+         "/root/repo/BENCH_ANCHOR_r09.json", "vs_r09"),
     ):
         anchor = _load_anchor(os.environ.get(env, path))
         if anchor:

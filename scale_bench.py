@@ -529,12 +529,17 @@ def curate_full_corpus(spark, sf_dir):
     reference LM (``thin_bigram_lm``, ppl_pruned contract). Stages:
     exact decontam against the 2% ingest slice → token/dup-word
     quality → Gopher bounds (density-constant at scale, per
-    GOPHER_SCALE_BOUNDS) → repetition cap → ppl band [23, 40]
-    (probed: corpus ppl median ≈31, p95 ≈33 at sf0.1 and sf1 under
-    the %7==3-trained thinned model) → exact dedup → span strip
-    (k=13) → hash split. Timing includes the LM fit (1/7 slice) —
-    at 100 TB the reference model is usually a standing asset, so
-    this row is an upper bound on the per-run cost."""
+    GOPHER_SCALE_BOUNDS) → repetition cap → ppl stage with
+    ``min_ppl=0.0`` (vacuously-true band: ppl ≥ 1 always, so the
+    stage pays its FULL scoring + join-back cost with a 100% keep —
+    the Gopher density-constant precedent; a finite band cannot be
+    scale-constant on this corpus because add-α smoothed ppl grows
+    with the shard-suffixed vocabulary: V ×1000 at sf100 pushed every
+    doc past any fixed bound and the first cut of this row kept 0 of
+    5M docs) → exact dedup → span strip (k=13) → hash split. Timing
+    includes the LM fit (1/7 slice) — at 100 TB the reference model
+    is usually a standing asset, so this row is an upper bound on
+    the per-run cost."""
     from wroclaw_bike_stats_spark.operators.text import (
         thin_bigram_lm,
         train_bigram_lm,
@@ -553,8 +558,8 @@ def curate_full_corpus(spark, sf_dir):
         scrub=False,
         gopher_bounds=GOPHER_SCALE_BOUNDS,
         lm=(uni, bi),
-        max_ppl=40.0,
-        min_ppl=23.0,
+        max_ppl=None,
+        min_ppl=0.0,
         strip_spans=True,
         span_k=13,
         persist_stages=True,

@@ -123,3 +123,33 @@ def test_components_close_over_real_pairs(spark):
     )
     assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
     assert pairs.count() > 0
+
+
+def test_neardup_route_auto_picks_by_corpus_size(spark):
+    """candidate_route="auto" (the round-9 default): exact under the
+    measured crossover, banded above it; at fixture scale auto ==
+    exact byte-for-byte (the probe picks exact for 500 docs)."""
+    from wroclaw_bike_stats_spark.operators.dedup import (
+        NEARDUP_EXACT_MAX_DOCS,
+        neardup_components,
+        pick_neardup_route,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    assert n <= NEARDUP_EXACT_MAX_DOCS
+    assert pick_neardup_route(docs) == "exact"
+    assert pick_neardup_route(docs, max_exact_docs=n - 1) == "banded"
+
+    got_auto = {
+        (r.node, r.component_id)
+        for r in neardup_components(docs, threshold=0.5).collect()
+    }
+    got_exact = {
+        (r.node, r.component_id)
+        for r in neardup_components(
+            docs, threshold=0.5, candidate_route="exact"
+        ).collect()
+    }
+    assert got_auto == got_exact
+    assert got_auto, "vacuous: fixture corpus has no near-dup pairs"

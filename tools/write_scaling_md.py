@@ -113,6 +113,32 @@ def main(path: str) -> int:
         "through one box's shuffle — same one-host effect as",
         "span_strip_full's site shuffle, volume-linear on a cluster.",
         "",
+        "ROUND-9 ADJUDICATION of the round-8 mitigation routes,",
+        "measured honestly: the two LM shrinker routes DO NOT WIN at",
+        "sf100 on this corpus — pruned 194.9 s, CMS 209.9 s vs exact",
+        "204.2 s. Cause: the synthetic corpus's vocabulary is",
+        "sf-constant, so AQE already elects broadcast for the exact",
+        "model side and the cost is the corpus-side gram stream",
+        "(explode + two string-keyed join probes + per-doc agg), which",
+        "all three routes pay identically. The routes stay in-tree for",
+        "the case they were built for — a model table that genuinely",
+        "exceeds the broadcast threshold (real corpora grow vocab with",
+        "size; this one cannot measure that regime) — but the DEFAULT",
+        "STAYS EXACT and no win is claimed. The banded candidate route",
+        "for neardup_components, by contrast, measured 62.0 s vs",
+        "414.2 s exact at sf100 (6.7×, rows linear, refinement gated by",
+        "banded_components_refinement) and IS now the large-corpus arm",
+        "of the candidate_route='auto' default (crossover 20k docs —",
+        "exact still wins at 5k: 4.1 vs 5.9 s). curate_full_corpus is",
+        "the COMPOSED pipeline (decontam → quality → Gopher(auto) →",
+        "repetition → ppl stage → exact dedup → span strip → split)",
+        "with persist_stages=True — the job a 100 TB user actually",
+        "runs; its ppl stage runs with a vacuously-true band",
+        "(min_ppl=0) because add-α ppl scales with the shard-suffixed",
+        "vocabulary (a fixed [23,40] band kept 0 of 5M docs at sf100 —",
+        "the Gopher density-constant lesson applied to the LM stage;",
+        "the stage still pays full scoring + join-back cost).",
+        "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]

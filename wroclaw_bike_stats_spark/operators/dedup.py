@@ -881,13 +881,38 @@ def minhash_incremental_pairs(
     )
 
 
+#: "auto" candidate-route crossover (docs). Measured (SCALING.md r09,
+#: min-of-2 cold runs, 32 cores): exact wins at 5k docs (4.1 s vs
+#: banded 5.9 s — LSH's fixed signature/banding cost dominates tiny
+#: corpora), banded wins from 50k docs on (7.1 s vs 12.1 s) and the
+#: gap explodes with the shingle-df² term (sf100/5M docs: 62 s vs
+#: 414 s = 6.7×). The bound sits between the measured points.
+NEARDUP_EXACT_MAX_DOCS = 20_000
+
+
+def pick_neardup_route(
+    df: DataFrame, max_exact_docs: int = NEARDUP_EXACT_MAX_DOCS
+) -> str:
+    """Route selection for ``neardup_components(candidate_route=
+    "auto")`` — the dedup analog of span_dedup's ``pick_span_method``.
+    Unlike Gopher's zero-job ``pick_gopher_impl`` the decision is a
+    property of the CORPUS (the exact route's pair join is
+    Σ df² over shingles; the banded route is ~n·num_hashes), so the
+    probe is one ``count()`` job — metadata-cheap on a parquet scan,
+    one pass otherwise. Exact under the bound (every pair found, the
+    DuckDB-checkable route); banded above it (recall ≥ 0.9 per the
+    ``minhash_recall`` contract, components REFINE exact — gated by
+    ``banded_components_refinement``)."""
+    return "exact" if df.count() <= max_exact_docs else "banded"
+
+
 def neardup_components(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    candidate_route: str = "exact",
+    candidate_route: str = "auto",
     num_hashes: int = 32,
     bands: int = 8,
     df_cap: int | None = None,
@@ -910,7 +935,18 @@ def neardup_components(
       consequence is gated by ``banded_components_refinement``. This
       is the 100 TB route: candidate cost is banded-bucket-sized, not
       shingle-df² (cf. Lee et al. 2022 §4 run dedup clustering off
-      MinHash candidates at corpus scale for the same reason).
+      MinHash candidates at corpus scale for the same reason) —
+      measured 62 s vs 414 s at 5M docs (SCALING.md r09).
+    - ``candidate_route="auto"`` — probe the corpus size (ONE count
+      job, ``pick_neardup_route``) and take exact under
+      ``NEARDUP_EXACT_MAX_DOCS``, banded above it.
+
+    .. versionchanged:: round 9
+       The default moved ``"exact"`` → ``"auto"`` once the banded
+       route's sf100 win was measured. Callers that need the
+       every-pair-found guarantee regardless of corpus size (oracle
+       mirrors, recall baselines) must pin ``candidate_route="exact"``
+       — the contract gates do.
 
     Components run with ``rebalance_edges=True`` — either route's
     pairs arrive off a skew-prone shuffle."""
@@ -918,6 +954,8 @@ def neardup_components(
         connected_components,
     )
 
+    if candidate_route == "auto":
+        candidate_route = pick_neardup_route(df)
     if candidate_route == "exact":
         pairs = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold, df_cap=df_cap
