@@ -55,7 +55,12 @@ SemDeDup assets the same way: assignments accumulate against FIXED
 centroids (fit once at ``init_embedding_store`` — the paper's
 contract; refitting per batch would silently re-cluster history),
 semantic pairs accumulate to the full within-cluster pair set, and
-``kept_view_embeddings`` is the one-shot ``semdedup_keep``.
+``kept_view_embeddings`` equals the one-shot SemDeDup keep over the
+union under the stored centroids — PRECONDITION: the resident corpus
+passed to ``init_embedding_store`` is internally deduped (its
+old↔old pairs were resolved before the store existed; only pairs
+involving a later batch are discoverable afterwards). All of the
+above is pinned in tests/test_curate_stream.py.
 """
 
 from __future__ import annotations
