@@ -145,6 +145,20 @@ def prepare_stores(spark, sf_dir) -> None:
     nb_w.write.mode("overwrite").parquet(_p(sf_dir, "nb_weights"))
     nb_p.write.mode("overwrite").parquet(_p(sf_dir, "nb_priors"))
 
+    # Round-9: the reference bigram LM joins the standing-asset club
+    # (training alone is 110.5 s of the 204 s bigram_lm_corpus row at
+    # sf100 — a probe decomposition; at 100 TB nobody retrains the
+    # reference model per scoring run). Stored THINNED (min_count=2,
+    # the ppl_pruned contract) — the form a production model ships in.
+    from wroclaw_bike_stats_spark.operators.text import (
+        thin_bigram_lm,
+        train_bigram_lm,
+    )
+
+    lm_uni, lm_bi = thin_bigram_lm(*train_bigram_lm(old), min_count=2)
+    lm_uni.write.mode("overwrite").parquet(_p(sf_dir, "lm_uni"))
+    lm_bi.write.mode("overwrite").parquet(_p(sf_dir, "lm_bi"))
+
     emb = _emb(spark, sf_dir)
     emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
         _p(sf_dir, "new_emb")
@@ -309,6 +323,22 @@ def bigram_lm_cms_corpus(spark, sf_dir):
 
 
 NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def bigram_lm_score_stored(spark, sf_dir):
+    """LM scoring against the STORED thinned reference model (fit
+    once in prepare_stores — the standing-asset framing the DSIR/NB
+    rows already use): the per-run production cost. A round-9 probe
+    decomposed the 204 s ``bigram_lm_corpus`` row at sf100 into
+    ~110 s training + ~64-94 s scoring; this row pins the scoring
+    side on its own curve. Broadcast hint off — AQE sizes the two
+    model joins, same policy as the in-line rows."""
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
+    bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
+    return bigram_lm_score(docs, uni, bi, broadcast_model=False)
 
 
 def dsir_score_corpus(spark, sf_dir):
@@ -586,6 +616,7 @@ FAMILY = {
     "bigram_lm_corpus": bigram_lm_corpus,
     "bigram_lm_pruned_corpus": bigram_lm_pruned_corpus,
     "bigram_lm_cms_corpus": bigram_lm_cms_corpus,
+    "bigram_lm_score_stored": bigram_lm_score_stored,
     "dsir_score_corpus": dsir_score_corpus,
     "dsir_score_incremental": dsir_score_incremental,
     "nb_predict_corpus": nb_predict_corpus,

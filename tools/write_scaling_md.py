@@ -124,7 +124,19 @@ def main(path: str) -> int:
         "the case they were built for — a model table that genuinely",
         "exceeds the broadcast threshold (real corpora grow vocab with",
         "size; this one cannot measure that regime) — but the DEFAULT",
-        "STAYS EXACT and no win is claimed. The banded candidate route",
+        "STAYS EXACT and no win is claimed. A probe decomposition of",
+        "the 204 s row: TRAINING is 110.5 s of it (the 500M-row gram",
+        "explode + string groupBy), scoring ~64-94 s — so the",
+        "bigram_lm_score_stored row (round 9) pins the per-run",
+        "production cost against the stored thinned model (the",
+        "standing-asset framing dsir_score_corpus / nb_predict_corpus",
+        "already use): 122.3 s at sf100, in family with DSIR 101 s /",
+        "NB 107 s. Also probed and REJECTED: a map<w2,c12> model",
+        "layout that collapses the two model joins into one (exact",
+        "parity, checksums equal) — 1.1x faster at sf10 but 1.26x",
+        "SLOWER at sf100 because Spark's element_at linear-scans map",
+        "entries and Zipf-hot w1 keys carry huge maps. Negative",
+        "result recorded so nobody re-tries it. The banded candidate route",
         "for neardup_components, by contrast, measured 62.0 s vs",
         "414.2 s exact at sf100 (6.7×, rows linear, refinement gated by",
         "banded_components_refinement) and IS now the large-corpus arm",
