@@ -1202,6 +1202,52 @@ def q_banded_components_refinement(spark: SparkSession, sf_dir: str) -> DataFram
     return edges.crossJoin(F.broadcast(refinement))
 
 
+def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract gate for the round-9 ``candidate_route="auto"``
+    default (operators/dedup.py pick_neardup_route): at gate scale
+    the one-count-job probe must pick the exact route (corpus ≤ the
+    20k-doc crossover), and the default call must therefore be
+    BYTE-IDENTICAL to the pinned-exact shared components. Exact side
+    the oracle recomputes: the node count of the capped pair graph.
+    The booleans are deterministic — a silently-flipped default (or a
+    probe that stops picking exact under the bound) goes red here."""
+    from wroclaw_bike_stats_spark.operators.dedup import (
+        NEARDUP_EXACT_MAX_DOCS,
+        neardup_components,
+        pick_neardup_route,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    auto = neardup_components(docs, threshold=0.5, df_cap=100).select(
+        "node", F.col("component_id").alias("_ca")
+    )
+    exact = _components_shared(spark, sf_dir).select(
+        "node", F.col("component_id").alias("_ce")
+    )
+    j = auto.join(exact, "node", "full_outer")
+    probe_exact = pick_neardup_route(docs) == "exact"
+    n_docs_under_bound = (
+        docs.count() <= NEARDUP_EXACT_MAX_DOCS
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pair_nodes"),
+        (
+            F.count(
+                F.when(
+                    F.col("_ca").isNull()
+                    | F.col("_ce").isNull()
+                    | (F.col("_ca") != F.col("_ce")),
+                    1,
+                )
+            )
+            == 0
+        ).alias("routes_agree"),
+        F.lit(bool(probe_exact and n_docs_under_bound)).alias(
+            "probe_picks_exact_under_bound"
+        ),
+    )
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (xxhash64-based — no SQL oracle;
     the jaccard-verified subset is cross-checked against
@@ -2650,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries last. Every callable is bound to the _acquire session
     # boundary.
     q = {
+        # --- new in r09 (no driver row yet) --------------------------
+        "neardup_route_auto": q_neardup_route_auto,
         # --- latest driver row r06 (stalest oracle-backed; the 15 the
         #     r08 verdict recomputed — the r09 window MUST lead with
         #     these) -------------------------------------------------
@@ -4309,6 +4357,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, component_id
             FROM comps
             ORDER BY doc_id
+        """,
+        # auto-route contract: exact side = node count of the capped
+        # pair graph; the agreement/probe booleans are literals the
+        # Spark side must reproduce (a flipped default goes red).
+        "neardup_route_auto": f"""
+            WITH {_SHINGLES_CTE},
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM sh a
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ),
+            nodes AS (
+                SELECT id_a AS node FROM pairs
+                UNION
+                SELECT id_b AS node FROM pairs
+            )
+            SELECT count(*) AS n_pair_nodes,
+                   TRUE AS routes_agree,
+                   TRUE AS probe_picks_exact_under_bound
+            FROM nodes
         """,
         "neardup_dedup_keep": f"""
             WITH RECURSIVE {_COMPONENTS_CTE}

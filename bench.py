@@ -55,6 +55,9 @@ GATE_QUERIES = frozenset(
         # r05: shuffle-route decontamination against a manufactured
         # 1.2M-entry blocklist — route audit, not engine throughput.
         "decontam_shuffle",
+        # r09: auto-vs-pinned-exact route equality — runs the default
+        # call AND the shared exact components to compare them.
+        "neardup_route_auto",
     }
 )
 
@@ -78,6 +81,7 @@ SHARED_WARM = frozenset(
         "simhash_neardup",
         "simhash_recall",
         "simhash_exactdup_consistency",
+        "neardup_route_auto",
     }
 )
 
