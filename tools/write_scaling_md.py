@@ -143,8 +143,9 @@ def main(path: str) -> int:
         "of the candidate_route='auto' default (crossover 20k docs —",
         "exact still wins at 5k: 4.1 vs 5.9 s). curate_full_corpus is",
         "the COMPOSED pipeline (decontam → quality → Gopher(auto) →",
-        "repetition → ppl stage → exact dedup → span strip → split)",
-        "with persist_stages=True — the job a 100 TB user actually",
+        "repetition → ppl stage under the STORED thinned reference LM",
+        "→ exact dedup → span strip → split) with",
+        "persist_stages=True — the job a 100 TB user actually",
         "runs; its ppl stage runs with a vacuously-true band",
         "(min_ppl=0) because add-α ppl scales with the shard-suffixed",
         "vocabulary (a fixed [23,40] band kept 0 of 5M docs at sf100 —",
