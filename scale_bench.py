@@ -74,16 +74,18 @@ EMB_BANDS = 8
 
 # dedup family: which sf points each query runs at
 DEDUP_POINTS = ("sf0.1", "sf1", "sf10", "sf100")
-# entry family: events/orders are replicated through sf10 (10M events /
-# 15M orders). The CC fixpoint at sf100 (~2.5M-edge graph, O(diameter)
-# shuffle rounds) takes several minutes — opt in with
-# SPARK_GRAFT_CC_SF100=1 (single run, no min-of-2) rather than paying
-# it on every bench.
+# entry family: events/orders replicated to sf100 since round 9
+# (100M events / 150M orders), so the three custom operators
+# (sessionize, group-quota cap, as-of join) carry 1000× rows like the
+# dedup family. The exact-route neardup_components stays at sf10: its
+# sf100 story is the banded default (neardup_components_banded row);
+# the exact pair join at sf100 (~414 s, single cold run) remains
+# opt-in via SPARK_GRAFT_CC_SF100=1 rather than paid on every bench.
 ENTRY_POINTS = {
     "neardup_components": ("sf0.1", "sf1", "sf10"),
-    "sessionize": ("sf0.1", "sf1", "sf10"),
-    "group_quota_cap": ("sf0.1", "sf1", "sf10"),
-    "asof_last_purchase": ("sf0.1", "sf1", "sf10"),
+    "sessionize": ("sf0.1", "sf1", "sf10", "sf100"),
+    "group_quota_cap": ("sf0.1", "sf1", "sf10", "sf100"),
+    "asof_last_purchase": ("sf0.1", "sf1", "sf10", "sf100"),
 }
 
 

@@ -150,7 +150,14 @@ def main(path: str) -> int:
         "(min_ppl=0) because add-α ppl scales with the shard-suffixed",
         "vocabulary (a fixed [23,40] band kept 0 of 5M docs at sf100 —",
         "the Gopher density-constant lesson applied to the LM stage;",
-        "the stage still pays full scoring + join-back cost).",
+        "the stage still pays full scoring + join-back cost). Round 9",
+        "also extended the ENTRY family's corpora to sf100 (100M",
+        "events / 150M orders, id-offset replication): the three",
+        "custom operators now carry 1000× rows like the dedup family —",
+        "sessionize 18.8 s / 95.5M sessions, group_quota_cap 21.0 s /",
+        "74.3M rows, asof_last_purchase 17.7 s / 100M rows, all",
+        "time-sublinear in data (the windows shuffle once on their",
+        "keys and AQE right-sizes partitions).",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
