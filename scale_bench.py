@@ -343,6 +343,25 @@ def bigram_lm_score_stored(spark, sf_dir):
     return bigram_lm_score(docs, uni, bi, broadcast_model=False)
 
 
+def bigram_lm_score_arrow_stored(spark, sf_dir):
+    """LM scoring against the stored thinned model through the ONE
+    Arrow pass (``bigram_lm_score_arrow``, round 9 — the measured
+    Gopher-arrow move applied to LM scoring): the model rides as two
+    broadcast dicts, each Arrow batch tokenizes + C-loop-maps its
+    grams and reduces per-doc with np.add.reduceat. Zero joins, zero
+    Exchange; byte-parity with the native route pinned in
+    tests/test_lm.py (identical checksums re-verified at sf10/sf100
+    in the round-9 A/B: 2.97 vs 4.56 s and 87.9 vs 118.6 s warm)."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score_arrow,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
+    bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
+    return bigram_lm_score_arrow(docs, uni, bi)
+
+
 def dsir_score_corpus(spark, sf_dir):
     """DSIR scoring at corpus scale against the STORED model (fit
     once in prepare_stores — a selection model is a standing asset):
@@ -616,6 +635,7 @@ FAMILY = {
     "bigram_lm_pruned_corpus": bigram_lm_pruned_corpus,
     "bigram_lm_cms_corpus": bigram_lm_cms_corpus,
     "bigram_lm_score_stored": bigram_lm_score_stored,
+    "bigram_lm_score_arrow_stored": bigram_lm_score_arrow_stored,
     "dsir_score_corpus": dsir_score_corpus,
     "dsir_score_incremental": dsir_score_incremental,
     "nb_predict_corpus": nb_predict_corpus,

@@ -131,7 +131,15 @@ def main(path: str) -> int:
         "production cost against the stored thinned model (the",
         "standing-asset framing dsir_score_corpus / nb_predict_corpus",
         "already use): 122.3 s at sf100, in family with DSIR 101 s /",
-        "NB 107 s. Also probed and REJECTED: a map<w2,c12> model",
+        "NB 107 s. The round-9 win that DID land:",
+        "bigram_lm_score_arrow (one Arrow pass — model as broadcast",
+        "dicts, C-loop gram lookups, np.add.reduceat per-doc sums,",
+        "ZERO joins / ZERO Exchange, byte-parity with the native route",
+        "pinned in tests/test_lm.py incl. the trim-spaces + Java-\\s",
+        "tokenizer mirror and HALF_UP rounding) measures 0.9 / 1.1 /",
+        "3.1 / 87.1 s — 1.4x the native stored-model route at sf100",
+        "and 1.5x at sf10, the gopher_filter_arrow move applied to LM",
+        "scoring. Also probed and REJECTED: a map<w2,c12> model",
         "layout that collapses the two model joins into one (exact",
         "parity, checksums equal) — 1.1x faster at sf10 but 1.26x",
         "SLOWER at sf100 because Spark's element_at linear-scans map",

@@ -746,6 +746,115 @@ def bigram_lm_score_cms(
     )
 
 
+def bigram_lm_score_arrow(
+    df,
+    unigrams,
+    bigrams,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+):
+    """``bigram_lm_score`` as ONE Arrow pass — the Gopher-arrow move
+    (text.py pick_gopher_impl) applied to LM scoring: the count
+    tables are collected and broadcast as plain dicts, each Arrow
+    batch tokenizes its docs, looks every bigram up via a C-loop
+    ``pd.Series.map``, and reduces per-doc sums with
+    ``np.add.reduceat`` — ZERO joins, ZERO Exchange, output rows 1:1
+    with input partitions (plan-shape pinned in tests/test_lm.py).
+
+    Exactness contract: byte-identical to the native route on every
+    corpus whose whitespace is ASCII — the tokenizer mirrors Spark
+    precisely (trim strips SPACES only; Java ``\\s`` is the six ASCII
+    whitespace chars, unlike Python's unicode-aware ``str.split``),
+    and rounding mirrors Spark's HALF_UP (numpy's default is
+    banker's). Parity is pinned by checksum against the native route
+    in tests/test_lm.py. Use when the model fits one heap (same
+    regime as ``broadcast_model=True``) and the corpus-side gram
+    stream dominates — the 500M-gram sf100 regime where the native
+    route pays two string-keyed join probes per gram."""
+    import math
+
+    import numpy as np
+
+    uni_rows = unigrams.collect()
+    v_count = float(len(uni_rows) + 1)
+    uni_map = {r["w"]: float(r["c1"]) for r in uni_rows}
+    bi_map = {
+        f'{r["w1"]} {r["w2"]}': float(r["c12"]) for r in bigrams.collect()
+    }
+    spark = df.sparkSession
+    b_uni = spark.sparkContext.broadcast(uni_map)
+    b_bi = spark.sparkContext.broadcast(bi_map)
+    a = float(alpha)
+    a_v = a * v_count
+    log2e_inv = math.log(2.0)
+
+    # Java \s — exactly these six ASCII chars; python \s would also
+    # split on unicode whitespace and diverge from the native route.
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _half_up4(x: "np.ndarray") -> "np.ndarray":
+        # Spark F.round is HALF_UP; np.round is banker's. xent/ppl are
+        # always positive (P<1 ⇒ logp<0), so floor(x·1e4 + 0.5) is it.
+        return np.floor(x * 1e4 + 0.5) / 1e4
+
+    def score(batches):
+        import pandas as pd
+
+        uni_d = b_uni.value
+        bi_d = b_bi.value
+        for pdf in batches:
+            n_docs = len(pdf)
+            tok_lists = [
+                ws.split(t.strip(" ")) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            # docs with <2 tokens (or NULL text) carry no signal —
+            # same NULL contract as the native route's explode_outer
+            counts = np.array(
+                [max(len(t) - 1, 0) if t is not None else 0
+                 for t in tok_lists],
+                dtype=np.int64,
+            )
+            xent = np.full(n_docs, np.nan)
+            ppl = np.full(n_docs, np.nan)
+            live = counts > 0
+            if live.any():
+                w1 = [w for t in tok_lists if t and len(t) > 1
+                      for w in t[:-1]]
+                keys = [
+                    f"{t[j]} {t[j + 1]}"
+                    for t in tok_lists
+                    if t and len(t) > 1
+                    for j in range(len(t) - 1)
+                ]
+                c12 = pd.Series(keys).map(bi_d).fillna(0.0).to_numpy()
+                c1 = pd.Series(w1).map(uni_d).fillna(0.0).to_numpy()
+                logp = np.log((c12 + a) / (c1 + a_v)) / log2e_inv
+                cl = counts[live]
+                starts = np.concatenate(
+                    ([0], np.cumsum(cl)[:-1])
+                ).astype(np.int64)
+                sums = np.add.reduceat(logp, starts)
+                xb = _half_up4(-np.asarray(sums) / cl)
+                xent[live] = xb
+                ppl[live] = _half_up4(np.power(2.0, xb))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bigrams": counts,
+                    "xent_bits": xent,
+                    "ppl": ppl,
+                }
+            )
+
+    return df.mapInPandas(
+        score, f"{id_col} long, n_bigrams long, xent_bits double, ppl double"
+    )
+
+
 def ppl_bucket_assign(
     scores,
     mode: str = "approx",
