@@ -265,3 +265,41 @@ def test_prefix_filter_equals_plain_on_random_corpora(spark, docs, threshold):
         ).collect()
     }
     assert pref == plain
+
+
+# Arrow-vs-native LM scoring parity under adversarial whitespace: the
+# Arrow route re-implements Spark's tokenization in Python (trim
+# strips SPACES only; Java \s = the six ASCII whitespace chars) — the
+# exact place a divergence would hide. Alphabet deliberately mixes
+# words, every ASCII whitespace char, and a unicode NBSP (which Java
+# \s does NOT split on — both routes must treat it as a word char).
+_lm_text = st.text(
+    alphabet=st.sampled_from(list("ab") + [" ", "\t", "\n", "\x0b",
+                                           "\f", "\r", " "]),
+    max_size=30,
+)
+
+
+@SLOW
+@given(st.lists(st.one_of(st.none(), _lm_text), min_size=1, max_size=25))
+def test_bigram_lm_arrow_matches_native_on_any_whitespace(spark, texts):
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        bigram_lm_score_arrow,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a   b")], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(ref)
+    native = sorted(
+        map(tuple, bigram_lm_score(docs, uni, bi).collect())
+    )
+    arrow = sorted(
+        map(tuple, bigram_lm_score_arrow(docs, uni, bi).collect())
+    )
+    assert arrow == native
