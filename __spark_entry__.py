@@ -2686,95 +2686,49 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering = verification priority, rotated each round by
     # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). Round-9 order: gates new
-    # this round (no driver row yet) come first as they land, then the
-    # 15 oracle-backed queries whose latest driver row is r06 (they
-    # hit the two-round staleness bound at r09 — the exact set the r08
-    # verdict recomputed), then the 50 verified in r07 (they fill the
-    # rest of the ~50 window and hit the bound at r10), then the 50
-    # verified in r08, then the rows-only (no-oracle) sketch/hash
-    # queries last. Every callable is bound to the _acquire session
-    # boundary.
+    # prefix; see COVERAGE.md "gate window"). The r10 ordering below is
+    # what `tools/gate_rotation.py` computes from CORRECTNESS_r01–r09,
+    # plus the manual head entries the script cannot see (gates whose
+    # code/schema changed AFTER their last driver row — git, not
+    # ledger): first the three gates edited this round or after their
+    # r08 rows, then the 16 r07-stale oracle-backed entries (they hit
+    # the two-round bound at r10), then the r08 block (the 17 past the
+    # window boundary hit the bound at r11 and lead then), then the
+    # r09 block, then the rows-only (no-oracle) sketch/hash queries
+    # last. Every callable is bound to the _acquire session boundary.
     q = {
-        # --- new in r09 (no driver row yet) --------------------------
+        # --- edited after their last driver row (r10 head; must be
+        #     re-attested): neardup_route_auto rewritten scale-safe
+        #     this round (schema change), nb_scheme_consistency's
+        #     agreement column renamed r09, banded_components_
+        #     refinement's zero-pair fix r09 ---------------------------
         "neardup_route_auto": q_neardup_route_auto,
-        # --- latest driver row r06 (stalest oracle-backed; the 15 the
-        #     r08 verdict recomputed — the r09 window MUST lead with
-        #     these) -------------------------------------------------
-        "acctbal_quartiles": q_acctbal_quartiles,
-        "date_arith_orders": q_date_arith_orders,
-        "decontam_docs": q_decontam_docs,
-        "decontam_shuffle": q_decontam_shuffle,
-        "global_index": q_global_index,
-        "group_quota_cap": q_group_quota_cap,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "hash_split": q_hash_split,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "seq_packing": q_seq_packing,
-        "skew_orders": q_skew_orders,
-        "string_funcs_part": q_string_funcs_part,
-        "table_diff_docs": q_table_diff,
-        "weighted_mix": q_weighted_mix,
-        # --- latest driver row r07 (fill the window; bound at r10) ----
-        "validate_orders": q_validate_orders,
-        "pricing_summary": q_pricing_summary,
-        "revenue_topk": q_revenue_topk,
-        "region_nation_revenue": q_region_nation_revenue,
-        "topk_customers": q_topk_customers,
-        "filter_project_part": q_filter_project_part,
-        "hourly_histogram": q_hourly_histogram,
-        "daily_event_metrics": q_daily_event_metrics,
-        "user_traffic_fullouter": q_user_traffic_fullouter,
-        "status_change_events": q_status_change_events,
-        "top_transitions": q_top_transitions,
-        "union_distinct_users": q_union_distinct_users,
-        "user_first_last": q_user_first_last,
-        "intersect_users": q_intersect_users,
-        "except_users": q_except_users,
-        "customers_without_orders": q_customers_without_orders,
-        "customers_with_orders": q_customers_with_orders,
-        "rollup_order_stats": q_rollup_order_stats,
-        "order_count_distribution": q_order_count_distribution,
-        "large_orders_having": q_large_orders_having,
-        "suppliers_above_avg": q_suppliers_above_avg,
-        "rich_customers_by_nation": q_rich_customers_by_nation,
-        "promo_revenue_share": q_promo_revenue_share,
-        "order_priority_late": q_order_priority_late,
-        "shipping_volume_nations": q_shipping_volume_nations,
-        "revenue_rank_by_nation": q_revenue_rank_by_nation,
-        "running_customer_revenue": q_running_customer_revenue,
-        "minhash_recall": q_minhash_recall,
-        "simhash_recall": q_simhash_recall,
-        "salted_join_skew": q_salted_join_skew,
-        "curate_pipeline": q_curate_pipeline,
-        "decontam_ngram": q_decontam_ngram,
-        # --- driver-verified in r07 (the 18 gates new that round) ------
-        "curate_pipeline_full": q_curate_pipeline_full,
-        "dsir_scores": q_dsir_scores,
-        "dsir_resample": q_dsir_resample,
-        "nb_lang_predict": q_nb_lang_predict,
-        "ppl_buckets": q_ppl_buckets,
-        "semdedup_pairs": q_semdedup_pairs,
-        "semdedup_keep": q_semdedup_keep,
-        "semdedup_stats": q_semdedup_stats,
-        "semdedup_incremental": q_semdedup_incremental,
+        "nb_scheme_consistency": q_nb_scheme_consistency,
+        "banded_components_refinement": q_banded_components_refinement,
+        # --- latest driver row r07 (stalest oracle-backed; hit the
+        #     two-round bound at r10 — gate_rotation.py's lead list) ---
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "corpus_shuffle": q_corpus_shuffle,
         "decontam_bloom": q_decontam_bloom,
         "decontam_fuzzy": q_decontam_fuzzy,
+        "dsir_resample": q_dsir_resample,
         "fuzzy_contam_pairs": q_fuzzy_contam_pairs,
-        "temperature_mix": q_temperature_mix,
-        "corpus_shuffle": q_corpus_shuffle,
-        "gopher_stats": q_gopher_stats,
         "gopher_filter": q_gopher_filter,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "gopher_stats": q_gopher_stats,
+        "nb_lang_predict": q_nb_lang_predict,
+        "ppl_buckets": q_ppl_buckets,
+        "semdedup_incremental": q_semdedup_incremental,
+        "semdedup_keep": q_semdedup_keep,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_stats": q_semdedup_stats,
+        "temperature_mix": q_temperature_mix,
         "token_budget": q_token_budget,
-        # --- driver-verified in r08 (freshest; 5 new that round + the
-        #     10 rotated r05 leads + the 35 refreshed r06 entries) -----
+        # --- latest driver row r08 (fill the window; the tail of this
+        #     block past entry ~50 hits the bound at r11 and leads
+        #     then) ---------------------------------------------------
         "ppl_pruned": q_ppl_pruned,
         "ppl_cms_bound": q_ppl_cms_bound,
-        "banded_components_refinement": q_banded_components_refinement,
         "dsir_scheme_consistency": q_dsir_scheme_consistency,
-        "nb_scheme_consistency": q_nb_scheme_consistency,
         "incremental_neardup_recall": q_incremental_neardup_recall,
         "hll_bounds": q_hll_bounds,
         "skew_safe_distinct": q_skew_safe_distinct,
@@ -2820,6 +2774,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_token_positions": q_explode_token_positions,
         "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
         "user_event_gaps": q_user_event_gaps,
+        # --- latest driver row r09 (freshest; bound at r12) -----------
+        "acctbal_quartiles": q_acctbal_quartiles,
+        "curate_pipeline": q_curate_pipeline,
+        "curate_pipeline_full": q_curate_pipeline_full,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "daily_event_metrics": q_daily_event_metrics,
+        "date_arith_orders": q_date_arith_orders,
+        "decontam_docs": q_decontam_docs,
+        "decontam_ngram": q_decontam_ngram,
+        "decontam_shuffle": q_decontam_shuffle,
+        "dsir_scores": q_dsir_scores,
+        "except_users": q_except_users,
+        "filter_project_part": q_filter_project_part,
+        "global_index": q_global_index,
+        "group_quota_cap": q_group_quota_cap,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "hash_split": q_hash_split,
+        "hourly_histogram": q_hourly_histogram,
+        "intersect_users": q_intersect_users,
+        "large_orders_having": q_large_orders_having,
+        "minhash_recall": q_minhash_recall,
+        "order_count_distribution": q_order_count_distribution,
+        "order_priority_late": q_order_priority_late,
+        "pii_scrub": q_pii_scrub,
+        "pricing_summary": q_pricing_summary,
+        "promo_revenue_share": q_promo_revenue_share,
+        "region_nation_revenue": q_region_nation_revenue,
+        "repetition_stats": q_repetition_stats,
+        "revenue_rank_by_nation": q_revenue_rank_by_nation,
+        "revenue_topk": q_revenue_topk,
+        "rich_customers_by_nation": q_rich_customers_by_nation,
+        "rollup_order_stats": q_rollup_order_stats,
+        "running_customer_revenue": q_running_customer_revenue,
+        "salted_join_skew": q_salted_join_skew,
+        "seq_packing": q_seq_packing,
+        "shipping_volume_nations": q_shipping_volume_nations,
+        "simhash_recall": q_simhash_recall,
+        "skew_orders": q_skew_orders,
+        "status_change_events": q_status_change_events,
+        "string_funcs_part": q_string_funcs_part,
+        "suppliers_above_avg": q_suppliers_above_avg,
+        "table_diff_docs": q_table_diff,
+        "top_transitions": q_top_transitions,
+        "topk_customers": q_topk_customers,
+        "union_distinct_users": q_union_distinct_users,
+        "user_first_last": q_user_first_last,
+        "user_traffic_fullouter": q_user_traffic_fullouter,
+        "validate_orders": q_validate_orders,
+        "weighted_mix": q_weighted_mix,
         # --- rows-only by design (sketch/hash internals; each has a
         #     sibling oracle-backed contract gate above) --------------
         "user_count_hll": q_user_count_hll,
