@@ -1203,14 +1203,32 @@ def q_banded_components_refinement(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract gate for the round-9 ``candidate_route="auto"``
-    default (operators/dedup.py pick_neardup_route): at gate scale
-    the one-count-job probe must pick the exact route (corpus ≤ the
-    20k-doc crossover), and the default call must therefore be
-    BYTE-IDENTICAL to the pinned-exact shared components. Exact side
-    the oracle recomputes: the node count of the capped pair graph.
-    The booleans are deterministic — a silently-flipped default (or a
-    probe that stops picking exact under the bound) goes red here."""
+    """Contract gate for the ``candidate_route="auto"`` default
+    (operators/dedup.py pick_neardup_route), SCALE-SAFE since round
+    10: the r09 version hard-coded "gate corpus is under the 20k
+    crossover", so at any sf with >20k documents the row went red by
+    construction. Now every boolean is an IFF against the measured
+    corpus size, so the gate is green at ANY sf while still pinning
+    both probe arms:
+
+    - ``probe_matches_bound`` — probe(documents) picks exact IFF the
+      corpus is ≤ NEARDUP_EXACT_MAX_DOCS;
+    - ``probe_banded_above_bound`` — probe over a SECOND frame
+      (lineitem keyed rows, >20k at the driver's sf0.01) picks
+      banded IFF that frame exceeds the bound: the banded arm is
+      exercised on a real over-bound frame at gate scale, so a
+      regressed probe cannot silently route everything exact;
+    - ``hint_zero_job_arms_ok`` — the round-10 ``n_docs`` hint path
+      at the exact boundary (bound → exact, bound+1 → banded),
+      zero-job by construction;
+    - ``routes_agree_in_exact_regime`` / ``n_pair_nodes_exact_regime``
+      — in the exact regime the default call must be BYTE-IDENTICAL
+      to the pinned-exact shared components (full-outer node
+      comparison + the node count the oracle recomputes); in the
+      banded regime both are the documented sentinels (TRUE / -1 —
+      component equality is NOT the banded contract; refinement is,
+      gated by ``banded_components_refinement``), mirrored by the
+      oracle's CASE on the same corpus-size predicate."""
     from wroclaw_bike_stats_spark.operators.dedup import (
         NEARDUP_EXACT_MAX_DOCS,
         neardup_components,
@@ -1218,19 +1236,47 @@ def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    auto = neardup_components(docs, threshold=0.5, df_cap=100).select(
-        "node", F.col("component_id").alias("_ca")
+    n = docs.count()
+    route = pick_neardup_route(docs, n_docs=n)
+    in_exact_regime = n <= NEARDUP_EXACT_MAX_DOCS
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id")
     )
+    n_li = li.count()
+    li_route = pick_neardup_route(li, n_docs=n_li)
+
+    probe_matches_bound = (route == "exact") == in_exact_regime
+    probe_banded_above_bound = (li_route == "banded") == (
+        n_li > NEARDUP_EXACT_MAX_DOCS
+    )
+    hint_arms_ok = (
+        pick_neardup_route(docs, n_docs=NEARDUP_EXACT_MAX_DOCS) == "exact"
+        and pick_neardup_route(docs, n_docs=NEARDUP_EXACT_MAX_DOCS + 1)
+        == "banded"
+    )
+    flags = [
+        F.lit(bool(probe_matches_bound)).alias("probe_matches_bound"),
+        F.lit(bool(probe_banded_above_bound)).alias(
+            "probe_banded_above_bound"
+        ),
+        F.lit(bool(hint_arms_ok)).alias("hint_zero_job_arms_ok"),
+    ]
+    if not in_exact_regime:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("n_pair_nodes_exact_regime"),
+            F.lit(True).alias("routes_agree_in_exact_regime"),
+            *flags,
+        )
+    auto = neardup_components(
+        docs, threshold=0.5, df_cap=100, n_docs=n
+    ).select("node", F.col("component_id").alias("_ca"))
     exact = _components_shared(spark, sf_dir).select(
         "node", F.col("component_id").alias("_ce")
     )
     j = auto.join(exact, "node", "full_outer")
-    probe_exact = pick_neardup_route(docs) == "exact"
-    n_docs_under_bound = (
-        docs.count() <= NEARDUP_EXACT_MAX_DOCS
-    )
     return j.agg(
-        F.count(F.lit(1)).alias("n_pair_nodes"),
+        F.count(F.lit(1)).alias("n_pair_nodes_exact_regime"),
         (
             F.count(
                 F.when(
@@ -1241,10 +1287,8 @@ def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             == 0
-        ).alias("routes_agree"),
-        F.lit(bool(probe_exact and n_docs_under_bound)).alias(
-            "probe_picks_exact_under_bound"
-        ),
+        ).alias("routes_agree_in_exact_regime"),
+        *flags,
     )
 
 
@@ -4366,6 +4410,13 @@ def oracle_sql() -> dict[str, str]:
         # pair graph; the agreement/probe booleans are literals the
         # Spark side must reproduce (a flipped default goes red).
         "neardup_route_auto": f"""
+            -- Scale-safe since r10 (mirrors q_neardup_route_auto):
+            -- the node count / route equality are checked only in the
+            -- exact regime (documents <= {D.NEARDUP_EXACT_MAX_DOCS},
+            -- the Spark side's NEARDUP_EXACT_MAX_DOCS); above it both
+            -- collapse to the documented sentinels. The probe
+            -- booleans are Spark-side contract literals (they test
+            -- the Python route function), pinned TRUE here.
             WITH {_SHINGLES_CTE},
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4386,10 +4437,14 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT id_b AS node FROM pairs
             )
-            SELECT count(*) AS n_pair_nodes,
-                   TRUE AS routes_agree,
-                   TRUE AS probe_picks_exact_under_bound
-            FROM nodes
+            SELECT CASE WHEN (SELECT count(*) FROM documents)
+                             <= {D.NEARDUP_EXACT_MAX_DOCS}
+                        THEN (SELECT count(*) FROM nodes)
+                        ELSE -1 END AS n_pair_nodes_exact_regime,
+                   TRUE AS routes_agree_in_exact_regime,
+                   TRUE AS probe_matches_bound,
+                   TRUE AS probe_banded_above_bound,
+                   TRUE AS hint_zero_job_arms_ok
         """,
         "neardup_dedup_keep": f"""
             WITH RECURSIVE {_COMPONENTS_CTE}

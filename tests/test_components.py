@@ -141,6 +141,23 @@ def test_neardup_route_auto_picks_by_corpus_size(spark):
     assert pick_neardup_route(docs) == "exact"
     assert pick_neardup_route(docs, max_exact_docs=n - 1) == "banded"
 
+    # round-10 n_docs hint: zero-job probe, boundary inclusive on the
+    # exact side
+    assert pick_neardup_route(docs, n_docs=NEARDUP_EXACT_MAX_DOCS) == "exact"
+    assert (
+        pick_neardup_route(docs, n_docs=NEARDUP_EXACT_MAX_DOCS + 1)
+        == "banded"
+    )
+
+    # an auto->banded flip is loud (ADVICE r09: silent result drift at
+    # the crossover) — plan construction alone must warn
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="banded LSH candidates"):
+        neardup_components(
+            docs, threshold=0.5, n_docs=NEARDUP_EXACT_MAX_DOCS + 1
+        )
+
     got_auto = {
         (r.node, r.component_id)
         for r in neardup_components(docs, threshold=0.5).collect()

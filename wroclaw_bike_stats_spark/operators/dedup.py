@@ -891,7 +891,9 @@ NEARDUP_EXACT_MAX_DOCS = 20_000
 
 
 def pick_neardup_route(
-    df: DataFrame, max_exact_docs: int = NEARDUP_EXACT_MAX_DOCS
+    df: DataFrame,
+    max_exact_docs: int = NEARDUP_EXACT_MAX_DOCS,
+    n_docs: int | None = None,
 ) -> str:
     """Route selection for ``neardup_components(candidate_route=
     "auto")`` — the dedup analog of span_dedup's ``pick_span_method``.
@@ -899,11 +901,15 @@ def pick_neardup_route(
     property of the CORPUS (the exact route's pair join is
     Σ df² over shingles; the banded route is ~n·num_hashes), so the
     probe is one ``count()`` job — metadata-cheap on a parquet scan,
-    one pass otherwise. Exact under the bound (every pair found, the
-    DuckDB-checkable route); banded above it (recall ≥ 0.9 per the
-    ``minhash_recall`` contract, components REFINE exact — gated by
+    but a REAL recompute of any un-persisted upstream lineage. Pass
+    ``n_docs`` when the caller already knows the corpus size (a
+    catalog rowcount, a prior action) to make the probe zero-job.
+    Exact under the bound (every pair found, the DuckDB-checkable
+    route); banded above it (recall ≥ 0.9 per the ``minhash_recall``
+    contract, components REFINE exact — gated by
     ``banded_components_refinement``)."""
-    return "exact" if df.count() <= max_exact_docs else "banded"
+    n = df.count() if n_docs is None else n_docs
+    return "exact" if n <= max_exact_docs else "banded"
 
 
 def neardup_components(
@@ -916,6 +922,7 @@ def neardup_components(
     num_hashes: int = 32,
     bands: int = 8,
     df_cap: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup cluster assignment (``node``, ``component_id``) from
     exact-Jaccard-verified pairs, with a selectable CANDIDATE
@@ -948,6 +955,16 @@ def neardup_components(
        mirrors, recall baselines) must pin ``candidate_route="exact"``
        — the contract gates do.
 
+    .. versionchanged:: round 10
+       Two loud-contract reliefs for the auto default's hidden costs:
+       ``n_docs`` lets a caller who already knows the corpus size skip
+       the probe's eager ``count()`` job (which otherwise recomputes
+       any un-persisted upstream lineage at plan-construction time),
+       and an auto→banded flip emits a ``UserWarning`` — results
+       change discontinuously at the 20k crossover (edge recall drops
+       from 1.0 to ≥0.9), which a default-arg caller should hear
+       about, not discover.
+
     Components run with ``rebalance_edges=True`` — either route's
     pairs arrive off a skew-prone shuffle."""
     from wroclaw_bike_stats_spark.operators.components import (
@@ -955,7 +972,18 @@ def neardup_components(
     )
 
     if candidate_route == "auto":
-        candidate_route = pick_neardup_route(df)
+        candidate_route = pick_neardup_route(df, n_docs=n_docs)
+        if candidate_route == "banded":
+            import warnings
+
+            warnings.warn(
+                "neardup_components(candidate_route='auto'): corpus "
+                f"exceeds {NEARDUP_EXACT_MAX_DOCS} docs - routing to "
+                "banded LSH candidates (edge recall >= 0.9, components "
+                "refine exact; pin candidate_route='exact' for the "
+                "every-pair-found guarantee)",
+                stacklevel=2,
+            )
     if candidate_route == "exact":
         pairs = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold, df_cap=df_cap
