@@ -281,3 +281,56 @@ def test_embedding_side_parity(spark, tmp_path):
     }
     assert got_keep == want_keep
     assert len(want_keep) < union.count(), "vacuous: nothing deduped"
+
+
+def test_out_of_order_ingest_guard(spark, docs, tmp_path):
+    """The span-parity precondition (ascending-id ingest) is a RUNTIME
+    GUARD since round 10, not prose: a batch whose min id <= the
+    stored high-water mark fails loudly BEFORE any append. The
+    opt-out admits the batch under the documented degraded
+    (first-ingested-wins) span semantics, and the pair graph — which
+    is order-independent — still equals the one-shot graph."""
+    store = str(tmp_path / "store")
+    b1, b2, _ = _doc_batches(docs, n=3)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    counts = {
+        what: spark.read.parquet(os.path.join(store, what)).count()
+        for what in ("docs", "pairs", "bands", "winindex", "maxid")
+    }
+
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    for what, n in counts.items():
+        assert (
+            spark.read.parquet(os.path.join(store, what)).count() == n
+        ), f"refused batch appended to {what}"
+
+    ingest_document_batch(
+        b1, store, threshold=THRESHOLD, span_k=SPAN_K,
+        enforce_ascending_ids=False,
+    )
+    union = b2.unionByName(b1)
+    want = _pair_set(D.minhash_dedup_pairs(union, threshold=THRESHOLD))
+    got = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    assert want, "vacuous: no near-dup pairs across the two batches"
+    assert got == want
+
+
+def test_maybe_store_layouts(spark, docs, tmp_path):
+    """_maybe (ADVICE r09): a hive-partitioned store written by an
+    external producer (data files one level down) must be READ, and a
+    non-hidden subdirectory with no data one level down must RAISE —
+    either way, never a silent 'store is empty' verdict that would
+    make the next ingest recompute within-batch-only pairs against no
+    resident corpus."""
+    part_store = tmp_path / "part_store"
+    docs.limit(10).withColumn("split", F.lit("train")).write.partitionBy(
+        "split"
+    ).parquet(str(part_store))
+    got = _maybe(spark, str(part_store))
+    assert got is not None and got.count() == 10
+
+    weird = tmp_path / "weird_store"
+    (weird / "subdir").mkdir(parents=True)
+    with pytest.raises(ValueError, match="unrecognized store layout"):
+        _maybe(spark, str(weird))

@@ -93,21 +93,56 @@ def _d(store_dir: str, what: str) -> str:
 
 
 def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a store directory if it holds at least one DATA file,
-    else None — first-batch bootstrap. Listing goes through the
-    Hadoop FileSystem API so the store can live on any supported
-    filesystem (local, HDFS, S3A...), and a directory left with only
-    ``_SUCCESS`` by a crashed append is treated as empty instead of
-    failing parquet schema inference."""
+    """Read a store directory if it holds data, else None —
+    first-batch bootstrap. Listing goes through the Hadoop FileSystem
+    API so the store can live on any supported filesystem (local,
+    HDFS, S3A...); NOTE this uses ``spark._jvm``, which exists only
+    on classic py4j sessions — under Spark Connect this helper (and
+    therefore the store bootstrap) needs a Connect-side listing
+    instead.
+
+    Layout rules (ADVICE r09 — a silently-empty verdict here would
+    make ``ingest_document_batch`` recompute within-batch-only pairs
+    against no resident corpus, quietly breaking the parity
+    contract):
+
+    - a top-level non-hidden DATA file → read;
+    - else non-hidden subdirectories are probed ONE level deep (a
+      hive-partitioned store written by an external producer) → read
+      if any holds a data file;
+    - non-hidden subdirectories with NO data one level down → raise
+      (unrecognized layout), never a silent None;
+    - only hidden/marker entries (e.g. a ``_SUCCESS`` left by a
+      crashed append) or nothing at all → None."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return None
+
+    def _is_data(status) -> bool:
+        return status.isFile() and not status.getPath().getName().startswith(
+            ("_", ".")
+        )
+
+    subdirs = []
     for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if status.isFile() and not name.startswith(("_", ".")):
+        if _is_data(status):
             return spark.read.parquet(path)
+        if status.isDirectory() and not status.getPath().getName().startswith(
+            ("_", ".")
+        ):
+            subdirs.append(status)
+    for sub in subdirs:
+        for status in fs.listStatus(sub.getPath()):
+            if _is_data(status):
+                return spark.read.parquet(path)
+    if subdirs:
+        raise ValueError(
+            f"unrecognized store layout at {path!r}: non-hidden "
+            "subdirectories with no data files one level down - "
+            "refusing to treat the store as empty"
+        )
     return None
 
 
@@ -149,6 +184,7 @@ def ingest_document_batch(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     span_k: int = 13,
+    enforce_ascending_ids: bool = True,
 ) -> None:
     """Admit one daily batch: batch-proportional work only.
 
@@ -165,10 +201,42 @@ def ingest_document_batch(
 
     Each step materializes eagerly (this runs inside foreachBatch —
     eager is the contract there), and every write is an append of
-    batch-derived rows."""
+    batch-derived rows.
+
+    The SPAN-parity precondition (module docstring: keep-first strip
+    equals the one-shot run only when ingests arrive in ascending-id
+    order) is a RUNTIME GUARD, not prose — the same loud-contract
+    discipline as span_dedup's parameterization check: a batch whose
+    min id is ≤ the stored high-water mark raises ``ValueError``
+    before anything is appended. The watermark rides in a tiny
+    ``maxid/`` store (one 1-row append per batch; reading it is
+    index-sized, so the guard stays batch-proportional — no corpus
+    scan). ``enforce_ascending_ids=False`` opts into DEGRADED
+    semantics for out-of-order ingest: the near-dup pair graph and
+    ``kept_view`` stay exact (pair discovery is order-independent),
+    but the span strip becomes first-INGESTED-wins rather than the
+    one-shot run's first-id-wins."""
     spark = batch.sparkSession
     batch = batch.persist()
     try:
+        if enforce_ascending_ids:
+            wm = _maybe(spark, _d(store_dir, "maxid"))
+            if wm is not None:
+                stored_max = wm.agg(F.max("max_id")).first()[0]
+                batch_min = batch.agg(F.min(id_col)).first()[0]
+                if (
+                    stored_max is not None
+                    and batch_min is not None
+                    and batch_min <= stored_max
+                ):
+                    raise ValueError(
+                        f"out-of-order ingest: batch min {id_col}="
+                        f"{batch_min} <= stored high-water mark "
+                        f"{stored_max}; ascending-id ingest is the "
+                        "span-parity precondition (pass "
+                        "enforce_ascending_ids=False for documented "
+                        "first-ingested-wins span semantics)"
+                    )
         old_docs = _maybe(spark, _d(store_dir, "docs"))
         old_banded = _maybe(spark, _d(store_dir, "bands"))
         if old_docs is None:
@@ -210,6 +278,11 @@ def ingest_document_batch(
         SD.window_index(batch, text_col, id_col, k=span_k).write.mode(
             "append"
         ).parquet(_d(store_dir, "winindex"))
+        # advance the high-water mark LAST: a failed ingest must not
+        # fence out its own retry
+        batch.agg(F.max(id_col).alias("max_id")).write.mode(
+            "append"
+        ).parquet(_d(store_dir, "maxid"))
     finally:
         batch.unpersist()
 
