@@ -84,19 +84,40 @@ def test_curate_is_one_lazy_plan(spark, docs):
 
 
 def test_curate_full_is_one_lazy_plan(spark, docs):
-    """The round-7 stages (perplexity band + span strip) must keep the
-    zero-jobs-until-action contract: training the LM is lazy (two
-    groupBys) and the vocab size is a lazy 1-row cross join."""
+    """The round-7 stages (perplexity band + span strip) keep the
+    zero-jobs-until-action contract UNDER lm_impl="native": training
+    the LM is lazy (two groupBys) and the vocab size is a lazy 1-row
+    cross join. The round-10 default lm_impl="auto" resolves to the
+    Arrow scorer, whose model collect at plan-construction time is
+    the plan's documented eager exception (the decontam_mode="bloom"
+    precedent) — pinned here so the exception stays deliberate, and
+    its output must equal the native route's byte-for-byte."""
     from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
 
     lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     _ = curate_corpus(
-        docs, docs.limit(5), lm=lm, max_ppl=40.0, strip_spans=True
+        docs, docs.limit(5), lm=lm, max_ppl=40.0, strip_spans=True,
+        lm_impl="native",
     )
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+    # the auto default IS eager (model collect) — a deliberate,
+    # documented exception, not an accident
+    auto = curate_corpus(
+        docs, docs.limit(5), lm=lm, max_ppl=40.0, strip_spans=True
+    )
+    after_auto = tracker.getJobIdsForGroup(None)
+    assert after_auto != after, "auto route no longer collects a model?"
+    native_out = curate_corpus(
+        docs, docs.limit(5), lm=lm, max_ppl=40.0, strip_spans=True,
+        lm_impl="native",
+    )
+    assert {tuple(r) for r in auto.collect()} == {
+        tuple(r) for r in native_out.collect()
+    }
 
 
 def test_curate_ppl_band_and_span_strip(spark, docs):

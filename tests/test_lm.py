@@ -326,3 +326,81 @@ def test_arrow_score_null_and_short_docs(spark, model):
     assert byid[1][1] == 0 and byid[1][2] is None
     assert byid[3][1] == 0
     assert byid[4][1] == 1
+
+
+def test_lm_impl_auto_routing(spark, model):
+    """bigram_lm_score(impl=...) — the gopher impl="auto" precedent
+    applied to LM scoring (round 10): auto resolves to the Arrow
+    one-pass in the broadcast-model regime and is byte-identical to
+    the native route there; auto under broadcast_model=False keeps
+    the native shuffle-join plan (a corpus-scale model must never be
+    collected), and impl="arrow" under broadcast_model=False is
+    rejected outright."""
+    uni, bi = model
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    assert T.pick_lm_impl(True) == "arrow"
+    assert T.pick_lm_impl(False) == "native"
+
+    native = {tuple(r) for r in T.bigram_lm_score(docs, uni, bi).collect()}
+    auto = {
+        tuple(r)
+        for r in T.bigram_lm_score(docs, uni, bi, impl="auto").collect()
+    }
+    assert auto == native
+    # auto in the broadcast regime IS the arrow plan: no join, no
+    # exchange
+    plan = (
+        T.bigram_lm_score(docs, uni, bi, impl="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+
+    # corpus-scale regime: auto keeps the native join route
+    plan_na = (
+        T.bigram_lm_score(docs, uni, bi, broadcast_model=False, impl="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" in plan_na
+
+    with pytest.raises(ValueError, match="broadcast_model=False"):
+        T.bigram_lm_score(docs, uni, bi, broadcast_model=False, impl="arrow")
+    with pytest.raises(ValueError, match="unknown impl"):
+        T.bigram_lm_score(docs, uni, bi, impl="sideways")
+
+
+def test_half_up4_decimal_ties_match_spark(spark):
+    """The Arrow route's rounding on decimal-tie values (ADVICE r09):
+    values whose shortest-decimal repr ends in an exact 5 at the 5th
+    place must round exactly as Spark's F.round (BigDecimal
+    shortest-decimal HALF_UP), including cases where the binary
+    product x*1e4 falls just UNDER the .5 tie. Battery = crafted ties
+    + a dense grid of k/2e4 grid points."""
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.text import _half_up4
+
+    ties = [0.00005, 0.00015, 0.12345, 1.00005, 2.57685, 33.33335,
+            7.00015, 0.99995]
+    grid = [round(k / 2e4, 5) for k in range(1, 4001, 7)]
+    vals = [float(v) for v in ties + grid]
+    sdf = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select("x", F.round(F.col("x"), 4).alias("r"))
+    want = {r.x: r.r for r in sdf.collect()}
+
+    got = _half_up4(np.asarray(vals, dtype=np.float64))
+    bad = [
+        (v, g, want[v]) for v, g in zip(vals, got) if g != want[v]
+    ]
+    assert not bad, bad[:5]
+    # the naive vectorized form alone would NOT match on at least one
+    # tie in this battery — proves the Decimal branch is load-bearing
+    naive = np.floor(np.asarray(vals) * 1e4 + 0.5) / 1e4
+    assert any(n != want[v] for v, n in zip(vals, naive)), (
+        "battery has no binary-crossing tie; strengthen it"
+    )

@@ -578,6 +578,31 @@ def _bigram_pairs(col: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
+def pick_lm_impl(broadcast_model: bool) -> str:
+    """Route selection for ``bigram_lm_score(impl="auto")`` — the LM
+    twin of ``pick_gopher_impl``: zero jobs, the winning route is a
+    property of the MODEL REGIME the caller already declared, not of
+    the corpus. ``broadcast_model=True`` asserts the count tables fit
+    one heap — exactly the regime where the Arrow pass
+    (``bigram_lm_score_arrow``: model as two broadcast dicts, one
+    zero-shuffle mapInPandas, measured 1.4× over the native join
+    route at sf100 — SCALING.md) is safe and wins, because the
+    corpus-side gram stream dominates and the native route pays two
+    string-keyed join probes per gram. ``broadcast_model=False``
+    declares a corpus-scale model that must NOT be collected — the
+    native route's AQE-planned shuffle joins are the only correct
+    shape there.
+
+    Exactness caveat at the routing point: the Arrow route is
+    byte-parity with native on ASCII-whitespace corpora (its
+    tokenizer mirrors Java ``\\s`` exactly, incl. the NBSP
+    non-split), and its HALF_UP rounding resolves decimal-tie cases
+    through ``decimal.Decimal`` to match Spark's BigDecimal
+    semantics; parity is pinned by checksum + property tests
+    (tests/test_lm.py, tests/test_properties.py)."""
+    return "arrow" if broadcast_model else "native"
+
+
 def bigram_lm_score(
     df,
     unigrams,
@@ -586,6 +611,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.1,
     broadcast_model: bool = True,
+    impl: str = "native",
 ):
     """Per-document cross-entropy under the reference bigram LM:
     (``id_col``, ``n_bigrams``, ``xent_bits``, ``ppl``) where
@@ -608,7 +634,31 @@ def bigram_lm_score(
     reference slice's model is small; pass False for a corpus-scale
     model and AQE plans the joins) — then one groupBy(doc). V is a
     1-row lazy aggregate cross-joined broadcast, not a driver
-    action, so scoring composes into a single plan."""
+    action, so scoring composes into a single plan.
+
+    ``impl`` selects the execution route (round 10, the
+    ``gopher_quality_filter(impl=...)`` precedent): ``"native"``
+    (default — the oracle-gated join plan above), ``"arrow"`` (the
+    ONE-pass ``bigram_lm_score_arrow``; requires the
+    model-fits-one-heap regime and EAGERLY collects the count tables
+    at call time, so it is rejected under ``broadcast_model=False``),
+    or ``"auto"`` (``pick_lm_impl`` — zero-job, routes on the model
+    regime the caller already declared; ``plans/curate.py``'s ppl
+    stage uses this)."""
+    if impl == "auto":
+        impl = pick_lm_impl(broadcast_model)
+    if impl == "arrow":
+        if not broadcast_model:
+            raise ValueError(
+                "impl='arrow' collects the model to the driver - "
+                "incompatible with broadcast_model=False (corpus-scale "
+                "model); use the native route"
+            )
+        return bigram_lm_score_arrow(
+            df, unigrams, bigrams, text_col, id_col, alpha
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}")
     grams = df.select(
         F.col(id_col),
         F.explode_outer(_bigram_pairs(F.col(text_col))).alias("_g"),
@@ -746,6 +796,37 @@ def bigram_lm_score_cms(
     )
 
 
+def _half_up4(x):
+    """HALF_UP round to 4 dp on a positive float64 array, matching
+    Spark's ``F.round`` on doubles exactly: Spark goes through
+    ``BigDecimal.valueOf(d)`` (the SHORTEST-DECIMAL repr — the same
+    string Python's ``repr`` produces) then decimal HALF_UP at scale
+    4. For positive x, ``floor(x·1e4 + 0.5)`` matches — EXCEPT
+    possibly where the binary-fp product x·1e4 lands near a .5 tie
+    and can cross the decimal tie boundary the other way (ADVICE
+    r09). Those rare candidates are re-rounded exactly via
+    ``decimal.Decimal(repr(x))``, which IS BigDecimal's semantics;
+    everything else stays on the vectorized path. Module-level so
+    tests pin the SHIPPED kernel, not a copy."""
+    import numpy as np
+
+    y = np.floor(x * 1e4 + 0.5) / 1e4
+    scaled = x * 1e4
+    frac = scaled - np.floor(scaled)
+    sus = np.abs(frac - 0.5) < 1e-6
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        for i in np.nonzero(sus)[0]:
+            y[i] = float(
+                Decimal(repr(float(x[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return y
+
+
 def bigram_lm_score_arrow(
     df,
     unigrams,
@@ -767,11 +848,17 @@ def bigram_lm_score_arrow(
     precisely (trim strips SPACES only; Java ``\\s`` is the six ASCII
     whitespace chars, unlike Python's unicode-aware ``str.split``),
     and rounding mirrors Spark's HALF_UP (numpy's default is
-    banker's). Parity is pinned by checksum against the native route
-    in tests/test_lm.py. Use when the model fits one heap (same
+    banker's), with near-tie values re-rounded exactly through
+    ``decimal.Decimal(repr(x))`` — the same shortest-decimal HALF_UP
+    semantics as Spark's ``BigDecimal.valueOf`` path, closing the
+    binary-fp tie-crossing gap the fast ``floor(x·1e4+0.5)`` form
+    alone would leave (ADVICE r09). Parity is pinned by checksum
+    against the native route in tests/test_lm.py plus a dedicated
+    decimal-tie battery. Use when the model fits one heap (same
     regime as ``broadcast_model=True``) and the corpus-side gram
     stream dominates — the 500M-gram sf100 regime where the native
-    route pays two string-keyed join probes per gram."""
+    route pays two string-keyed join probes per gram; reachable as
+    ``bigram_lm_score(impl="auto")`` in that regime."""
     import math
 
     import numpy as np
@@ -794,11 +881,6 @@ def bigram_lm_score_arrow(
     import re
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
-
-    def _half_up4(x: "np.ndarray") -> "np.ndarray":
-        # Spark F.round is HALF_UP; np.round is banker's. xent/ppl are
-        # always positive (P<1 ⇒ logp<0), so floor(x·1e4 + 0.5) is it.
-        return np.floor(x * 1e4 + 0.5) / 1e4
 
     def score(batches):
         import pandas as pd

@@ -45,6 +45,7 @@ def curate_corpus(
     lm: "tuple[DataFrame, DataFrame] | None" = None,
     max_ppl: float | None = None,
     min_ppl: float | None = None,
+    lm_impl: str = "auto",
     strip_spans: bool = False,
     span_k: int = 13,
     span_method: str = "window",
@@ -71,6 +72,16 @@ def curate_corpus(
       NOTE: like the strip, this stage scores ``out`` and joins the
       result back onto ``out``, so without ``persist_stages`` the
       whole upstream subplan is referenced twice per action.
+      ``lm_impl`` routes the scorer (round 10, the Gopher
+      ``impl="auto"`` precedent): the default ``"auto"`` resolves to
+      the ONE-pass Arrow scorer (measured 1.4× over the native join
+      route at sf100; byte-parity pinned incl. decimal-tie rounding —
+      see ``text.bigram_lm_score_arrow``'s ASCII-whitespace caveat),
+      which — like ``decontam_mode="bloom"`` — is this plan's OTHER
+      documented exception to zero-jobs-until-action: it collects the
+      (reference-sized, typically thinned) MODEL tables at
+      plan-construction time. The corpus is never collected. Pin
+      ``lm_impl="native"`` for the fully-lazy oracle-shape plan.
     - ``strip_spans`` runs exact substring-span dedup
       (operators/span_dedup.py, Lee et al. 2022) over the
       exact-dedup survivors, replacing ``text_col`` with the
@@ -170,15 +181,17 @@ def curate_corpus(
     )
 
     # perplexity band under the reference bigram LM (CCNet keeps a
-    # band of exactly this signal; the score joins broadcast and the
-    # vocab size is a lazy 1-row aggregate, so the plan stays lazy)
+    # band of exactly this signal). lm_impl="auto" resolves to the
+    # Arrow one-pass scorer — model tables collected at construction
+    # (the documented eager exception); "native" keeps the fully-lazy
+    # broadcast-join plan with the vocab as a lazy 1-row aggregate.
     if lm is not None and (max_ppl is not None or min_ppl is not None):
         # Self-referencing branch (score `out`, join back onto `out`).
         if persist_stages:
             out = scratch.persist(out)
         uni, bi = lm
         ppl = T.bigram_lm_score(
-            out, uni, bi, text_col=text_col, id_col=id_col
+            out, uni, bi, text_col=text_col, id_col=id_col, impl=lm_impl
         ).select(id_col, "ppl")
         band = F.lit(True)
         if max_ppl is not None:
