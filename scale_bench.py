@@ -61,6 +61,14 @@ SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/root/repo/scale_data/sf10")
 # divide two fixed overheads; sf100 is where the full recompute does
 # real work and the ≥5× claim is actually testable.
 SF100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/root/repo/scale_data/sf100")
+# doc-salt corpora (round 10, make_scale_data.py --text-mode doc-salt):
+# real-word text + one per-shard salt token appended — the corpora for
+# CONTENT-KEYED rows (ppl bands etc.) that degenerate on the
+# token-suffix corpora (V ×N). Documents table only.
+SF1S = os.environ.get("SPARK_GRAFT_SF1S_DIR", "/root/repo/scale_data/sf1_salt")
+SF10S = os.environ.get(
+    "SPARK_GRAFT_SF10S_DIR", "/root/repo/scale_data/sf10_salt"
+)
 STORE = "/root/repo/scale_data/store"
 # LSH sized to the LARGEST corpus measured, per
 # hyperplane_band_candidates' sizing rule (bits_per_band ≳ log2(n)):
@@ -90,7 +98,10 @@ ENTRY_POINTS = {
 
 
 def sf_dir_of(tag: str) -> str:
-    return {"sf0.1": SF01, "sf1": SF1, "sf10": SF10, "sf100": SF100}[tag]
+    return {
+        "sf0.1": SF01, "sf1": SF1, "sf10": SF10, "sf100": SF100,
+        "sf1s": SF1S, "sf10s": SF10S,
+    }[tag]
 
 
 def _docs(spark, sf_dir):
@@ -103,6 +114,30 @@ def _emb(spark, sf_dir):
 
 def _p(sf_dir, what):
     return f"{STORE}/{os.path.basename(sf_dir)}_{what}.parquet"
+
+
+def prepare_salt_stores(spark, sf_dir) -> None:
+    """Slim store prep for the doc-salt corpora (documents table
+    only): the new/old 2% ingest split plus the stored THINNED
+    reference bigram LM — exactly what curate_full_corpus_realppl
+    consumes. Cost excluded from timings, same policy as
+    prepare_stores."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        thin_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    docs.filter(F.col("doc_id") % 50 == 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "new_docs")
+    )
+    docs.filter(F.col("doc_id") % 50 != 0).write.mode("overwrite").parquet(
+        _p(sf_dir, "old_docs")
+    )
+    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    lm_uni, lm_bi = thin_bigram_lm(*train_bigram_lm(old), min_count=2)
+    lm_uni.write.mode("overwrite").parquet(_p(sf_dir, "lm_uni"))
+    lm_bi.write.mode("overwrite").parquet(_p(sf_dir, "lm_bi"))
 
 
 def prepare_stores(spark, sf_dir) -> None:
@@ -614,6 +649,60 @@ def curate_full_corpus(spark, sf_dir):
     )
 
 
+def curate_full_corpus_realppl(spark, sf_dir):
+    """``curate_full_corpus`` with a REAL, non-vacuous perplexity band
+    — runnable because it points at the doc-salt corpora
+    (make_scale_data.py ``--text-mode doc-salt``: real-word text, one
+    per-shard salt token APPENDED per doc), whose word content stays
+    intact, unlike the token-suffix corpora where add-α ppl
+    degenerates (V ×N — the r09 adjudication that forced the main
+    row's ``min_ppl=0`` vacuous band).
+
+    Band endpoints are CCNet-FAITHFUL: the corpus's own [p20, p80]
+    ppl quantiles under the stored thinned reference LM (Wenzek et
+    al., LREC 2020 cut head/middle/tail from the corpus's OWN ppl
+    distribution exactly this way), computed INSIDE the timed row
+    (one Arrow scoring pass + approxQuantile) — so the row pays
+    score-for-band + score-for-filter like a real CCNet run, then
+    drops a genuine ~40% of docs. A FIXED band cannot be
+    scale-stable even on salt corpora: the salt bigram's probability
+    falls like 1/N_shards (its c1 grows with the corpus while the
+    per-shard c12 doesn't), shifting every doc's ppl up by
+    ~log2(N)/54 bits; quantile endpoints absorb exactly that uniform
+    drift, so the keep fraction is scale-stable BY CONSTRUCTION and
+    the load-bearing checks are the rows column (~0.6×corpus, must
+    grow linearly) and the time ratios.
+
+    Span-strip caveat, documented not hidden: cross-shard clones
+    share all non-salt windows, so the strip removes far more text
+    per doc here than on a real N× corpus — the measured cost is
+    real (site volume is linear in N), but treat the strip fraction
+    itself as an artifact of replication."""
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    eval_set = spark.read.parquet(_p(sf_dir, "new_docs")).select(
+        "doc_id", "text"
+    )
+    uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
+    bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
+    scored = bigram_lm_score(docs, uni, bi, impl="arrow")
+    lo, hi = scored.approxQuantile("ppl", [0.2, 0.8], 0.001)
+    return curate_corpus(
+        docs,
+        eval_set,
+        scrub=False,
+        gopher_bounds=GOPHER_SCALE_BOUNDS,
+        lm=(uni, bi),
+        min_ppl=lo,
+        max_ppl=hi,
+        strip_spans=True,
+        span_k=13,
+        persist_stages=True,
+    )
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -651,7 +740,15 @@ FAMILY = {
     "corpus_shuffle_corpus": corpus_shuffle_corpus,
     "neardup_components_banded": neardup_components_banded,
     "curate_full_corpus": curate_full_corpus,
+    "curate_full_corpus_realppl": curate_full_corpus_realppl,
     "cc_fixpoint": cc_fixpoint,
+}
+# per-FAMILY-row sf points when not the default DEDUP_POINTS; salt
+# tags (sf1s/sf10s) are recorded under the plain 10×/100× keys in the
+# summary — same data ratio, different (content-preserving) corpus,
+# called out in the row's docstring + SCALING.md prose
+FAMILY_POINTS = {
+    "curate_full_corpus_realppl": ("sf0.1", "sf1s", "sf10s"),
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
 # at the largest measured point)
@@ -747,6 +844,28 @@ def main() -> int:
         if not os.environ.get("SPARK_GRAFT_SKIP_PREPARE"):
             prepare_stores(spark, sf_dir)
 
+    # doc-salt corpora (content-keyed rows): dirs + slim stores
+    salt_tags = {
+        t
+        for pts in FAMILY_POINTS.values()
+        for t in pts
+        if t.endswith("s")
+    }
+    for tag in sorted(salt_tags):
+        sf_dir = sf_dir_of(tag)
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
+            print(
+                json.dumps(
+                    {
+                        "error": f"{sf_dir} missing - run "
+                        "tools/make_scale_data.py --text-mode doc-salt"
+                    }
+                )
+            )
+            return 1
+        if not os.environ.get("SPARK_GRAFT_SKIP_PREPARE"):
+            prepare_salt_stores(spark, sf_dir)
+
     # warmup (JVM, Arrow workers)
     queries["pricing_summary"](spark, SF01).collect()
     _time(minhash_full, spark, "/root/testdata/sf0.01", runs=1)
@@ -755,9 +874,13 @@ def main() -> int:
     for name, fn in FAMILY.items():
         if only and name not in only:
             continue
-        for tag in DEDUP_POINTS:
+        for tag in FAMILY_POINTS.get(name, DEDUP_POINTS):
             sec, rows = _time(fn, spark, sf_dir_of(tag))
-            results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
+            # salt tags land under the plain 10×/100× summary keys
+            # (sf1s→sf1, sf10s→sf10): same data ratio, different
+            # (content-preserving) corpus — see FAMILY_POINTS note
+            key = tag[:-1] if tag.endswith("s") else tag
+            results.setdefault(name, {})[key] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
     for name, points in ENTRY_POINTS.items():
         if only and name not in only:

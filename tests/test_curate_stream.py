@@ -334,3 +334,55 @@ def test_maybe_store_layouts(spark, docs, tmp_path):
     (weird / "subdir").mkdir(parents=True)
     with pytest.raises(ValueError, match="unrecognized store layout"):
         _maybe(spark, str(weird))
+
+
+def test_scored_stage_batch_parity(spark, docs, tmp_path):
+    """admit_filter (round 10): N daily ingests filtered per batch
+    under a FIXED stored reference LM ≡ the one-shot ppl-band filter
+    over the union, and every standing parity equality (pair store,
+    admitted text, strip) holds over the FILTERED corpus — the
+    scored-stage analog of the stored band table, so the composed
+    streaming pipeline reuses the standing model per batch instead of
+    paying the full-recompute scoring cost (the measured 40-44× sf100
+    DSIR/NB incremental story, SCALING.md)."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        make_ppl_band_filter,
+    )
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    scored = bigram_lm_score(docs, *lm)
+    lo, hi = scored.approxQuantile("ppl", [0.1, 0.9], 0.0)
+    flt = make_ppl_band_filter(lm, min_ppl=lo, max_ppl=hi)
+
+    want_union = flt(docs)
+    want_ids = {r.doc_id for r in want_union.select("doc_id").collect()}
+    assert 0 < len(want_ids) < docs.count(), "vacuous band"
+
+    store = str(tmp_path / "store")
+    for b in _doc_batches(docs, n=3):
+        ingest_document_batch(
+            b, store, threshold=THRESHOLD, span_k=SPAN_K, admit_filter=flt
+        )
+
+    admitted = spark.read.parquet(os.path.join(store, "docs"))
+    got_text = {r.doc_id: r.text for r in admitted.collect()}
+    assert set(got_text) == want_ids
+
+    want_pairs = _pair_set(
+        D.minhash_dedup_pairs(want_union, threshold=THRESHOLD)
+    )
+    assert want_pairs, "vacuous: band stripped every near-dup pair"
+    got_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    assert got_pairs == want_pairs
+
+    full_strip = {
+        r.doc_id: r.text_clean
+        for r in SD.strip_duplicate_spans(
+            want_union, k=SPAN_K, keep_all=True
+        ).collect()
+    }
+    assert got_text == full_strip

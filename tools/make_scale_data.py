@@ -61,6 +61,23 @@ def _shard_documents(df, s: int):
     )
 
 
+def _shard_documents_salt(df, s: int):
+    # doc-salt mode (round 10): REAL-WORD text preserved; one
+    # per-shard salt token APPENDED per doc (every shard incl. 0, so
+    # content statistics are uniform across shards). Gives
+    # content-keyed operators (ppl bands, stop-word rules, lang-id)
+    # non-degenerate N× rows — the token-suffix mode multiplies the
+    # vocabulary by N and collapses them (the r07 Gopher / r09 ppl
+    # adjudications). NOT for pair-based operators: clones across
+    # shards share almost all shingles/windows (cross-shard Jaccard
+    # ≈ 1), so near-dup/span workloads go quadratic here — keep
+    # token-suffix corpora for those. Exact dedup stays linear (the
+    # salt makes every clone's fingerprint distinct).
+    return df.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(s * ID_OFFSET)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(f" zzsalt{s}")))
+
+
 def _shard_embeddings(df, s: int):
     out = df.withColumn("vec_id", F.col("vec_id") + F.lit(s * ID_OFFSET))
     if s == 0:
@@ -122,6 +139,17 @@ def main() -> int:
         "(sf1/sf10 also run the entry family — they need events, "
         "orders and lineitem too)",
     )
+    ap.add_argument(
+        "--text-mode",
+        choices=("token-suffix", "doc-salt"),
+        default="token-suffix",
+        help="documents transform: token-suffix (default — shingle "
+        "sets disjoint across shards; the near-dup/span workload "
+        "corpora) or doc-salt (real-word text + one per-shard salt "
+        "token appended; for content-keyed operators — ppl bands, "
+        "stop-word rules, lang-id; NOT for pair-based operators, see "
+        "_shard_documents_salt)",
+    )
     args = ap.parse_args()
     tables = (
         {t.strip() for t in args.tables.split(",")} if args.tables else None
@@ -166,20 +194,28 @@ def main() -> int:
                 "label",
             )
         elif table == "documents" and args.factor > 50:
-            # Same fast path for documents: suffix EVERY token with the
-            # shard id (column replacement, Spark 3.5+). Suffixing
-            # shard 0 too is fine — a uniform token rewrite maps
-            # shingle sets bijectively (within-shard Jaccard exact),
-            # and shards stay pairwise disjoint.
+            # Same fast path for documents. token-suffix: suffix EVERY
+            # token with the shard id (column replacement, Spark
+            # 3.5+); suffixing shard 0 too is fine — a uniform token
+            # rewrite maps shingle sets bijectively (within-shard
+            # Jaccard exact), and shards stay pairwise disjoint.
+            # doc-salt: append the per-shard salt token instead.
+            if args.text_mode == "doc-salt":
+                text_expr = F.concat(
+                    F.col("text"), F.lit(" zzsalt"),
+                    F.col("_s").cast("string"),
+                )
+            else:
+                text_expr = F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1_s"), F.col("_s").cast("string")),
+                )
             out = base.crossJoin(
                 spark.range(args.factor).withColumnRenamed("id", "_s")
             ).select(
                 (F.col("doc_id") + F.col("_s") * ID_OFFSET).alias("doc_id"),
-                F.regexp_replace(
-                    F.col("text"),
-                    F.lit(r"(\S+)"),
-                    F.concat(F.lit("$1_s"), F.col("_s").cast("string")),
-                ).alias("text"),
+                text_expr.alias("text"),
                 *[c for c in base.columns if c not in ("doc_id", "text")],
             )
         elif args.factor > 50:
@@ -201,6 +237,8 @@ def main() -> int:
                 ]
             )
         else:
+            if table == "documents" and args.text_mode == "doc-salt":
+                shard = _shard_documents_salt
             out = shard(base, 0)
             for s in range(1, args.factor):
                 out = out.unionByName(shard(base, s))

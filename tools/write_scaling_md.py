@@ -158,7 +158,33 @@ def main(path: str) -> int:
         "(min_ppl=0) because add-α ppl scales with the shard-suffixed",
         "vocabulary (a fixed [23,40] band kept 0 of 5M docs at sf100 —",
         "the Gopher density-constant lesson applied to the LM stage;",
-        "the stage still pays full scoring + join-back cost). Round 9",
+        "the stage still pays full scoring + join-back cost — and",
+        "since round 10 that scoring routes through the Arrow pass by",
+        "default: curate_corpus's ppl stage is lm_impl='auto' →",
+        "bigram_lm_score_arrow in the broadcast-model regime, so the",
+        "curate_full_corpus numbers below are the auto-route plan).",
+        "",
+        "ROUND-10: curate_full_corpus_realppl is the same composed",
+        "pipeline with a REAL perplexity band, runnable because it",
+        "points at the doc-salt corpora (make_scale_data.py",
+        "--text-mode doc-salt: real-word text + ONE per-shard salt",
+        "token appended per doc — content statistics preserved, so",
+        "content-keyed operators stop degenerating; its sf1/sf10",
+        "columns are the salt corpora at the same 10×/100× data",
+        "ratios). Band endpoints are CCNet-faithful corpus [p20,p80]",
+        "ppl quantiles computed INSIDE the timed row (score → quantile",
+        "→ band filter — the real CCNet cost shape), dropping a",
+        "genuine ~40% at every scale; a FIXED band cannot be",
+        "scale-stable even here because the salt bigram's probability",
+        "falls like 1/N_shards, uniformly shifting every doc's ppl —",
+        "quantile endpoints absorb exactly that drift. Salt corpora",
+        "are for CONTENT-KEYED rows only: cross-shard clones share",
+        "their non-salt shingles/windows, so pair-based workloads",
+        "(near-dup, span index density) go quadratic there — the",
+        "token-suffix corpora remain the dedup-family substrate, and",
+        "the realppl row's span-strip fraction is accordingly an",
+        "artifact of replication (the strip COST stays linear: site",
+        "volume ∝ N). Round 9",
         "also extended the ENTRY family's corpora to sf100 (100M",
         "events / 150M orders, id-offset replication): the three",
         "custom operators now carry 1000× rows like the dedup family —",

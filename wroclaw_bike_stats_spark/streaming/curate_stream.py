@@ -83,6 +83,7 @@ __all__ = [
     "init_embedding_store",
     "kept_view",
     "kept_view_embeddings",
+    "make_ppl_band_filter",
     "read_window_index_store",
     "run_curation_stream",
 ]
@@ -177,6 +178,48 @@ def read_window_index_store(spark: SparkSession, store_dir: str) -> DataFrame | 
     )
 
 
+def make_ppl_band_filter(
+    lm,
+    min_ppl: float | None = None,
+    max_ppl: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build an ``admit_filter`` closure for ``ingest_document_batch``
+    from a STORED reference bigram LM — the scored-stage analog of the
+    stored band table: the model is a standing asset fit once
+    (scale_bench prepare_stores' lm_uni/lm_bi framing), every daily
+    ingest scores ONLY its own batch against it. Semantics mirror
+    ``plans/curate.py``'s ppl stage exactly (no-signal docs pass,
+    either bound optional; ``impl="auto"`` → the Arrow scorer in the
+    broadcast-model regime). Because the model is FIXED and the
+    filter is per-doc, filtering each batch ≡ filtering the union
+    once — the batch-parity contract, pinned in
+    tests/test_curate_stream.py. DSIR / NB admission thresholds slot
+    into the same hook: score the batch against the stored
+    dsir_model / nb_weights tables and filter per doc."""
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+
+    uni, bi = lm
+
+    def admit(batch: DataFrame) -> DataFrame:
+        scored = bigram_lm_score(
+            batch, uni, bi, text_col=text_col, id_col=id_col, impl="auto"
+        ).select(id_col, "ppl")
+        band = F.lit(True)
+        if max_ppl is not None:
+            band = band & (F.col("ppl") <= max_ppl)
+        if min_ppl is not None:
+            band = band & (F.col("ppl") >= min_ppl)
+        return (
+            batch.join(scored, id_col, "left")
+            .filter(F.col("ppl").isNull() | band)
+            .drop("ppl")
+        )
+
+    return admit
+
+
 def ingest_document_batch(
     batch: DataFrame,
     store_dir: str,
@@ -185,6 +228,7 @@ def ingest_document_batch(
     threshold: float = 0.5,
     span_k: int = 13,
     enforce_ascending_ids: bool = True,
+    admit_filter=None,
 ) -> None:
     """Admit one daily batch: batch-proportional work only.
 
@@ -215,9 +259,25 @@ def ingest_document_batch(
     semantics for out-of-order ingest: the near-dup pair graph and
     ``kept_view`` stay exact (pair discovery is order-independent),
     but the span strip becomes first-INGESTED-wins rather than the
-    one-shot run's first-id-wins."""
+    one-shot run's first-id-wins.
+
+    ``admit_filter`` (round 10) is the SCORED-STAGE hook: a per-doc
+    filter over the batch under FIXED standing model assets (the
+    stored LM / DSIR / NB tables — ``make_ppl_band_filter`` builds
+    the LM-band one), applied BEFORE any dedup/index work, so every
+    ingest pays batch-proportional scoring instead of the
+    full-recompute cost (measured 40-44× at sf100 for the DSIR/NB
+    twins, SCALING.md). CONTRACT: the filter must be deterministic
+    per-doc under assets that never change across batches — then
+    filtering each batch ≡ filtering the union once, and all the
+    parity equalities above hold over the FILTERED corpus (pinned in
+    tests/test_curate_stream.py). A filter computing batch-relative
+    statistics (quantiles, means) breaks that equivalence. The
+    ordering guard and the high-water mark run on the RAW batch: ids
+    the stream has seen, admitted or not."""
     spark = batch.sparkSession
     batch = batch.persist()
+    admitted_in = batch
     try:
         if enforce_ascending_ids:
             wm = _maybe(spark, _d(store_dir, "maxid"))
@@ -237,15 +297,18 @@ def ingest_document_batch(
                         "enforce_ascending_ids=False for documented "
                         "first-ingested-wins span semantics)"
                     )
+        if admit_filter is not None:
+            admitted_in = admit_filter(batch).persist()
+
         old_docs = _maybe(spark, _d(store_dir, "docs"))
         old_banded = _maybe(spark, _d(store_dir, "bands"))
         if old_docs is None:
             pairs = D.minhash_dedup_pairs(
-                batch, text_col, id_col, threshold=threshold
+                admitted_in, text_col, id_col, threshold=threshold
             )
         else:
             pairs = D.minhash_incremental_pairs(
-                batch,
+                admitted_in,
                 old_docs.select(
                     F.col(id_col), F.col("text_orig").alias(text_col)
                 ),
@@ -259,11 +322,11 @@ def ingest_document_batch(
         idx = read_window_index_store(spark, store_dir)
         if idx is None:
             stripped = SD.strip_duplicate_spans(
-                batch, text_col, id_col, k=span_k, keep_all=True
+                admitted_in, text_col, id_col, k=span_k, keep_all=True
             )
         else:
             stripped = SD.strip_duplicate_spans_incremental(
-                batch, idx, text_col, id_col, k=span_k, keep_all=True
+                admitted_in, idx, text_col, id_col, k=span_k, keep_all=True
             )
         admitted = (
             stripped.withColumn("text_orig", F.col(text_col))
@@ -273,17 +336,20 @@ def ingest_document_batch(
         admitted.write.mode("append").parquet(_d(store_dir, "docs"))
 
         D.minhash_band_table(
-            D.minhash_signatures(batch, text_col, id_col)
+            D.minhash_signatures(admitted_in, text_col, id_col)
         ).write.mode("append").parquet(_d(store_dir, "bands"))
-        SD.window_index(batch, text_col, id_col, k=span_k).write.mode(
+        SD.window_index(admitted_in, text_col, id_col, k=span_k).write.mode(
             "append"
         ).parquet(_d(store_dir, "winindex"))
-        # advance the high-water mark LAST: a failed ingest must not
-        # fence out its own retry
+        # advance the high-water mark LAST (a failed ingest must not
+        # fence out its own retry), from the RAW batch: ids seen,
+        # admitted or not
         batch.agg(F.max(id_col).alias("max_id")).write.mode(
             "append"
         ).parquet(_d(store_dir, "maxid"))
     finally:
+        if admitted_in is not batch:
+            admitted_in.unpersist()
         batch.unpersist()
 
 
@@ -318,16 +384,21 @@ def run_curation_stream(
     threshold: float = 0.5,
     span_k: int = 13,
     available_now: bool = True,
+    admit_filter=None,
 ):
     """Wire ``ingest_document_batch`` to a file-source stream: one
     input file per daily drop, ``maxFilesPerTrigger=1`` so each day
     is its own micro-batch in file order (ascending-id ingest is the
-    span-parity precondition), AvailableNow for catch-up-then-stop
-    (the streaming/status_stream.py trigger contract) or continuous
+    span-parity precondition, runtime-guarded in the ingest),
+    AvailableNow for catch-up-then-stop (the
+    streaming/status_stream.py trigger contract) or continuous
     with ``available_now=False``. Exactly-once here comes from the
     checkpoint (a replayed batch re-appends — run compaction or the
     merge sink for stores that must also survive MID-batch crashes;
-    the parity tests run clean-checkpoint)."""
+    the parity tests run clean-checkpoint). ``admit_filter`` is the
+    scored-stage hook, passed through to every ingest — build it
+    ONCE from stored model assets (``make_ppl_band_filter``), never
+    per batch."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -337,7 +408,8 @@ def run_curation_stream(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.head(1):
             ingest_document_batch(
-                batch, store_dir, text_col, id_col, threshold, span_k
+                batch, store_dir, text_col, id_col, threshold, span_k,
+                admit_filter=admit_filter,
             )
 
     writer = (
