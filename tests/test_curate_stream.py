@@ -386,3 +386,64 @@ def test_scored_stage_batch_parity(spark, docs, tmp_path):
         ).collect()
     }
     assert got_text == full_strip
+
+
+def test_dsir_and_nb_admit_filters_batch_parity(spark, docs, tmp_path):
+    """The other two scored-stage filters (DSIR importance threshold,
+    NB keep-class admission) under the same fixed-assets contract:
+    per-batch admission ≡ one-shot union filtering, and the admitted
+    docs/ pair-store parity holds over the filtered corpus."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_train
+    from wroclaw_bike_stats_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        make_dsir_threshold_filter,
+        make_nb_class_filter,
+    )
+
+    # --- DSIR: admit logw >= corpus median (non-vacuous both ways) --
+    model = dsir_logratio(docs.filter(F.col("doc_id") % 9 == 1), docs)
+    med = dsir_scores(docs, model).approxQuantile("logw", [0.5], 0.0)[0]
+    flt = make_dsir_threshold_filter(model, min_logw=med)
+    want_ids = {r.doc_id for r in flt(docs).select("doc_id").collect()}
+    assert 0 < len(want_ids) < docs.count(), "vacuous DSIR threshold"
+
+    store = str(tmp_path / "dsir_store")
+    for b in _doc_batches(docs, n=3):
+        ingest_document_batch(
+            b, store, threshold=THRESHOLD, span_k=SPAN_K, admit_filter=flt
+        )
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(store, "docs")).collect()
+    }
+    assert got == want_ids
+
+    # --- NB: admit argmax-class in {en} (the language-keep rule) ----
+    full = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    classes = ["de", "en", "es", "fr", "zh"]
+    w, p = nb_train(full, classes, label_col="lang")
+    nb_flt = make_nb_class_filter(w, p, classes, keep_classes={"en"})
+    want_nb = {
+        r.doc_id
+        for r in nb_flt(full.select("doc_id", "text"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(want_nb) < full.count(), "vacuous NB keep rule"
+
+    store2 = str(tmp_path / "nb_store")
+    for b in _doc_batches(full.select("doc_id", "text"), n=3):
+        ingest_document_batch(
+            b, store2, threshold=THRESHOLD, span_k=SPAN_K,
+            admit_filter=nb_flt,
+        )
+    got_nb = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(store2, "docs")).collect()
+    }
+    assert got_nb == want_nb

@@ -813,7 +813,10 @@ def _half_up4(x):
     y = np.floor(x * 1e4 + 0.5) / 1e4
     scaled = x * 1e4
     frac = scaled - np.floor(scaled)
-    sus = np.abs(frac - 0.5) < 1e-6
+    # tie window scales with the float spacing at this magnitude —
+    # for scaled values ≥ ~1e9 a fixed 1e-6 window would be narrower
+    # than one ulp and could miss a crossing tie
+    sus = np.abs(frac - 0.5) < np.maximum(1e-6, 8 * np.spacing(scaled))
     if sus.any():
         from decimal import ROUND_HALF_UP, Decimal
 

@@ -83,6 +83,8 @@ __all__ = [
     "init_embedding_store",
     "kept_view",
     "kept_view_embeddings",
+    "make_dsir_threshold_filter",
+    "make_nb_class_filter",
     "make_ppl_band_filter",
     "read_window_index_store",
     "run_curation_stream",
@@ -195,9 +197,12 @@ def make_ppl_band_filter(
     broadcast-model regime). Because the model is FIXED and the
     filter is per-doc, filtering each batch ≡ filtering the union
     once — the batch-parity contract, pinned in
-    tests/test_curate_stream.py. DSIR / NB admission thresholds slot
-    into the same hook: score the batch against the stored
-    dsir_model / nb_weights tables and filter per doc."""
+    tests/test_curate_stream.py. Each ingest's Arrow scoring
+    re-collects the count tables — MODEL-sized driver work per batch
+    (the tables are the standing asset's thinned form), never
+    corpus-sized. DSIR / NB admission thresholds slot into the same
+    hook: score the batch against the stored dsir_model / nb_weights
+    tables and filter per doc."""
     from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
 
     uni, bi = lm
@@ -215,6 +220,72 @@ def make_ppl_band_filter(
             batch.join(scored, id_col, "left")
             .filter(F.col("ppl").isNull() | band)
             .drop("ppl")
+        )
+
+    return admit
+
+
+def make_dsir_threshold_filter(
+    model: DataFrame,
+    min_logw: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    portable_hash: bool = False,
+):
+    """``admit_filter`` from a stored DSIR log-ratio model
+    (operators/dsir.py ``dsir_logratio`` — the standing asset
+    scale_bench's prepare_stores writes as ``dsir_model``): admit
+    docs whose importance log-weight ≥ ``min_logw``. Per-doc under a
+    FIXED model → per-batch ≡ one-shot union filtering, the same
+    contract as ``make_ppl_band_filter``; the model's hash-scheme
+    guard fires per batch exactly as in a one-shot score."""
+    from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
+
+    def admit(batch: DataFrame) -> DataFrame:
+        scored = dsir_scores(
+            batch, model, text_col=text_col, id_col=id_col,
+            num_buckets=num_buckets, portable_hash=portable_hash,
+        ).select(id_col, "logw")
+        return (
+            batch.join(scored, id_col, "left")
+            .filter(F.col("logw") >= min_logw)
+            .drop("logw")
+        )
+
+    return admit
+
+
+def make_nb_class_filter(
+    weights: DataFrame,
+    priors: DataFrame,
+    classes: list,
+    keep_classes: set,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    portable_hash: bool = False,
+):
+    """``admit_filter`` from stored Naive-Bayes weight/prior tables
+    (operators/classifier.py ``nb_train`` — the ``nb_weights`` /
+    ``nb_priors`` standing assets): admit docs whose argmax class is
+    in ``keep_classes`` (the CCNet/fastText "keep the target
+    language" admission rule). Same fixed-assets contract as the
+    other filters."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
+
+    keep = sorted(keep_classes)
+
+    def admit(batch: DataFrame) -> DataFrame:
+        pred = nb_predict(
+            batch, weights, priors, classes, text_col=text_col,
+            id_col=id_col, num_buckets=num_buckets,
+            portable_hash=portable_hash,
+        ).select(id_col, "pred")
+        return (
+            batch.join(pred, id_col, "left")
+            .filter(F.col("pred").isin(keep))
+            .drop("pred")
         )
 
     return admit
