@@ -4418,11 +4418,21 @@ def oracle_sql() -> dict[str, str]:
             -- booleans are Spark-side contract literals (they test
             -- the Python route function), pinned TRUE here.
             WITH {_SHINGLES_CTE},
+            -- sh_g gates the quadratic shingle self-join on the SAME
+            -- corpus-size predicate as the CASE below, so in the
+            -- banded regime the exact pair join runs on an empty
+            -- input instead of computing a sum(df^2) result the CASE
+            -- would discard; values are identical in both regimes
+            sh_g AS (
+                SELECT * FROM sh
+                WHERE (SELECT count(*) FROM documents)
+                      <= {D.NEARDUP_EXACT_MAX_DOCS}
+            ),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        count(*) AS n_common
-                FROM sh a
-                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM sh_g a
+                JOIN sh_g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
             pairs AS (

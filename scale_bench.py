@@ -65,6 +65,9 @@ SF100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/root/repo/scale_data/sf100")
 # real-word text + one per-shard salt token appended — the corpora for
 # CONTENT-KEYED rows (ppl bands etc.) that degenerate on the
 # token-suffix corpora (V ×N). Documents table only.
+SF01S = os.environ.get(
+    "SPARK_GRAFT_SF01S_DIR", "/root/repo/scale_data/sf0.1_salt"
+)
 SF1S = os.environ.get("SPARK_GRAFT_SF1S_DIR", "/root/repo/scale_data/sf1_salt")
 SF10S = os.environ.get(
     "SPARK_GRAFT_SF10S_DIR", "/root/repo/scale_data/sf10_salt"
@@ -100,7 +103,7 @@ ENTRY_POINTS = {
 def sf_dir_of(tag: str) -> str:
     return {
         "sf0.1": SF01, "sf1": SF1, "sf10": SF10, "sf100": SF100,
-        "sf1s": SF1S, "sf10s": SF10S,
+        "sf0.1s": SF01S, "sf1s": SF1S, "sf10s": SF10S,
     }[tag]
 
 
@@ -116,12 +119,12 @@ def _p(sf_dir, what):
     return f"{STORE}/{os.path.basename(sf_dir)}_{what}.parquet"
 
 
-def prepare_salt_stores(spark, sf_dir) -> None:
-    """Slim store prep for the doc-salt corpora (documents table
-    only): the new/old 2% ingest split plus the stored THINNED
-    reference bigram LM — exactly what curate_full_corpus_realppl
-    consumes. Cost excluded from timings, same policy as
-    prepare_stores."""
+def _prepare_doc_split_and_lm(spark, sf_dir):
+    """The documents-side standing assets shared by prepare_stores and
+    prepare_salt_stores (ONE recipe, so the realppl row can never
+    measure against a differently-built LM than the main rows): the
+    new/old 2% ingest split plus the stored THINNED reference bigram
+    LM (min_count=2, the ppl_pruned contract). Returns (docs, old)."""
     from wroclaw_bike_stats_spark.operators.text import (
         thin_bigram_lm,
         train_bigram_lm,
@@ -138,6 +141,14 @@ def prepare_salt_stores(spark, sf_dir) -> None:
     lm_uni, lm_bi = thin_bigram_lm(*train_bigram_lm(old), min_count=2)
     lm_uni.write.mode("overwrite").parquet(_p(sf_dir, "lm_uni"))
     lm_bi.write.mode("overwrite").parquet(_p(sf_dir, "lm_bi"))
+    return docs, old
+
+
+def prepare_salt_stores(spark, sf_dir) -> None:
+    """Slim store prep for the doc-salt corpora (documents table
+    only) — exactly what curate_full_corpus_realppl consumes. Cost
+    excluded from timings, same policy as prepare_stores."""
+    _prepare_doc_split_and_lm(spark, sf_dir)
 
 
 def prepare_stores(spark, sf_dir) -> None:
@@ -145,14 +156,9 @@ def prepare_stores(spark, sf_dir) -> None:
     ingest is its own table in production) and the resident side's
     standing dedup assets (pre-banded MinHash + hyperplane tables).
     Cost excluded from timings."""
-    docs = _docs(spark, sf_dir)
-    docs.filter(F.col("doc_id") % 50 == 0).write.mode("overwrite").parquet(
-        _p(sf_dir, "new_docs")
-    )
-    docs.filter(F.col("doc_id") % 50 != 0).write.mode("overwrite").parquet(
-        _p(sf_dir, "old_docs")
-    )
-    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    # new/old split + thinned reference LM via the SHARED recipe
+    # (also what prepare_salt_stores runs — one source of truth)
+    docs, old = _prepare_doc_split_and_lm(spark, sf_dir)
     D.minhash_band_table(D.minhash_signatures(old)).write.mode(
         "overwrite"
     ).parquet(_p(sf_dir, "minhash_bands"))
@@ -182,19 +188,10 @@ def prepare_stores(spark, sf_dir) -> None:
     nb_w.write.mode("overwrite").parquet(_p(sf_dir, "nb_weights"))
     nb_p.write.mode("overwrite").parquet(_p(sf_dir, "nb_priors"))
 
-    # Round-9: the reference bigram LM joins the standing-asset club
-    # (training alone is 110.5 s of the 204 s bigram_lm_corpus row at
-    # sf100 — a probe decomposition; at 100 TB nobody retrains the
-    # reference model per scoring run). Stored THINNED (min_count=2,
-    # the ppl_pruned contract) — the form a production model ships in.
-    from wroclaw_bike_stats_spark.operators.text import (
-        thin_bigram_lm,
-        train_bigram_lm,
-    )
-
-    lm_uni, lm_bi = thin_bigram_lm(*train_bigram_lm(old), min_count=2)
-    lm_uni.write.mode("overwrite").parquet(_p(sf_dir, "lm_uni"))
-    lm_bi.write.mode("overwrite").parquet(_p(sf_dir, "lm_bi"))
+    # (the thinned reference bigram LM — training alone is 110.5 s of
+    # the 204 s bigram_lm_corpus row at sf100; at 100 TB nobody
+    # retrains the reference model per scoring run — is written by
+    # _prepare_doc_split_and_lm above)
 
     emb = _emb(spark, sf_dir)
     emb.filter(F.col("vec_id") % 50 == 0).write.mode("overwrite").parquet(
@@ -748,7 +745,11 @@ FAMILY = {
 # summary — same data ratio, different (content-preserving) corpus,
 # called out in the row's docstring + SCALING.md prose
 FAMILY_POINTS = {
-    "curate_full_corpus_realppl": ("sf0.1", "sf1s", "sf10s"),
+    # ALL THREE points on salt corpora (incl. the factor-1 sf0.1 base)
+    # so the time ratios divide like-content corpora — a token-suffix
+    # base would make the 10x/100x ratios compare across materially
+    # different text (N-times vocabulary, longer tokens).
+    "curate_full_corpus_realppl": ("sf0.1s", "sf1s", "sf10s"),
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
 # at the largest measured point)
@@ -844,10 +845,14 @@ def main() -> int:
         if not os.environ.get("SPARK_GRAFT_SKIP_PREPARE"):
             prepare_stores(spark, sf_dir)
 
-    # doc-salt corpora (content-keyed rows): dirs + slim stores
+    # doc-salt corpora (content-keyed rows): dirs + slim stores —
+    # required (and prepared) ONLY when a salt-pointed row actually
+    # runs this invocation, so pre-round-10 layouts and non-salt
+    # subset runs are untouched
     salt_tags = {
         t
-        for pts in FAMILY_POINTS.values()
+        for name, pts in FAMILY_POINTS.items()
+        if not only or name in only
         for t in pts
         if t.endswith("s")
     }

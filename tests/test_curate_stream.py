@@ -305,6 +305,17 @@ def test_out_of_order_ingest_guard(spark, docs, tmp_path):
             spark.read.parquet(os.path.join(store, what)).count() == n
         ), f"refused batch appended to {what}"
 
+    # a CHECKPOINT REPLAY of the most recent batch (identical (min,
+    # max) id range — the crash-between-watermark-and-checkpoint
+    # case) must be let through, NOT fenced by its own high-water
+    # mark: re-appending is the documented at-least-once behavior,
+    # and raising here would wedge the stream in a restart loop
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    assert (
+        spark.read.parquet(os.path.join(store, "docs")).count()
+        == 2 * counts["docs"]
+    )
+
     ingest_document_batch(
         b1, store, threshold=THRESHOLD, span_k=SPAN_K,
         enforce_ascending_ids=False,

@@ -169,9 +169,10 @@ def main(path: str) -> int:
         "points at the doc-salt corpora (make_scale_data.py",
         "--text-mode doc-salt: real-word text + ONE per-shard salt",
         "token appended per doc — content statistics preserved, so",
-        "content-keyed operators stop degenerating; its sf1/sf10",
-        "columns are the salt corpora at the same 10×/100× data",
-        "ratios). Band endpoints are CCNet-faithful corpus [p20,p80]",
+        "content-keyed operators stop degenerating; ALL THREE of its",
+        "columns — incl. the factor-1 sf0.1 base — are salt corpora,",
+        "so the ratios divide like-content corpora at the same",
+        "10×/100× data ratios). Band endpoints are CCNet-faithful corpus [p20,p80]",
         "ppl quantiles computed INSIDE the timed row (score → quantile",
         "→ band filter — the real CCNet cost shape), dropping a",
         "genuine ~40% at every scale; a FIXED band cannot be",

@@ -830,6 +830,26 @@ def _half_up4(x):
     return y
 
 
+def collect_lm_assets(df_or_spark, unigrams, bigrams):
+    """Collect + broadcast a bigram LM's count tables ONCE, returning
+    the ``model_assets`` tuple ``bigram_lm_score_arrow`` accepts —
+    the reuse hook for repeated scoring against one standing model
+    (streaming admission filters score every daily batch; without
+    this each call re-collects and re-broadcasts the model)."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    uni_rows = unigrams.collect()
+    v_count = float(len(uni_rows) + 1)
+    uni_map = {r["w"]: float(r["c1"]) for r in uni_rows}
+    bi_map = {
+        f'{r["w1"]} {r["w2"]}': float(r["c12"]) for r in bigrams.collect()
+    }
+    return (
+        spark.sparkContext.broadcast(uni_map),
+        spark.sparkContext.broadcast(bi_map),
+        v_count,
+    )
+
+
 def bigram_lm_score_arrow(
     df,
     unigrams,
@@ -837,6 +857,7 @@ def bigram_lm_score_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.1,
+    model_assets=None,
 ):
     """``bigram_lm_score`` as ONE Arrow pass — the Gopher-arrow move
     (text.py pick_gopher_impl) applied to LM scoring: the count
@@ -866,15 +887,9 @@ def bigram_lm_score_arrow(
 
     import numpy as np
 
-    uni_rows = unigrams.collect()
-    v_count = float(len(uni_rows) + 1)
-    uni_map = {r["w"]: float(r["c1"]) for r in uni_rows}
-    bi_map = {
-        f'{r["w1"]} {r["w2"]}': float(r["c12"]) for r in bigrams.collect()
-    }
-    spark = df.sparkSession
-    b_uni = spark.sparkContext.broadcast(uni_map)
-    b_bi = spark.sparkContext.broadcast(bi_map)
+    if model_assets is None:
+        model_assets = collect_lm_assets(df, unigrams, bigrams)
+    b_uni, b_bi, v_count = model_assets
     a = float(alpha)
     a_v = a * v_count
     log2e_inv = math.log(2.0)

@@ -109,12 +109,13 @@ def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
     against no resident corpus, quietly breaking the parity
     contract):
 
-    - a top-level non-hidden DATA file → read;
-    - else non-hidden subdirectories are probed ONE level deep (a
-      hive-partitioned store written by an external producer) → read
-      if any holds a data file;
-    - non-hidden subdirectories with NO data one level down → raise
-      (unrecognized layout), never a silent None;
+    - a non-hidden DATA file anywhere down a non-hidden directory
+      chain (depth-capped) → read: covers both flat appends and
+      hive-partitioned stores written by an external producer,
+      including multi-column partitioning (data files several levels
+      down);
+    - non-hidden subdirectories with NO data anywhere under them →
+      raise (unrecognized layout), never a silent None;
     - only hidden/marker entries (e.g. a ``_SUCCESS`` left by a
       crashed append) or nothing at all → None."""
     jvm = spark._jvm
@@ -123,27 +124,30 @@ def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
     if not fs.exists(hpath):
         return None
 
-    def _is_data(status) -> bool:
-        return status.isFile() and not status.getPath().getName().startswith(
-            ("_", ".")
-        )
+    def _is_hidden(status) -> bool:
+        return status.getPath().getName().startswith(("_", "."))
 
-    subdirs = []
-    for status in fs.listStatus(hpath):
-        if _is_data(status):
-            return spark.read.parquet(path)
-        if status.isDirectory() and not status.getPath().getName().startswith(
-            ("_", ".")
-        ):
+    def _has_data(hp, depth: int) -> bool:
+        subdirs = []
+        for status in fs.listStatus(hp):
+            if _is_hidden(status):
+                continue
+            if status.isFile():
+                return True
             subdirs.append(status)
-    for sub in subdirs:
-        for status in fs.listStatus(sub.getPath()):
-            if _is_data(status):
-                return spark.read.parquet(path)
-    if subdirs:
+        if depth > 0:
+            return any(_has_data(s.getPath(), depth - 1) for s in subdirs)
+        return False
+
+    saw_subdir = any(
+        s.isDirectory() and not _is_hidden(s) for s in fs.listStatus(hpath)
+    )
+    if _has_data(hpath, depth=8):
+        return spark.read.parquet(path)
+    if saw_subdir:
         raise ValueError(
             f"unrecognized store layout at {path!r}: non-hidden "
-            "subdirectories with no data files one level down - "
+            "subdirectories with no data files anywhere under them - "
             "refusing to treat the store as empty"
         )
     return None
@@ -197,19 +201,27 @@ def make_ppl_band_filter(
     broadcast-model regime). Because the model is FIXED and the
     filter is per-doc, filtering each batch ≡ filtering the union
     once — the batch-parity contract, pinned in
-    tests/test_curate_stream.py. Each ingest's Arrow scoring
-    re-collects the count tables — MODEL-sized driver work per batch
-    (the tables are the standing asset's thinned form), never
-    corpus-sized. DSIR / NB admission thresholds slot into the same
-    hook: score the batch against the stored dsir_model / nb_weights
-    tables and filter per doc."""
-    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+    tests/test_curate_stream.py. The count tables are collected and
+    broadcast ONCE, on the first admitted batch
+    (``text.collect_lm_assets``) and reused by every later ingest —
+    model-sized driver work exactly once per stream, never per batch,
+    never corpus-sized. DSIR / NB admission thresholds slot into the
+    same hook: score the batch against the stored dsir_model /
+    nb_weights tables and filter per doc."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score_arrow,
+        collect_lm_assets,
+    )
 
     uni, bi = lm
+    assets: list = []  # memoized (b_uni, b_bi, v_count)
 
     def admit(batch: DataFrame) -> DataFrame:
-        scored = bigram_lm_score(
-            batch, uni, bi, text_col=text_col, id_col=id_col, impl="auto"
+        if not assets:
+            assets.append(collect_lm_assets(batch, uni, bi))
+        scored = bigram_lm_score_arrow(
+            batch, uni, bi, text_col=text_col, id_col=id_col,
+            model_assets=assets[0],
         ).select(id_col, "ppl")
         band = F.lit(True)
         if max_ppl is not None:
@@ -238,8 +250,11 @@ def make_dsir_threshold_filter(
     scale_bench's prepare_stores writes as ``dsir_model``): admit
     docs whose importance log-weight ≥ ``min_logw``. Per-doc under a
     FIXED model → per-batch ≡ one-shot union filtering, the same
-    contract as ``make_ppl_band_filter``; the model's hash-scheme
-    guard fires per batch exactly as in a one-shot score."""
+    contract as ``make_ppl_band_filter`` — including the NO-SIGNAL
+    rule: a doc whose every gram bucket is absent from the (e.g.
+    thinned) stored model gets a NULL logw and PASSES, exactly like
+    the ppl filter's NULL-ppl docs; the model's hash-scheme guard
+    fires per batch exactly as in a one-shot score."""
     from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
 
     def admit(batch: DataFrame) -> DataFrame:
@@ -249,7 +264,7 @@ def make_dsir_threshold_filter(
         ).select(id_col, "logw")
         return (
             batch.join(scored, id_col, "left")
-            .filter(F.col("logw") >= min_logw)
+            .filter(F.col("logw").isNull() | (F.col("logw") >= min_logw))
             .drop("logw")
         )
 
@@ -271,7 +286,9 @@ def make_nb_class_filter(
     ``nb_priors`` standing assets): admit docs whose argmax class is
     in ``keep_classes`` (the CCNet/fastText "keep the target
     language" admission rule). Same fixed-assets contract as the
-    other filters."""
+    other filters, same NO-SIGNAL rule: a doc with no prediction row
+    (nothing scoreable against the stored weights) PASSES rather
+    than being silently dropped by a NULL comparison."""
     from wroclaw_bike_stats_spark.operators.classifier import nb_predict
 
     keep = sorted(keep_classes)
@@ -284,7 +301,7 @@ def make_nb_class_filter(
         ).select(id_col, "pred")
         return (
             batch.join(pred, id_col, "left")
-            .filter(F.col("pred").isin(keep))
+            .filter(F.col("pred").isNull() | F.col("pred").isin(keep))
             .drop("pred")
         )
 
@@ -323,8 +340,13 @@ def ingest_document_batch(
     order) is a RUNTIME GUARD, not prose — the same loud-contract
     discipline as span_dedup's parameterization check: a batch whose
     min id is ≤ the stored high-water mark raises ``ValueError``
-    before anything is appended. The watermark rides in a tiny
-    ``maxid/`` store (one 1-row append per batch; reading it is
+    before anything is appended — EXCEPT a checkpoint replay of the
+    most recent batch (identical (min, max) id range), which is let
+    through: re-appending is the documented at-least-once behavior,
+    and fencing a replay would wedge the stream in a restart-crash
+    loop after a crash between the watermark append and the
+    checkpoint commit. The watermark rides in a tiny ``maxid/`` store
+    (one 1-row (min_id, max_id) append per batch; reading it is
     index-sized, so the guard stays batch-proportional — no corpus
     scan). ``enforce_ascending_ids=False`` opts into DEGRADED
     semantics for out-of-order ingest: the near-dup pair graph and
@@ -353,12 +375,31 @@ def ingest_document_batch(
         if enforce_ascending_ids:
             wm = _maybe(spark, _d(store_dir, "maxid"))
             if wm is not None:
-                stored_max = wm.agg(F.max("max_id")).first()[0]
-                batch_min = batch.agg(F.min(id_col)).first()[0]
+                row = batch.agg(
+                    F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
+                ).first()
+                batch_min, batch_max = row["_mn"], row["_mx"]
+                top = wm.agg(
+                    F.max("max_id").alias("_mx"),
+                    F.max_by("min_id", "max_id").alias("_mn"),
+                ).first()
+                stored_max, last_min = top["_mx"], top["_mn"]
+                # A CHECKPOINT REPLAY of the most recent batch (crash
+                # after the maxid append, before the checkpoint
+                # commit) re-presents exactly the last recorded
+                # (min, max) range — let it through: re-appending is
+                # the module's documented at-least-once behavior, and
+                # fencing it out would wedge the stream in a
+                # restart-crash loop. Anything else at-or-below the
+                # high-water mark is a genuine ordering violation.
+                is_replay_of_last = (
+                    batch_min == last_min and batch_max == stored_max
+                )
                 if (
                     stored_max is not None
                     and batch_min is not None
                     and batch_min <= stored_max
+                    and not is_replay_of_last
                 ):
                     raise ValueError(
                         f"out-of-order ingest: batch min {id_col}="
@@ -414,10 +455,11 @@ def ingest_document_batch(
         ).parquet(_d(store_dir, "winindex"))
         # advance the high-water mark LAST (a failed ingest must not
         # fence out its own retry), from the RAW batch: ids seen,
-        # admitted or not
-        batch.agg(F.max(id_col).alias("max_id")).write.mode(
-            "append"
-        ).parquet(_d(store_dir, "maxid"))
+        # admitted or not. Both ends of the range are recorded so a
+        # checkpoint replay of this exact batch is recognizable above.
+        batch.agg(
+            F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
+        ).write.mode("append").parquet(_d(store_dir, "maxid"))
     finally:
         if admitted_in is not batch:
             admitted_in.unpersist()
@@ -456,6 +498,7 @@ def run_curation_stream(
     span_k: int = 13,
     available_now: bool = True,
     admit_filter=None,
+    enforce_ascending_ids: bool = True,
 ):
     """Wire ``ingest_document_batch`` to a file-source stream: one
     input file per daily drop, ``maxFilesPerTrigger=1`` so each day
@@ -480,6 +523,7 @@ def run_curation_stream(
         if batch.head(1):
             ingest_document_batch(
                 batch, store_dir, text_col, id_col, threshold, span_k,
+                enforce_ascending_ids=enforce_ascending_ids,
                 admit_filter=admit_filter,
             )
 
