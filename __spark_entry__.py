@@ -1244,7 +1244,12 @@ def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("doc_id")
     )
     n_li = li.count()
-    li_route = pick_neardup_route(li, n_docs=n_li)
+    # deliberately NO n_docs hint here: this call exercises the
+    # probe's own df.count() branch — the path every default-arg
+    # caller hits — so a regression confined to that branch cannot
+    # pass the gate green (the docs-side call above covers the hint
+    # branch)
+    li_route = pick_neardup_route(li)
 
     probe_matches_bound = (route == "exact") == in_exact_regime
     probe_banded_above_bound = (li_route == "banded") == (
@@ -1617,11 +1622,16 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality → repetition → bigram-LM perplexity BAND [23, 40]
     (model trained on the doc_id%7==3 reference slice) → exact dedup
     → exact substring-span strip (k=13, output text IS the stripped
-    rebuild) → hash split. One lazy plan; the oracle chains the SAME
-    SQL fragments as CTEs, including the 4-dp ppl rounding and the
-    keep-first span canonical. Band endpoints sit ≥0.003 from every
-    doc's 4-dp ppl at both test SFs (probed), so the threshold
-    cannot flake on engine rounding."""
+    rebuild) → hash split. Since round 10 the ppl stage routes
+    through the Arrow scorer (curate.py's ``lm_impl="auto"`` default
+    — byte-parity with the native route, so this gate's oracle row
+    ATTESTS the Arrow route end to end; the plan is no longer fully
+    lazy: the model tables collect at construction, the documented
+    eager exception). The oracle chains the SAME SQL fragments as
+    CTEs, including the 4-dp ppl rounding and the keep-first span
+    canonical. Band endpoints sit ≥0.003 from every doc's 4-dp ppl
+    at both test SFs (probed), so the threshold cannot flake on
+    engine rounding."""
     from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
 
@@ -2745,10 +2755,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     re-attested): neardup_route_auto rewritten scale-safe
         #     this round (schema change), nb_scheme_consistency's
         #     agreement column renamed r09, banded_components_
-        #     refinement's zero-pair fix r09 ---------------------------
+        #     refinement's zero-pair fix r09, and curate_pipeline_full
+        #     whose EXERCISED PATH changed this round (curate.py's
+        #     lm_impl="auto" default routes its ppl stage through the
+        #     Arrow scorer — its r09 green row attests the native
+        #     route) ---------------------------------------------------
         "neardup_route_auto": q_neardup_route_auto,
         "nb_scheme_consistency": q_nb_scheme_consistency,
         "banded_components_refinement": q_banded_components_refinement,
+        "curate_pipeline_full": q_curate_pipeline_full,
         # --- latest driver row r07 (stalest oracle-backed; hit the
         #     two-round bound at r10 — gate_rotation.py's lead list) ---
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -2818,10 +2833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_token_positions": q_explode_token_positions,
         "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
         "user_event_gaps": q_user_event_gaps,
-        # --- latest driver row r09 (freshest; bound at r12) -----------
+        # --- latest driver row r09 (freshest; bound at r12;
+        #     curate_pipeline_full promoted to the head) ---------------
         "acctbal_quartiles": q_acctbal_quartiles,
         "curate_pipeline": q_curate_pipeline,
-        "curate_pipeline_full": q_curate_pipeline_full,
         "customers_with_orders": q_customers_with_orders,
         "customers_without_orders": q_customers_without_orders,
         "daily_event_metrics": q_daily_event_metrics,

@@ -675,7 +675,10 @@ def curate_full_corpus_realppl(spark, sf_dir):
     per doc here than on a real N× corpus — the measured cost is
     real (site volume is linear in N), but treat the strip fraction
     itself as an artifact of replication."""
-    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        collect_lm_assets,
+    )
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
 
     docs = _docs(spark, sf_dir)
@@ -684,7 +687,12 @@ def curate_full_corpus_realppl(spark, sf_dir):
     )
     uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
     bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
-    scored = bigram_lm_score(docs, uni, bi, impl="arrow")
+    # the model is collected+broadcast ONCE and shared by the
+    # quantile-band pass and the pipeline's ppl stage — a real CCNet
+    # run scores twice against one resident model, not two copies
+    assets = collect_lm_assets(spark, uni, bi)
+    scored = bigram_lm_score(docs, uni, bi, impl="arrow",
+                             model_assets=assets)
     lo, hi = scored.approxQuantile("ppl", [0.2, 0.8], 0.001)
     return curate_corpus(
         docs,
@@ -694,6 +702,7 @@ def curate_full_corpus_realppl(spark, sf_dir):
         lm=(uni, bi),
         min_ppl=lo,
         max_ppl=hi,
+        lm_assets=assets,
         strip_spans=True,
         span_k=13,
         persist_stages=True,

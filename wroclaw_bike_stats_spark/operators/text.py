@@ -612,6 +612,7 @@ def bigram_lm_score(
     alpha: float = 0.1,
     broadcast_model: bool = True,
     impl: str = "native",
+    model_assets=None,
 ):
     """Per-document cross-entropy under the reference bigram LM:
     (``id_col``, ``n_bigrams``, ``xent_bits``, ``ppl``) where
@@ -644,7 +645,10 @@ def bigram_lm_score(
     at call time, so it is rejected under ``broadcast_model=False``),
     or ``"auto"`` (``pick_lm_impl`` — zero-job, routes on the model
     regime the caller already declared; ``plans/curate.py``'s ppl
-    stage uses this)."""
+    stage uses this). ``model_assets`` (``collect_lm_assets``) lets a
+    caller scoring repeatedly against ONE standing model skip the
+    arrow route's per-call collect+broadcast; only that route
+    consumes it (the native joins read the DataFrames directly)."""
     if impl == "auto":
         impl = pick_lm_impl(broadcast_model)
     if impl == "arrow":
@@ -655,7 +659,8 @@ def bigram_lm_score(
                 "model); use the native route"
             )
         return bigram_lm_score_arrow(
-            df, unigrams, bigrams, text_col, id_col, alpha
+            df, unigrams, bigrams, text_col, id_col, alpha,
+            model_assets=model_assets,
         )
     if impl != "native":
         raise ValueError(f"unknown impl {impl!r}")

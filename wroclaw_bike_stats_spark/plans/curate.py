@@ -46,6 +46,7 @@ def curate_corpus(
     max_ppl: float | None = None,
     min_ppl: float | None = None,
     lm_impl: str = "auto",
+    lm_assets=None,
     strip_spans: bool = False,
     span_k: int = 13,
     span_method: str = "window",
@@ -58,8 +59,9 @@ def curate_corpus(
     (PII-scrubbed when ``scrub``) plus ``split``. Deterministic —
     reruns produce identical rows.
 
-    Optional model/surgery stages (both lazy, keeping the
-    zero-jobs-until-action contract):
+    Optional model/surgery stages (the span strip is lazy; the ppl
+    stage is lazy under ``lm_impl="native"`` and EAGER under the
+    default ``"auto"`` — see the ``lm_impl`` paragraph below):
 
     - ``lm`` = the ``(unigrams, bigrams)`` count tables from
       ``text.train_bigram_lm`` enables a CCNet-style perplexity BAND
@@ -82,6 +84,10 @@ def curate_corpus(
       (reference-sized, typically thinned) MODEL tables at
       plan-construction time. The corpus is never collected. Pin
       ``lm_impl="native"`` for the fully-lazy oracle-shape plan.
+      ``lm_assets`` (``text.collect_lm_assets``) skips even that
+      collect when the caller already holds the broadcast model —
+      e.g. scale_bench's realppl row scores once for its quantile
+      band and again in this stage, against ONE set of assets.
     - ``strip_spans`` runs exact substring-span dedup
       (operators/span_dedup.py, Lee et al. 2022) over the
       exact-dedup survivors, replacing ``text_col`` with the
@@ -191,7 +197,8 @@ def curate_corpus(
             out = scratch.persist(out)
         uni, bi = lm
         ppl = T.bigram_lm_score(
-            out, uni, bi, text_col=text_col, id_col=id_col, impl=lm_impl
+            out, uni, bi, text_col=text_col, id_col=id_col,
+            impl=lm_impl, model_assets=lm_assets,
         ).select(id_col, "ppl")
         band = F.lit(True)
         if max_ppl is not None:

@@ -69,6 +69,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from wroclaw_bike_stats_spark.operators import dedup as D
 from wroclaw_bike_stats_spark.operators import span_dedup as SD
@@ -184,6 +185,19 @@ def read_window_index_store(spark: SparkSession, store_dir: str) -> DataFrame | 
     )
 
 
+def _admit_scored(batch, scored, id_col, score_col, keep_pred):
+    """The shared admission shape of every scored-stage filter:
+    left-join the per-doc score frame back onto the batch and keep
+    rows whose score is NULL (the NO-SIGNAL pass rule — one place,
+    so the three filters cannot drift apart) or satisfies
+    ``keep_pred`` (a Column predicate over ``score_col``)."""
+    return (
+        batch.join(scored, id_col, "left")
+        .filter(F.col(score_col).isNull() | keep_pred)
+        .drop(score_col)
+    )
+
+
 def make_ppl_band_filter(
     lm,
     min_ppl: float | None = None,
@@ -228,11 +242,7 @@ def make_ppl_band_filter(
             band = band & (F.col("ppl") <= max_ppl)
         if min_ppl is not None:
             band = band & (F.col("ppl") >= min_ppl)
-        return (
-            batch.join(scored, id_col, "left")
-            .filter(F.col("ppl").isNull() | band)
-            .drop("ppl")
-        )
+        return _admit_scored(batch, scored, id_col, "ppl", band)
 
     return admit
 
@@ -262,10 +272,8 @@ def make_dsir_threshold_filter(
             batch, model, text_col=text_col, id_col=id_col,
             num_buckets=num_buckets, portable_hash=portable_hash,
         ).select(id_col, "logw")
-        return (
-            batch.join(scored, id_col, "left")
-            .filter(F.col("logw").isNull() | (F.col("logw") >= min_logw))
-            .drop("logw")
+        return _admit_scored(
+            batch, scored, id_col, "logw", F.col("logw") >= min_logw
         )
 
     return admit
@@ -299,10 +307,8 @@ def make_nb_class_filter(
             id_col=id_col, num_buckets=num_buckets,
             portable_hash=portable_hash,
         ).select(id_col, "pred")
-        return (
-            batch.join(pred, id_col, "left")
-            .filter(F.col("pred").isNull() | F.col("pred").isin(keep))
-            .drop("pred")
+        return _admit_scored(
+            batch, pred, id_col, "pred", F.col("pred").isin(keep)
         )
 
     return admit
@@ -341,14 +347,20 @@ def ingest_document_batch(
     discipline as span_dedup's parameterization check: a batch whose
     min id is ≤ the stored high-water mark raises ``ValueError``
     before anything is appended — EXCEPT a checkpoint replay of the
-    most recent batch (identical (min, max) id range), which is let
-    through: re-appending is the documented at-least-once behavior,
-    and fencing a replay would wedge the stream in a restart-crash
-    loop after a crash between the watermark append and the
-    checkpoint commit. The watermark rides in a tiny ``maxid/`` store
-    (one 1-row (min_id, max_id) append per batch; reading it is
-    index-sized, so the guard stays batch-proportional — no corpus
-    scan). ``enforce_ascending_ids=False`` opts into DEGRADED
+    most recent batch (identical fingerprint: id range, row count
+    AND order-insensitive id hash — a new batch merely sharing the
+    endpoints cannot impersonate one), which is let through:
+    re-appending is the documented at-least-once behavior, and
+    fencing a replay would wedge the stream in a restart-crash loop
+    after a crash between the watermark append and the checkpoint
+    commit. (A regenerated day file with the SAME id multiset but
+    different text also passes — the fingerprint is id-keyed, like
+    the span-parity contract it protects.) The watermark rides in a
+    tiny ``maxid/`` store (one 1-row fingerprint append per batch,
+    built from the guard's own aggregate — one batch job total;
+    reading it is index-sized, so the guard stays batch-proportional
+    — no corpus scan). ``enforce_ascending_ids=False`` opts into
+    DEGRADED
     semantics for out-of-order ingest: the near-dup pair graph and
     ``kept_view`` stay exact (pair discovery is order-independent),
     but the span strip becomes first-INGESTED-wins rather than the
@@ -372,38 +384,53 @@ def ingest_document_batch(
     batch = batch.persist()
     admitted_in = batch
     try:
+        # ONE aggregate over the raw batch serves both the ordering
+        # guard and the end-of-ingest watermark append (id range +
+        # row count + order-insensitive id hash — the batch's
+        # fingerprint).
+        fp = batch.agg(
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # bit_xor, not sum: order-insensitive like sum but cannot
+            # overflow (ANSI mode makes a long-sum overflow throw)
+            F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("id_hash"),
+        ).first()
         if enforce_ascending_ids:
             wm = _maybe(spark, _d(store_dir, "maxid"))
             if wm is not None:
-                row = batch.agg(
-                    F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
-                ).first()
-                batch_min, batch_max = row["_mn"], row["_mx"]
                 top = wm.agg(
                     F.max("max_id").alias("_mx"),
-                    F.max_by("min_id", "max_id").alias("_mn"),
+                    F.max_by(
+                        F.struct("min_id", "n_rows", "id_hash"), "max_id"
+                    ).alias("_last"),
                 ).first()
-                stored_max, last_min = top["_mx"], top["_mn"]
+                stored_max, last = top["_mx"], top["_last"]
                 # A CHECKPOINT REPLAY of the most recent batch (crash
                 # after the maxid append, before the checkpoint
-                # commit) re-presents exactly the last recorded
-                # (min, max) range — let it through: re-appending is
-                # the module's documented at-least-once behavior, and
-                # fencing it out would wedge the stream in a
+                # commit) re-presents the last recorded fingerprint —
+                # id range AND row count AND id multiset hash, so a
+                # NEW batch that merely shares the endpoints cannot
+                # impersonate one — and is let through: re-appending
+                # is the module's documented at-least-once behavior,
+                # and fencing a replay would wedge the stream in a
                 # restart-crash loop. Anything else at-or-below the
                 # high-water mark is a genuine ordering violation.
                 is_replay_of_last = (
-                    batch_min == last_min and batch_max == stored_max
+                    fp["min_id"] == last["min_id"]
+                    and fp["max_id"] == stored_max
+                    and fp["n_rows"] == last["n_rows"]
+                    and fp["id_hash"] == last["id_hash"]
                 )
                 if (
                     stored_max is not None
-                    and batch_min is not None
-                    and batch_min <= stored_max
+                    and fp["min_id"] is not None
+                    and fp["min_id"] <= stored_max
                     and not is_replay_of_last
                 ):
                     raise ValueError(
                         f"out-of-order ingest: batch min {id_col}="
-                        f"{batch_min} <= stored high-water mark "
+                        f"{fp['min_id']} <= stored high-water mark "
                         f"{stored_max}; ascending-id ingest is the "
                         "span-parity precondition (pass "
                         "enforce_ascending_ids=False for documented "
@@ -454,12 +481,31 @@ def ingest_document_batch(
             "append"
         ).parquet(_d(store_dir, "winindex"))
         # advance the high-water mark LAST (a failed ingest must not
-        # fence out its own retry), from the RAW batch: ids seen,
-        # admitted or not. Both ends of the range are recorded so a
-        # checkpoint replay of this exact batch is recognizable above.
-        batch.agg(
-            F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
-        ).write.mode("append").parquet(_d(store_dir, "maxid"))
+        # fence out its own retry), from the RAW batch's fingerprint
+        # computed up front: ids seen, admitted or not. No second
+        # aggregation job — the 1-row frame is built from the
+        # already-collected values.
+        if fp["max_id"] is not None:
+            id_type = batch.schema[id_col].dataType
+            wm_schema = StructType(
+                [
+                    StructField("min_id", id_type),
+                    StructField("max_id", id_type),
+                    StructField("n_rows", LongType()),
+                    StructField("id_hash", LongType()),
+                ]
+            )
+            spark.createDataFrame(
+                [
+                    (
+                        fp["min_id"],
+                        fp["max_id"],
+                        fp["n_rows"],
+                        fp["id_hash"],
+                    )
+                ],
+                wm_schema,
+            ).write.mode("append").parquet(_d(store_dir, "maxid"))
     finally:
         if admitted_in is not batch:
             admitted_in.unpersist()
