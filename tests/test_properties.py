@@ -303,3 +303,41 @@ def test_bigram_lm_arrow_matches_native_on_any_whitespace(spark, texts):
         map(tuple, bigram_lm_score_arrow(docs, uni, bi).collect())
     )
     assert arrow == native
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            # general positive doubles across the xent/ppl range
+            st.floats(min_value=1e-4, max_value=1e7, allow_nan=False),
+            # adversarial: values whose shortest-decimal repr ends at
+            # exactly the 5th place (the HALF_UP tie zone)
+            st.integers(min_value=1, max_value=10**9).map(
+                lambda k: (2 * k + 1) / 2e4
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_half_up4_matches_decimal_ground_truth(xs):
+    """The Arrow LM's shipped rounding kernel == BigDecimal semantics
+    (decimal.Decimal(repr(x)).quantize(4, HALF_UP)) on every input,
+    including the binary-fp tie-crossing zone ADVICE r09 flagged —
+    pure ground-truth check, no Spark session needed (Spark-vs-kernel
+    parity is pinned separately in test_lm.py's tie battery)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.text import _half_up4
+
+    got = _half_up4(np.asarray(xs, dtype=np.float64))
+    q = Decimal("0.0001")
+    want = [
+        float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+        for x in xs
+    ]
+    bad = [(x, g, w) for x, g, w in zip(xs, got, want) if g != w]
+    assert not bad, bad[:5]
