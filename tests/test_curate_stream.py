@@ -458,3 +458,62 @@ def test_dsir_and_nb_admit_filters_batch_parity(spark, docs, tmp_path):
         for r in spark.read.parquet(os.path.join(store2, "docs")).collect()
     }
     assert got_nb == want_nb
+
+
+def test_stream_end_to_end_with_scored_stage(spark, docs, tmp_path):
+    """run_curation_stream WITH the scored-stage hook: three daily
+    files through the file source + checkpoint, each micro-batch
+    ppl-band-filtered against ONE fixed stored LM (the assets
+    broadcast once by the filter factory) — the composed streaming
+    pipeline reusing a standing model per batch, end to end. Admitted
+    store == the one-shot band filter over the union; pair store ==
+    the one-shot graph over the FILTERED union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        make_ppl_band_filter,
+    )
+
+    subset = docs.filter(F.col("doc_id") % 2 == 0)
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    lo, hi = bigram_lm_score(subset, *lm).approxQuantile(
+        "ppl", [0.1, 0.9], 0.0
+    )
+    flt = make_ppl_band_filter(lm, min_ppl=lo, max_ppl=hi)
+    want_union = flt(subset)
+    want_ids = {r.doc_id for r in want_union.select("doc_id").collect()}
+    assert 0 < len(want_ids) < subset.count(), "vacuous band"
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i, b in enumerate(_doc_batches(subset, n=3)):
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(b.orderBy("doc_id").toPandas()),
+                       path)
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = str(tmp_path / "store")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = run_curation_stream(
+        spark, str(input_dir), store, schema, str(tmp_path / "ckpt"),
+        threshold=THRESHOLD, span_k=SPAN_K, admit_filter=flt,
+    )
+    q.awaitTermination(300)
+
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(store, "docs")).collect()
+    }
+    assert got_ids == want_ids
+    want_pairs = _pair_set(
+        D.minhash_dedup_pairs(want_union, threshold=THRESHOLD)
+    )
+    got_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    assert got_pairs == want_pairs
