@@ -1096,12 +1096,15 @@ def release_shared() -> None:
     call anytime — consumers rebuild lazily on next use. A resident
     service (or the bench, after its run) calls this so no persisted
     RDDs outlive their consumers."""
-    for df in list(_PAIR_GRAPH_CACHE.values()):
+    for df in list(_PAIR_GRAPH_CACHE.values()) + list(
+        _DSIR_MODEL_CACHE.values()
+    ):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
     _PAIR_GRAPH_CACHE.clear()
+    _DSIR_MODEL_CACHE.clear()
     # CC results are checkpoint-backed: dropping the references lets
     # ContextCleaner reclaim the blocks (DataFrame.unpersist would be
     # a no-op for them — see operators/scratch.py).
@@ -1651,16 +1654,36 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "text", "split").orderBy("doc_id")
 
 
+#: The fitted portable-hash DSIR model feeds three gate queries
+#: (dsir_scores, dsir_resample, dsir_scheme_consistency's md5 side).
+#: The fit is a corpus explode + groupBy; the RESULT is ≤4096 rows —
+#: textbook persist-and-share, same keying/eviction discipline as the
+#: pair-graph cache above.
+_DSIR_MODEL_CACHE: dict = {}
+
+
 def _dsir_model(spark: SparkSession, sf_dir: str):
-    """Shared DSIR fit for the two gates: target = every 9th doc
-    (≡1 mod 9), raw = the whole corpus (the paper's estimator), the
-    portable md5-prefix bucket hash so DuckDB reproduces bucketing
-    bit-for-bit."""
+    """Shared DSIR fit: target = every 9th doc (≡1 mod 9), raw = the
+    whole corpus (the paper's estimator), the portable md5-prefix
+    bucket hash so DuckDB reproduces bucketing bit-for-bit. The tiny
+    fitted table is persisted once per (session, sf) and shared by
+    its three gate consumers (bench per-query numbers for those are
+    shared-warm, like the pair-graph family)."""
     from wroclaw_bike_stats_spark.operators.dsir import dsir_logratio
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("doc_id") % 9 == 1)
-    return docs, dsir_logratio(target, docs, portable_hash=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _DSIR_MODEL_CACHE.get(key)
+    if model is None:
+        for k in [k for k in _DSIR_MODEL_CACHE if k != key]:
+            try:
+                _DSIR_MODEL_CACHE.pop(k).unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        target = docs.filter(F.col("doc_id") % 9 == 1)
+        model = dsir_logratio(target, docs, portable_hash=True).persist()
+        _DSIR_MODEL_CACHE[key] = model
+    return docs, model
 
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1724,9 +1747,8 @@ def q_dsir_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         importance_resample,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs, m_md5 = _dsir_model(spark, sf_dir)  # shared persisted fit
     target = docs.filter(F.col("doc_id") % 9 == 1)
-    m_md5 = dsir_logratio(target, docs, portable_hash=True)
     m_xx = dsir_logratio(target, docs, portable_hash=False)
     s_md5 = dsir_scores(docs, m_md5, portable_hash=True).select(
         "doc_id", "n_grams", F.col("logw").alias("_w1")

@@ -58,6 +58,18 @@ GATE_QUERIES = frozenset(
         # r09: auto-vs-pinned-exact route equality — runs the default
         # call AND the shared exact components to compare them.
         "neardup_route_auto",
+        # r10 relabel (no code change): these five were always
+        # comparison gates — each runs BOTH the production route and
+        # an exact/alternate baseline to compare them (banded vs
+        # exact components; md5 vs xxhash DSIR and NB schemes; pruned
+        # and CMS LM vs the exact model) — i.e. the same
+        # deliberately-double-compute audit shape as the rest of this
+        # set. They were miscounted as engine throughput.
+        "banded_components_refinement",
+        "dsir_scheme_consistency",
+        "nb_scheme_consistency",
+        "ppl_pruned",
+        "ppl_cms_bound",
     }
 )
 
@@ -82,6 +94,11 @@ SHARED_WARM = frozenset(
         "simhash_recall",
         "simhash_exactdup_consistency",
         "neardup_route_auto",
+        # r10: the fitted portable DSIR model is persisted once and
+        # shared by its three consumers (__spark_entry__._dsir_model)
+        "dsir_scores",
+        "dsir_resample",
+        "dsir_scheme_consistency",
     }
 )
 
