@@ -1090,21 +1090,51 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Generic session-shared persisted intermediates (round 10 — the
+# pair-graph cache's keying/eviction discipline, factored so every
+# shared model/stage uses ONE mechanism): (appId, sf_dir, name) →
+# DataFrame or tuple of DataFrames, all persisted. Shared by the
+# DSIR model, the %7==3 reference LM, the portable NB model and the
+# SemDeDup assignment+pair stages; release_shared() drops them all.
+_SHARED_FRAMES: dict = {}
+
+
+def _shared_persisted(spark: SparkSession, sf_dir: str, name: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _SHARED_FRAMES.get(key)
+    if got is None:
+        # evict only STALE instances of this name (other session/sf)
+        for k in [k for k in _SHARED_FRAMES if k[2] == name and k != key]:
+            old = _SHARED_FRAMES.pop(k)
+            for df in old if isinstance(old, tuple) else (old,):
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+        got = build()
+        for df in got if isinstance(got, tuple) else (got,):
+            df.persist()
+        _SHARED_FRAMES[key] = got
+    return got
+
+
 def release_shared() -> None:
     """Unpersist every session-shared / scratch intermediate (the
-    near-dup pair graph and dedup shingle/candidate scratch). Safe to
-    call anytime — consumers rebuild lazily on next use. A resident
-    service (or the bench, after its run) calls this so no persisted
-    RDDs outlive their consumers."""
-    for df in list(_PAIR_GRAPH_CACHE.values()) + list(
-        _DSIR_MODEL_CACHE.values()
-    ):
+    near-dup pair graph, the shared model/stage frames and dedup
+    shingle/candidate scratch). Safe to call anytime — consumers
+    rebuild lazily on next use. A resident service (or the bench,
+    after its run) calls this so no persisted RDDs outlive their
+    consumers."""
+    shared: list = list(_PAIR_GRAPH_CACHE.values())
+    for got in _SHARED_FRAMES.values():
+        shared.extend(got if isinstance(got, tuple) else (got,))
+    for df in shared:
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
     _PAIR_GRAPH_CACHE.clear()
-    _DSIR_MODEL_CACHE.clear()
+    _SHARED_FRAMES.clear()
     # CC results are checkpoint-backed: dropping the references lets
     # ContextCleaner reclaim the blocks (DataFrame.unpersist would be
     # a no-op for them — see operators/scratch.py).
@@ -1635,12 +1665,11 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical. Band endpoints sit ≥0.003 from every doc's 4-dp ppl
     at both test SFs (probed), so the threshold cannot flake on
     engine rounding."""
-    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
-    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    lm = _ref_lm_shared(spark, sf_dir)
     curated = curate_corpus(
         docs,
         eval_set,
@@ -1654,36 +1683,38 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "text", "split").orderBy("doc_id")
 
 
-#: The fitted portable-hash DSIR model feeds three gate queries
-#: (dsir_scores, dsir_resample, dsir_scheme_consistency's md5 side).
-#: The fit is a corpus explode + groupBy; the RESULT is ≤4096 rows —
-#: textbook persist-and-share, same keying/eviction discipline as the
-#: pair-graph cache above.
-_DSIR_MODEL_CACHE: dict = {}
-
-
 def _dsir_model(spark: SparkSession, sf_dir: str):
     """Shared DSIR fit: target = every 9th doc (≡1 mod 9), raw = the
     whole corpus (the paper's estimator), the portable md5-prefix
-    bucket hash so DuckDB reproduces bucketing bit-for-bit. The tiny
-    fitted table is persisted once per (session, sf) and shared by
-    its three gate consumers (bench per-query numbers for those are
-    shared-warm, like the pair-graph family)."""
+    bucket hash so DuckDB reproduces bucketing bit-for-bit. The fit
+    is a corpus explode + groupBy; the RESULT is ≤4096 rows —
+    persisted once per (session, sf) and shared by its three gate
+    consumers (bench per-query numbers for those are shared-warm,
+    like the pair-graph family)."""
     from wroclaw_bike_stats_spark.operators.dsir import dsir_logratio
 
     docs = _t(spark, sf_dir, "documents")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    model = _DSIR_MODEL_CACHE.get(key)
-    if model is None:
-        for k in [k for k in _DSIR_MODEL_CACHE if k != key]:
-            try:
-                _DSIR_MODEL_CACHE.pop(k).unpersist()
-            except Exception:  # noqa: BLE001
-                pass
-        target = docs.filter(F.col("doc_id") % 9 == 1)
-        model = dsir_logratio(target, docs, portable_hash=True).persist()
-        _DSIR_MODEL_CACHE[key] = model
+    model = _shared_persisted(
+        spark, sf_dir, "dsir_model",
+        lambda: dsir_logratio(
+            docs.filter(F.col("doc_id") % 9 == 1), docs, portable_hash=True
+        ),
+    )
     return docs, model
+
+
+def _ref_lm_shared(spark: SparkSession, sf_dir: str):
+    """The %7==3-slice reference bigram LM (uni, bi count tables) —
+    trained identically by FIVE gates (bigram_lm_ppl, ppl_buckets,
+    ppl_pruned, ppl_cms_bound, curate_pipeline_full); tiny result
+    (vocab-sized), persisted once per (session, sf)."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return _shared_persisted(
+        spark, sf_dir, "ref_lm",
+        lambda: train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3)),
+    )
 
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,9 +1850,13 @@ def q_nb_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.filter(F.col("doc_id") % 3 != 0)
     preds = []
     for portable in (True, False):
-        w, p = nb_train(
-            labeled, _NB_CLASSES, label_col="lang", portable_hash=portable
-        )
+        if portable:
+            w, p = _nb_model_shared(spark, sf_dir)  # shared fit
+        else:
+            w, p = nb_train(
+                labeled, _NB_CLASSES, label_col="lang",
+                portable_hash=portable,
+            )
         preds.append(
             nb_predict(
                 docs, w, p, _NB_CLASSES, portable_hash=portable
@@ -1850,16 +1885,32 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wroclaw_bike_stats_spark.operators.text import (
         bigram_lm_score,
         ppl_bucket_assign,
-        train_bigram_lm,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    uni, bi = _ref_lm_shared(spark, sf_dir)
     scores = bigram_lm_score(docs, uni, bi)
     return ppl_bucket_assign(scores, mode="exact").orderBy("doc_id")
 
 
 _NB_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def _nb_model_shared(spark: SparkSession, sf_dir: str):
+    """The portable-hash NB fit (weights ≤4096×|classes| rows + a
+    |classes|-row prior table) trained identically by nb_lang_predict
+    and nb_scheme_consistency's md5 arm — persisted once per
+    (session, sf)."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return _shared_persisted(
+        spark, sf_dir, "nb_model",
+        lambda: nb_train(
+            docs.filter(F.col("doc_id") % 3 != 0), _NB_CLASSES,
+            label_col="lang", portable_hash=True,
+        ),
+    )
 
 
 def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,16 +1922,10 @@ def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax prediction, tie-broken to the first class. Train+predict
     is one lazy plan; the md5-prefix portable bucket scheme keeps
     DuckDB bit-identical."""
-    from wroclaw_bike_stats_spark.operators.classifier import (
-        nb_predict,
-        nb_train,
-    )
+    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
 
     docs = _t(spark, sf_dir, "documents")
-    labeled = docs.filter(F.col("doc_id") % 3 != 0)
-    weights, priors = nb_train(
-        labeled, _NB_CLASSES, label_col="lang", portable_hash=True
-    )
+    weights, priors = _nb_model_shared(spark, sf_dir)
     return nb_predict(
         docs, weights, priors, _NB_CLASSES, portable_hash=True
     ).orderBy("doc_id")
@@ -2060,30 +2105,52 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sem_shared(spark: SparkSession, sf_dir: str):
+    """The family-parameter SemDeDup stages (k=8, τ=0.4) shared by
+    the pairs/keep/stats gates: (centroids, assigned, pairs), all
+    persisted once per (session, sf) — the assignment matmul and the
+    per-cluster Gram pass were being recomputed three times."""
+    from wroclaw_bike_stats_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build():
+        centroids, assigned = semdedup_assign(emb, num_clusters=8)
+        pairs = semdedup_pairs(emb, threshold=0.4, assigned=assigned)
+        return centroids, assigned, pairs
+
+    return (emb,) + tuple(_shared_persisted(spark, sf_dir, "semdedup", build))
+
+
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within-cluster duplicate pairs (operators/semdedup.py;
     Abbas et al. arXiv:2303.09540): k=8 deterministic sampled
     centroids (min ids — SQL-reproducible), zero-Exchange matmul
     assignment, per-cluster Gram matmul emitting cosine ≥ τ pairs.
     τ=0.4 is tuned to the synthetic embeddings' cosine range (max
-    pairwise ~0.51); the code path is threshold-independent."""
-    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return semdedup_pairs(emb, num_clusters=8, threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
+    pairwise ~0.51); the code path is threshold-independent. Stages
+    shared with the keep/stats gates (_sem_shared)."""
+    _, _, _, pairs = _sem_shared(spark, sf_dir)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup closure: duplicate groups = connected components of
     the within-cluster pair graph, kept representative = min id
     (the oracle-checkable keep rule; the paper's far-from-centroid
-    rule is covered by tests/test_semdedup.py)."""
+    rule is covered by tests/test_semdedup.py). Runs off the shared
+    persisted pair graph (_sem_shared) through semdedup_keep's
+    precomputed-stage hook."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_keep
 
-    emb = _t(spark, sf_dir, "embeddings")
-    kept = semdedup_keep(emb, num_clusters=8, threshold=0.4)
+    emb, centroids, assigned, pairs = _sem_shared(spark, sf_dir)
+    kept = semdedup_keep(
+        emb, num_clusters=8, threshold=0.4,
+        centroids=centroids, assigned=assigned, pairs=pairs,
+    )
     return kept.select("vec_id", "label").orderBy("vec_id")
 
 
@@ -2114,10 +2181,10 @@ def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_stats
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return semdedup_stats(emb, num_clusters=8, threshold=0.4).orderBy(
-        "centroid_id"
-    )
+    emb, _, assigned, pairs = _sem_shared(spark, sf_dir)
+    return semdedup_stats(
+        emb, num_clusters=8, threshold=0.4, assigned=assigned, pairs=pairs
+    ).orderBy("centroid_id")
 
 
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,13 +2573,10 @@ def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 7 == 3 reference slice. Broadcast count-table joins +
     one groupBy(doc); unseen tokens need no UNK mapping (their
     lookups miss to the smoothed floor)."""
-    from wroclaw_bike_stats_spark.operators.text import (
-        bigram_lm_score,
-        train_bigram_lm,
-    )
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
 
     docs = _t(spark, sf_dir, "documents")
-    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    uni, bi = _ref_lm_shared(spark, sf_dir)
     return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
 
 
@@ -2526,11 +2590,10 @@ def q_ppl_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wroclaw_bike_stats_spark.operators.text import (
         bigram_lm_score,
         thin_bigram_lm,
-        train_bigram_lm,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    uni, bi = _ref_lm_shared(spark, sf_dir)
     uni, bi = thin_bigram_lm(uni, bi, min_count=2)
     return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
 
@@ -2546,12 +2609,11 @@ def q_ppl_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_lm_score,
         bigram_lm_score_cms,
         cms_bigram_sketch,
-        train_bigram_lm,
     )
 
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 7 == 3)
-    uni, bi = train_bigram_lm(ref)
+    uni, bi = _ref_lm_shared(spark, sf_dir)
     sk = cms_bigram_sketch(ref, depth=4, width=16384)
     exact = bigram_lm_score(docs, uni, bi, alpha=0.1)
     cms = bigram_lm_score_cms(docs, uni, sk, alpha=0.1).select(

@@ -94,11 +94,24 @@ SHARED_WARM = frozenset(
         "simhash_recall",
         "simhash_exactdup_consistency",
         "neardup_route_auto",
-        # r10: the fitted portable DSIR model is persisted once and
-        # shared by its three consumers (__spark_entry__._dsir_model)
+        # r10: shared persisted model/stage frames
+        # (__spark_entry__._shared_persisted): the DSIR fit, the
+        # %7==3 reference LM, the portable NB fit and the SemDeDup
+        # assignment+pair stages each build once per (session, sf)
+        # and warm every later consumer in the run
         "dsir_scores",
         "dsir_resample",
         "dsir_scheme_consistency",
+        "bigram_lm_ppl",
+        "ppl_buckets",
+        "ppl_pruned",
+        "ppl_cms_bound",
+        "curate_pipeline_full",
+        "nb_lang_predict",
+        "nb_scheme_consistency",
+        "semdedup_pairs",
+        "semdedup_keep",
+        "semdedup_stats",
     }
 )
 

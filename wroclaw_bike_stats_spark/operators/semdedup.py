@@ -209,6 +209,9 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pair_method: str = "cluster_matmul",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup closure: the corpus with every duplicate group
     collapsed to one representative (rows absent from the pair graph
@@ -219,18 +222,27 @@ def semdedup_keep(
     ``keep="far_from_centroid"``: the paper's rule — representative =
     the group member with the LOWEST cosine to its cluster centroid,
     ties to min id.
-    """
-    centroids, assigned = semdedup_assign(
-        corpus, num_clusters, refine_iters, id_col, vec_col
-    )
-    pairs = semdedup_pairs(
-        corpus,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        pair_method=pair_method,
-        assigned=assigned,
-    )
+
+    ``centroids``/``assigned``/``pairs`` accept precomputed stages
+    (the ``semdedup_pairs(assigned=...)`` hook generalized): a caller
+    holding persisted intermediates — the driver gates share one pair
+    graph across three queries — skips recomputing them; any missing
+    piece is built here. ``keep="min_id"`` with ``pairs`` touches no
+    assignment at all."""
+    need_assign = pairs is None or keep == "far_from_centroid"
+    if need_assign and (centroids is None or assigned is None):
+        centroids, assigned = semdedup_assign(
+            corpus, num_clusters, refine_iters, id_col, vec_col
+        )
+    if pairs is None:
+        pairs = semdedup_pairs(
+            corpus,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            pair_method=pair_method,
+            assigned=assigned,
+        )
     comps = connected_components(
         pairs, src="id_a", dst="id_b", rebalance_edges=True
     )
@@ -407,19 +419,24 @@ def semdedup_stats(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster SemDeDup profile: (centroid_id, n_vectors,
     n_dup_pairs) — the operational view that tells an operator whether
     ``num_clusters`` is keeping cluster sizes (and so the per-task
     Gram cost) bounded. Both ends of a pair share a cluster, so the
-    pair→cluster attribution joins on id_a only."""
-    _, assigned = semdedup_assign(
-        corpus, num_clusters, refine_iters, id_col, vec_col
-    )
-    pairs = semdedup_pairs(
-        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
-        assigned=assigned,
-    )
+    pair→cluster attribution joins on id_a only. ``assigned``/``pairs``
+    accept precomputed stages (the ``semdedup_keep`` hook)."""
+    if assigned is None:
+        _, assigned = semdedup_assign(
+            corpus, num_clusters, refine_iters, id_col, vec_col
+        )
+    if pairs is None:
+        pairs = semdedup_pairs(
+            corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            assigned=assigned,
+        )
     sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
