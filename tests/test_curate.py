@@ -120,6 +120,41 @@ def test_curate_full_is_one_lazy_plan(spark, docs):
     }
 
 
+def test_curate_corpus_scale_model_regime(spark, docs):
+    """lm_broadcast_model=False (round-11 ADVICE fix) declares a
+    corpus-scale/untrimmed model: the default lm_impl="auto" must
+    then resolve to the fully-lazy NATIVE route (no model collect at
+    plan-construction time, no jobs until action) with identical
+    output, and an explicit lm_impl="arrow" pin must raise the
+    scorer's corpus-scale ValueError instead of collecting — the
+    guard text.py's bigram_lm_score always had, now reachable
+    through curate_corpus."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy = curate_corpus(
+        docs, docs.limit(5), lm=lm, max_ppl=40.0,
+        lm_broadcast_model=False,
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "auto+corpus-scale regime ran jobs at build"
+
+    native_out = curate_corpus(
+        docs, docs.limit(5), lm=lm, max_ppl=40.0, lm_impl="native"
+    )
+    assert {tuple(r) for r in lazy.collect()} == {
+        tuple(r) for r in native_out.collect()
+    }
+
+    with pytest.raises(ValueError, match="broadcast_model=False"):
+        curate_corpus(
+            docs, docs.limit(5), lm=lm, max_ppl=40.0,
+            lm_impl="arrow", lm_broadcast_model=False,
+        )
+
+
 def test_curate_ppl_band_and_span_strip(spark, docs):
     """Composition semantics: a doc outside the ppl band is dropped;
     a duplicated 13-token span planted in two surviving docs is

@@ -309,12 +309,24 @@ def test_out_of_order_ingest_guard(spark, docs, tmp_path):
     # max) id range — the crash-between-watermark-and-checkpoint
     # case) must be let through, NOT fenced by its own high-water
     # mark: re-appending is the documented at-least-once behavior,
-    # and raising here would wedge the stream in a restart loop
-    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # and raising here would wedge the stream in a restart loop —
+    # but LOUDLY since r11: the exemption emits a UserWarning
+    with pytest.warns(UserWarning, match="checkpoint-replay"):
+        ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
     assert (
         spark.read.parquet(os.path.join(store, "docs")).count()
         == 2 * counts["docs"]
     )
+
+    # a REGENERATED day file — the last batch's exact id multiset but
+    # DIFFERENT text — must NOT pass as a replay (r11: the fingerprint
+    # carries an order-insensitive content digest); admitting it would
+    # silently append divergent text under already-seen ids
+    regen = b2.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(
+            regen, store, threshold=THRESHOLD, span_k=SPAN_K
+        )
 
     ingest_document_batch(
         b1, store, threshold=THRESHOLD, span_k=SPAN_K,

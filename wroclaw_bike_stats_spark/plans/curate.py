@@ -46,6 +46,7 @@ def curate_corpus(
     max_ppl: float | None = None,
     min_ppl: float | None = None,
     lm_impl: str = "auto",
+    lm_broadcast_model: bool = True,
     lm_assets=None,
     strip_spans: bool = False,
     span_k: int = 13,
@@ -84,6 +85,15 @@ def curate_corpus(
       (reference-sized, typically thinned) MODEL tables at
       plan-construction time. The corpus is never collected. Pin
       ``lm_impl="native"`` for the fully-lazy oracle-shape plan.
+      ``lm_broadcast_model`` declares the MODEL REGIME and is passed
+      straight through to ``text.bigram_lm_score``: the default True
+      asserts the count tables fit one heap (reference-sized or
+      thinned — the regime where auto→arrow is safe); pass False for
+      a corpus-scale/untrimmed model and auto resolves to the
+      fully-lazy native route instead (no collect, AQE-planned
+      shuffle joins), while an explicit ``lm_impl="arrow"`` pin
+      raises the scorer's corpus-scale ValueError rather than
+      risking a driver OOM.
       ``lm_assets`` (``text.collect_lm_assets``) skips even that
       collect when the caller already holds the broadcast model —
       e.g. scale_bench's realppl row scores once for its quantile
@@ -198,7 +208,8 @@ def curate_corpus(
         uni, bi = lm
         ppl = T.bigram_lm_score(
             out, uni, bi, text_col=text_col, id_col=id_col,
-            impl=lm_impl, model_assets=lm_assets,
+            impl=lm_impl, broadcast_model=lm_broadcast_model,
+            model_assets=lm_assets,
         ).select(id_col, "ppl")
         band = F.lit(True)
         if max_ppl is not None:

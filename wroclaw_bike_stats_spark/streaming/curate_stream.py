@@ -66,6 +66,7 @@ above is pinned in tests/test_curate_stream.py.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,7 +97,9 @@ def _d(store_dir: str, what: str) -> str:
     return os.path.join(store_dir, what)
 
 
-def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
+def _maybe(
+    spark: SparkSession, path: str, max_depth: int = 8
+) -> DataFrame | None:
     """Read a store directory if it holds data, else None —
     first-batch bootstrap. Listing goes through the Hadoop FileSystem
     API so the store can live on any supported filesystem (local,
@@ -111,10 +114,11 @@ def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
     contract):
 
     - a non-hidden DATA file anywhere down a non-hidden directory
-      chain (depth-capped) → read: covers both flat appends and
-      hive-partitioned stores written by an external producer,
-      including multi-column partitioning (data files several levels
-      down);
+      chain (depth-capped at ``max_depth`` levels, default 8) →
+      read: covers both flat appends and hive-partitioned stores
+      written by an external producer, including multi-column
+      partitioning (data files several levels down); raise the cap
+      for deeper partition hierarchies;
     - non-hidden subdirectories with NO data anywhere under them →
       raise (unrecognized layout), never a silent None;
     - only hidden/marker entries (e.g. a ``_SUCCESS`` left by a
@@ -128,28 +132,32 @@ def _maybe(spark: SparkSession, path: str) -> DataFrame | None:
     def _is_hidden(status) -> bool:
         return status.getPath().getName().startswith(("_", "."))
 
-    def _has_data(hp, depth: int) -> bool:
+    def _has_data(statuses, depth: int) -> bool:
         subdirs = []
-        for status in fs.listStatus(hp):
+        for status in statuses:
             if _is_hidden(status):
                 continue
             if status.isFile():
                 return True
             subdirs.append(status)
         if depth > 0:
-            return any(_has_data(s.getPath(), depth - 1) for s in subdirs)
+            return any(
+                _has_data(fs.listStatus(s.getPath()), depth - 1)
+                for s in subdirs
+            )
         return False
 
-    saw_subdir = any(
-        s.isDirectory() and not _is_hidden(s) for s in fs.listStatus(hpath)
-    )
-    if _has_data(hpath, depth=8):
+    top = list(fs.listStatus(hpath))
+    saw_subdir = any(s.isDirectory() and not _is_hidden(s) for s in top)
+    if _has_data(top, max_depth):
         return spark.read.parquet(path)
     if saw_subdir:
         raise ValueError(
             f"unrecognized store layout at {path!r}: non-hidden "
-            "subdirectories with no data files anywhere under them - "
-            "refusing to treat the store as empty"
+            "subdirectories with no data files within max_depth="
+            f"{max_depth} directory levels - refusing to treat the "
+            "store as empty (raise _maybe's max_depth if the store "
+            "is partitioned deeper than that)"
         )
     return None
 
@@ -228,14 +236,24 @@ def make_ppl_band_filter(
     )
 
     uni, bi = lm
-    assets: list = []  # memoized (b_uni, b_bi, v_count)
+    # memoized {applicationId: (b_uni, b_bi, v_count)} — keyed by the
+    # batch's OWN SparkContext (the _SHARED_FRAMES discipline), so a
+    # filter object reused across a session/stream restart rebuilds
+    # the broadcasts on the new context instead of scoring against a
+    # dead broadcast from the old one (r11 ADVICE). Note the rebuild
+    # re-collects ``lm``: the count-table DataFrames must still be
+    # resolvable on the new session (re-read stored tables through
+    # it if not).
+    assets: dict = {}
 
     def admit(batch: DataFrame) -> DataFrame:
-        if not assets:
-            assets.append(collect_lm_assets(batch, uni, bi))
+        app_id = batch.sparkSession.sparkContext.applicationId
+        if app_id not in assets:
+            assets.clear()
+            assets[app_id] = collect_lm_assets(batch, uni, bi)
         scored = bigram_lm_score_arrow(
             batch, uni, bi, text_col=text_col, id_col=id_col,
-            model_assets=assets[0],
+            model_assets=assets[app_id],
         ).select(id_col, "ppl")
         band = F.lit(True)
         if max_ppl is not None:
@@ -347,15 +365,18 @@ def ingest_document_batch(
     discipline as span_dedup's parameterization check: a batch whose
     min id is ≤ the stored high-water mark raises ``ValueError``
     before anything is appended — EXCEPT a checkpoint replay of the
-    most recent batch (identical fingerprint: id range, row count
-    AND order-insensitive id hash — a new batch merely sharing the
-    endpoints cannot impersonate one), which is let through:
-    re-appending is the documented at-least-once behavior, and
-    fencing a replay would wedge the stream in a restart-crash loop
-    after a crash between the watermark append and the checkpoint
-    commit. (A regenerated day file with the SAME id multiset but
-    different text also passes — the fingerprint is id-keyed, like
-    the span-parity contract it protects.) The watermark rides in a
+    most recent batch (identical fingerprint: id range, row count,
+    order-insensitive id hash AND — since r11 — an
+    order-insensitive content digest over ``text_col``, so neither
+    a new batch merely sharing the endpoints nor a REGENERATED day
+    file with the same id multiset but different text can
+    impersonate one), which is let through WITH a ``UserWarning``
+    (the re-append is correct at-least-once behavior, but never
+    silent): fencing a replay would wedge the stream in a
+    restart-crash loop after a crash between the watermark append
+    and the checkpoint commit. A legacy (pre-r11) ``maxid/`` store
+    without the ``text_hash`` column keeps the id-keyed replay
+    check. The watermark rides in a
     tiny ``maxid/`` store (one 1-row fingerprint append per batch,
     built from the guard's own aggregate — one batch job total;
     reading it is index-sized, so the guard stays batch-proportional
@@ -395,33 +416,64 @@ def ingest_document_batch(
             # bit_xor, not sum: order-insensitive like sum but cannot
             # overflow (ANSI mode makes a long-sum overflow throw)
             F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("id_hash"),
+            # content digest (r11 ADVICE): a regenerated day file with
+            # the same id multiset but DIFFERENT text must not pass as
+            # a checkpoint replay — same aggregate, one more column
+            F.expr(f"bit_xor(xxhash64(`{text_col}`))").alias("text_hash"),
         ).first()
         if enforce_ascending_ids:
             wm = _maybe(spark, _d(store_dir, "maxid"))
             if wm is not None:
+                has_text_hash = "text_hash" in wm.columns
+                last_fields = ["min_id", "n_rows", "id_hash"] + (
+                    ["text_hash"] if has_text_hash else []
+                )
                 top = wm.agg(
                     F.max("max_id").alias("_mx"),
                     F.max_by(
-                        F.struct("min_id", "n_rows", "id_hash"), "max_id"
+                        F.struct(*last_fields), "max_id"
                     ).alias("_last"),
                 ).first()
                 stored_max, last = top["_mx"], top["_last"]
                 # A CHECKPOINT REPLAY of the most recent batch (crash
                 # after the maxid append, before the checkpoint
                 # commit) re-presents the last recorded fingerprint —
-                # id range AND row count AND id multiset hash, so a
-                # NEW batch that merely shares the endpoints cannot
+                # id range AND row count AND id multiset hash AND
+                # (r11 ADVICE) content digest, so neither a NEW batch
+                # sharing the endpoints nor a REGENERATED day file
+                # with the same ids but different text can
                 # impersonate one — and is let through: re-appending
                 # is the module's documented at-least-once behavior,
                 # and fencing a replay would wedge the stream in a
-                # restart-crash loop. Anything else at-or-below the
+                # restart-crash loop. The content check is skipped
+                # (id-keyed fingerprint, pre-r11 behavior) only for a
+                # legacy maxid store whose rows predate the
+                # text_hash column. Anything else at-or-below the
                 # high-water mark is a genuine ordering violation.
                 is_replay_of_last = (
                     fp["min_id"] == last["min_id"]
                     and fp["max_id"] == stored_max
                     and fp["n_rows"] == last["n_rows"]
                     and fp["id_hash"] == last["id_hash"]
+                    and (
+                        not has_text_hash
+                        or last["text_hash"] is None  # legacy rows
+                        or fp["text_hash"] == last["text_hash"]
+                    )
                 )
+                if is_replay_of_last:
+                    # loud, not silent: the admit is correct
+                    # (at-least-once), but an operator watching the
+                    # logs should know rows are being double-appended
+                    warnings.warn(
+                        "ingest_document_batch: checkpoint-replay "
+                        f"exemption admitted batch [{fp['min_id']}, "
+                        f"{stored_max}] again ({fp['n_rows']} rows) - "
+                        "its rows will be re-appended (documented "
+                        "at-least-once behavior)",
+                        UserWarning,
+                        stacklevel=2,
+                    )
                 if (
                     stored_max is not None
                     and fp["min_id"] is not None
@@ -493,6 +545,7 @@ def ingest_document_batch(
                     StructField("max_id", id_type),
                     StructField("n_rows", LongType()),
                     StructField("id_hash", LongType()),
+                    StructField("text_hash", LongType()),
                 ]
             )
             spark.createDataFrame(
@@ -502,6 +555,7 @@ def ingest_document_batch(
                         fp["max_id"],
                         fp["n_rows"],
                         fp["id_hash"],
+                        fp["text_hash"],
                     )
                 ],
                 wm_schema,
