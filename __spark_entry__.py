@@ -2821,19 +2821,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_daily_event_metrics(_acquire(spark), SF_DEFAULT)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering = verification priority, rotated each round by
-    # LEAST-RECENTLY-DRIVER-VERIFIED (the driver samples a ~50-entry
-    # prefix; see COVERAGE.md "gate window"). The r10 ordering below is
-    # what `tools/gate_rotation.py` computes from CORRECTNESS_r01–r09,
-    # plus the manual head entries the script cannot see (gates whose
-    # code/schema changed AFTER their last driver row — git, not
-    # ledger): first the three gates edited this round or after their
-    # r08 rows, then the 16 r07-stale oracle-backed entries (they hit
-    # the two-round bound at r10), then the r08 block (the 17 past the
-    # window boundary hit the bound at r11 and lead then), then the
-    # r09 block, then the rows-only (no-oracle) sketch/hash queries
-    # last. Every callable is bound to the _acquire session boundary.
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The STABLE name→callable registry. Dict order here is only the
+    # final tie-break inside a freshness class — the ordering the
+    # driver sees is _GATE_ORDER below (generated each round-open by
+    # `python tools/gate_rotation.py --apply`, which sorts by
+    # least-recently-driver-verified; see COVERAGE.md "gate window").
+    # The grouping comments below record the r10 snapshot they were
+    # written under and are NOT the served order anymore.
     q = {
         # --- edited after their last driver row (r10 head; must be
         #     re-attested): neardup_route_auto rewritten scale-safe
@@ -2977,7 +2972,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_indexed": q_embedding_topk_ivf_indexed,
     }
-    return {k: _with_session(v) for k, v in q.items()}
+    return q
+
+
+# BEGIN GATE_ORDER
+_GATE_ORDER = [
+    "curate_pipeline_full",
+    "curate_pipeline",
+    "value_quantiles_approx",
+    "simhash_groups",
+    "simhash_neardup",
+    "embedding_topk_ivf_indexed",
+    "minhash_neardup",
+    "embedding_topk_ivf",
+    "user_count_hll",
+    "text_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "profile_orders",
+    "lineitem_stats",
+    "tfidf_top_terms",
+    "term_df",
+    "neardup_components",
+    "neardup_dedup_keep",
+    "embedding_topk",
+    "embedding_neardup",
+    "multimodal_bytes",
+    "json_props_stats",
+    "explode_token_positions",
+    "unpivot_lineitem_metrics",
+    "user_event_gaps",
+    "acctbal_quartiles",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_metrics",
+    "date_arith_orders",
+    "decontam_docs",
+    "decontam_ngram",
+    "decontam_shuffle",
+    "dsir_scores",
+    "except_users",
+    "filter_project_part",
+    "global_index",
+    "group_quota_cap",
+    "grouping_sets_revenue",
+    "hash_split",
+    "hourly_histogram",
+    "intersect_users",
+    "large_orders_having",
+    "minhash_recall",
+    "order_count_distribution",
+    "order_priority_late",
+    "pii_scrub",
+    "pricing_summary",
+    "promo_revenue_share",
+    "region_nation_revenue",
+    "repetition_stats",
+    "revenue_rank_by_nation",
+    "revenue_topk",
+    "rich_customers_by_nation",
+    "rollup_order_stats",
+    "running_customer_revenue",
+    "salted_join_skew",
+    "seq_packing",
+    "shipping_volume_nations",
+    "simhash_recall",
+    "skew_orders",
+    "status_change_events",
+    "string_funcs_part",
+    "suppliers_above_avg",
+    "table_diff_docs",
+    "top_transitions",
+    "topk_customers",
+    "union_distinct_users",
+    "user_first_last",
+    "user_traffic_fullouter",
+    "validate_orders",
+    "weighted_mix",
+    "neardup_route_auto",
+    "nb_scheme_consistency",
+    "banded_components_refinement",
+    "cms_heavy_hitters",
+    "corpus_shuffle",
+    "decontam_bloom",
+    "decontam_fuzzy",
+    "dsir_resample",
+    "fuzzy_contam_pairs",
+    "gopher_filter",
+    "gopher_stats",
+    "nb_lang_predict",
+    "ppl_buckets",
+    "semdedup_incremental",
+    "semdedup_keep",
+    "semdedup_pairs",
+    "semdedup_stats",
+    "temperature_mix",
+    "token_budget",
+    "ppl_pruned",
+    "ppl_cms_bound",
+    "dsir_scheme_consistency",
+    "incremental_neardup_recall",
+    "hll_bounds",
+    "skew_safe_distinct",
+    "approx_quantile_bounds",
+    "ivf_recall",
+    "simhash_exactdup_consistency",
+    "pivot_priority_status",
+    "distinct_event_dates",
+    "latest_event_date",
+    "range_reagg_busiest",
+    "group_quota_cap_sparse",
+    "chunk_documents",
+    "span_dup_detect",
+    "span_dup_stats",
+    "span_strip",
+    "span_strip_incremental",
+    "bigram_lm_ppl",
+    "range_series_daily",
+    "range_hist_avg",
+    "range_reagg_routes",
+    "asof_last_purchase",
+    "range_join_error_window",
+    "tumbling_window_agg",
+    "sessionize",
+    "cube_event_stats",
+    "value_quantiles",
+    "dedup_exact",
+]
+# END GATE_ORDER
+# ^ generated — DO NOT edit by hand. Regenerate at every round-open:
+#     python tools/gate_rotation.py --apply [--head g1,g2,...]
+# (--head = gates whose code/schema changed after their last driver
+# row; the ledger cannot see those — the round verdict names them.)
+# Ordering = verification priority: the driver samples a ~50-entry
+# prefix of queries(), so this list IS the gate-window rotation.
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _query_registry()
+    assert set(_GATE_ORDER) == set(q), (
+        "stale _GATE_ORDER - rerun `python tools/gate_rotation.py "
+        f"--apply`; diff: {sorted(set(_GATE_ORDER) ^ set(q))}"
+    )
+    # Every callable is bound to the _acquire session boundary.
+    return {k: _with_session(q[k]) for k in _GATE_ORDER}
 
 
 # Shared SQL fragments (keep in sync with operators/text.py).
