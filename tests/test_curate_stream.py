@@ -529,3 +529,81 @@ def test_stream_end_to_end_with_scored_stage(spark, docs, tmp_path):
     )
     got_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
     assert got_pairs == want_pairs
+
+
+def test_stream_end_to_end_with_stacked_scored_stages(spark, docs, tmp_path):
+    """run_curation_stream with TWO scored stages stacked (r10 verdict
+    task 5): the DSIR importance threshold AND the NB keep-class rule
+    composed into one admit_filter, driven through the file source +
+    checkpoint end to end — the ingest-level combined-filters parity
+    (test_dsir_and_nb_admit_filters_batch_parity) lifted through the
+    stream runner. Composition of per-doc filters under fixed assets
+    is itself per-doc under fixed assets, so per-batch admission of
+    the stack ≡ one-shot stacked filtering of the union; admitted
+    docs AND pair store must match, and the stack must be strictly
+    tighter than either stage alone (non-vacuous stacking)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wroclaw_bike_stats_spark.operators.classifier import nb_train
+    from wroclaw_bike_stats_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        make_dsir_threshold_filter,
+        make_nb_class_filter,
+    )
+
+    full = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = dsir_logratio(full.filter(F.col("doc_id") % 9 == 1), full)
+    med = dsir_scores(full, model).approxQuantile("logw", [0.5], 0.0)[0]
+    dsir_flt = make_dsir_threshold_filter(model, min_logw=med)
+    classes = ["de", "en", "es", "fr", "zh"]
+    w, p = nb_train(full, classes, label_col="lang")
+    nb_flt = make_nb_class_filter(w, p, classes, keep_classes={"en"})
+
+    def stacked(batch):
+        return nb_flt(dsir_flt(batch))
+
+    subset = full.select("doc_id", "text")
+    want_union = stacked(subset)
+    want_ids = {r.doc_id for r in want_union.select("doc_id").collect()}
+    dsir_ids = {r.doc_id for r in dsir_flt(subset).select("doc_id").collect()}
+    nb_ids = {r.doc_id for r in nb_flt(subset).select("doc_id").collect()}
+    assert want_ids, "vacuous stack: nothing admitted"
+    assert want_ids < dsir_ids and want_ids < nb_ids, (
+        "stack not strictly tighter than both stages - pick other bounds"
+    )
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i, b in enumerate(_doc_batches(subset, n=3)):
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(b.orderBy("doc_id").toPandas()), path
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = str(tmp_path / "store")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = run_curation_stream(
+        spark, str(input_dir), store, schema, str(tmp_path / "ckpt"),
+        threshold=THRESHOLD, span_k=SPAN_K, admit_filter=stacked,
+    )
+    q.awaitTermination(300)
+
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(store, "docs")).collect()
+    }
+    assert got_ids == want_ids
+    want_pairs = _pair_set(
+        D.minhash_dedup_pairs(want_union, threshold=THRESHOLD)
+    )
+    got_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    assert got_pairs == want_pairs
