@@ -72,6 +72,9 @@ SF1S = os.environ.get("SPARK_GRAFT_SF1S_DIR", "/root/repo/scale_data/sf1_salt")
 SF10S = os.environ.get(
     "SPARK_GRAFT_SF10S_DIR", "/root/repo/scale_data/sf10_salt"
 )
+SF100S = os.environ.get(
+    "SPARK_GRAFT_SF100S_DIR", "/root/repo/scale_data/sf100_salt"
+)
 STORE = "/root/repo/scale_data/store"
 # LSH sized to the LARGEST corpus measured, per
 # hyperplane_band_candidates' sizing rule (bits_per_band ≳ log2(n)):
@@ -103,7 +106,7 @@ ENTRY_POINTS = {
 def sf_dir_of(tag: str) -> str:
     return {
         "sf0.1": SF01, "sf1": SF1, "sf10": SF10, "sf100": SF100,
-        "sf0.1s": SF01S, "sf1s": SF1S, "sf10s": SF10S,
+        "sf0.1s": SF01S, "sf1s": SF1S, "sf10s": SF10S, "sf100s": SF100S,
     }[tag]
 
 
@@ -754,11 +757,16 @@ FAMILY = {
 # summary — same data ratio, different (content-preserving) corpus,
 # called out in the row's docstring + SCALING.md prose
 FAMILY_POINTS = {
-    # ALL THREE points on salt corpora (incl. the factor-1 sf0.1 base)
-    # so the time ratios divide like-content corpora — a token-suffix
+    # ALL points on salt corpora (incl. the factor-1 sf0.1 base) so
+    # the time ratios divide like-content corpora — a token-suffix
     # base would make the 10x/100x ratios compare across materially
-    # different text (N-times vocabulary, longer tokens).
-    "curate_full_corpus_realppl": ("sf0.1s", "sf1s", "sf10s"),
+    # different text (N-times vocabulary, longer tokens). The 1000×
+    # point (sf100_salt, 5M docs — measured ~25 min per run in r11)
+    # is opt-in via SPARK_GRAFT_REALPPL_SF100=1 rather than paid on
+    # every bench, the SPARK_GRAFT_CC_SF100 precedent; it runs
+    # cold-once (runs=1) like the other >5 min opt-in rows.
+    "curate_full_corpus_realppl": ("sf0.1s", "sf1s", "sf10s")
+    + (("sf100s",) if os.environ.get("SPARK_GRAFT_REALPPL_SF100") else ()),
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
 # at the largest measured point)
@@ -889,7 +897,8 @@ def main() -> int:
         if only and name not in only:
             continue
         for tag in FAMILY_POINTS.get(name, DEDUP_POINTS):
-            sec, rows = _time(fn, spark, sf_dir_of(tag))
+            runs = 1 if tag == "sf100s" else 2
+            sec, rows = _time(fn, spark, sf_dir_of(tag), runs=runs)
             # salt tags land under the plain 10×/100× summary keys
             # (sf1s→sf1, sf10s→sf10): same data ratio, different
             # (content-preserving) corpus — see FAMILY_POINTS note
