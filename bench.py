@@ -207,6 +207,8 @@ def main() -> None:
          "/root/repo/BENCH_ANCHOR_r09.json", "vs_r09"),
         ("SPARK_GRAFT_BENCH_ANCHOR_R10",
          "/root/repo/BENCH_ANCHOR_r10.json", "vs_r10"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R11",
+         "/root/repo/BENCH_ANCHOR_r11.json", "vs_r11"),
     ):
         anchor = _load_anchor(os.environ.get(env, path))
         if anchor:
