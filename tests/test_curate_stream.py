@@ -283,6 +283,92 @@ def test_embedding_side_parity(spark, tmp_path):
     assert len(want_keep) < union.count(), "vacuous: nothing deduped"
 
 
+def test_embedding_stream_end_to_end(spark, tmp_path):
+    """run_embedding_curation_stream (round 11): three daily embedding
+    drops through the file source + checkpoint. The runner's bootstrap
+    fits centroids on the FIRST drop and appends its within-batch
+    pairs, so — unlike bare init_embedding_store — the first drop need
+    NOT be internally deduped: kept_view_embeddings must equal the
+    one-shot SemDeDup keep over the union under the stored centroids,
+    and the sem_pairs store must equal the one-shot pair set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        run_embedding_curation_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    batches = [
+        emb.filter(F.col("vec_id") < cut1),
+        emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        emb.filter(F.col("vec_id") >= cut2),
+    ]
+    # the new contract is only exercised if drop 1 has internal pairs
+    first_internal = semdedup_pairs(
+        batches[0], num_clusters=4, threshold=EMB_THRESHOLD
+    )
+    assert first_internal.head(1), "vacuous: first drop internally clean"
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i, b in enumerate(batches):
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(b.orderBy("vec_id").toPandas()), path
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = str(tmp_path / "emb_store")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    q = run_embedding_curation_stream(
+        spark, str(input_dir), store, schema, str(tmp_path / "ckpt"),
+        threshold=EMB_THRESHOLD, num_clusters=4,
+    )
+    q.awaitTermination(300)
+
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    cents = spark.read.parquet(os.path.join(store, "centroids"))
+    one_shot = semdedup_pairs(
+        union,
+        threshold=EMB_THRESHOLD,
+        assigned=assign_to_centroids(union, cents),
+    )
+    want = _pair_set(one_shot)
+    assert want, "vacuous: no semantic pairs at this threshold"
+    got = _pair_set(spark.read.parquet(os.path.join(store, "sem_pairs")))
+    assert got == want
+
+    want_keep = {
+        r.vec_id
+        for r in keep_canonical(
+            union,
+            comps=connected_components(one_shot, rebalance_edges=True),
+            id_col="vec_id",
+        ).collect()
+    }
+    got_keep = {
+        r.vec_id for r in kept_view_embeddings(spark, store).collect()
+    }
+    assert got_keep == want_keep
+    assert len(want_keep) < union.count(), "vacuous: nothing deduped"
+
+
 def test_out_of_order_ingest_guard(spark, docs, tmp_path):
     """The span-parity precondition (ascending-id ingest) is a RUNTIME
     GUARD since round 10, not prose: a batch whose min id <= the

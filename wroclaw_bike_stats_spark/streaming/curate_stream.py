@@ -90,6 +90,7 @@ __all__ = [
     "make_ppl_band_filter",
     "read_window_index_store",
     "run_curation_stream",
+    "run_embedding_curation_stream",
 ]
 
 
@@ -709,3 +710,69 @@ def kept_view_embeddings(
         pairs, src="id_a", dst="id_b", rebalance_edges=True
     )
     return keep_canonical(base, comps=comps, id_col=id_col)
+
+
+def run_embedding_curation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    schema,
+    checkpoint_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    available_now: bool = True,
+):
+    """The embedding-side twin of ``run_curation_stream`` (round 11):
+    wire ``ingest_embedding_batch`` to a file-source stream, one
+    input file per daily drop (``maxFilesPerTrigger=1``), AvailableNow
+    for catch-up-then-stop.
+
+    Bootstrap makes the stream runner STRONGER than bare
+    ``init_embedding_store``: when the store has no centroids yet,
+    the first micro-batch fits them (the SemDeDup fixed-centroids
+    contract — fit exactly once, on the first drop) AND appends its
+    own WITHIN-batch semantic pairs under those fresh centroids, so
+    the module's "resident corpus internally deduped" precondition
+    disappears for streams started from scratch: every pair of the
+    eventual union is delivered either by the first batch (its
+    internal pairs) or by the batch of its later member
+    (``semdedup_incremental_pairs``: new↔new and new↔old), and
+    ``kept_view_embeddings`` equals the one-shot SemDeDup keep over
+    the union under the stored centroids — pinned in
+    tests/test_curate_stream.py. Exactly-once per batch comes from
+    the checkpoint, same caveats as the document stream."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if _maybe(spark, _d(store_dir, "centroids")) is None:
+            init_embedding_store(
+                batch, store_dir, num_clusters=num_clusters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            assigned = spark.read.parquet(_d(store_dir, "assigned"))
+            semdedup_pairs(
+                batch, threshold=threshold, id_col=id_col,
+                vec_col=vec_col, assigned=assigned,
+            ).write.mode("append").parquet(_d(store_dir, "sem_pairs"))
+        else:
+            ingest_embedding_batch(
+                batch, store_dir, threshold, id_col, vec_col
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
