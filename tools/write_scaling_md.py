@@ -207,7 +207,17 @@ def main(path: str) -> int:
         "so the composed real-band pipeline lands at 342× time for",
         "1000× data with no quadratic blow-up — the salt-corpus",
         "span-strip caveat cost is replication-inflated in FRACTION",
-        "stripped, not in asymptotic cost.",
+        "stripped, not in asymptotic cost. Stage split",
+        "(tools/probe_realppl_stages.py, single cold runs): band",
+        "setup (one Arrow scoring pass + approxQuantile) 23.1 →",
+        "193.3 s (8.4× — scan-bound, sublinear); pipeline sans strip",
+        "119.7 → 1474.3 s (12.3× — repetition explode+agg and the",
+        "band join-back at growing shuffle widths); strip residual",
+        "(headline − band − nostrip) ≈ 12 → 279 s (~23× — the",
+        "per-window site groups DO grow with shard count exactly as",
+        "the caveat says, but the strip is only ~14% of the total,",
+        "so the row stays near-linear; on a real non-replicated",
+        "corpus window groups would not concentrate like this).",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
