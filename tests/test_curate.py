@@ -155,6 +155,29 @@ def test_curate_corpus_scale_model_regime(spark, docs):
         )
 
 
+def test_curate_rep_impl_routes_agree(spark, docs):
+    """rep_impl (r11): the default "auto" routes the repetition stage
+    through the zero-shuffle Arrow column (no join-back, stays lazy);
+    its survivors must equal the oracle-shape "native" explode+agg
+    route's byte-for-byte, including with a planted doc that the
+    top-2-gram cap drops (non-vacuous stage)."""
+    loop2 = " ".join(["rep loop"] * 20)  # top2 share ~0.5+ -> dropped
+    extra = spark.createDataFrame(
+        [(300001, loop2, "en", "web", 40)], docs.schema
+    )
+    corpus = docs.unionByName(extra)
+    kw = dict(min_tokens=5, max_top2gram_frac=0.3, scrub=False)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    auto = curate_corpus(corpus, None, **kw)
+    assert tracker.getJobIdsForGroup(None) == before, "arrow rep ran jobs"
+    native = curate_corpus(corpus, None, rep_impl="native", **kw)
+    a = {tuple(r) for r in auto.collect()}
+    n = {tuple(r) for r in native.collect()}
+    assert a == n
+    assert 300001 not in {t[0] for t in a}, "vacuous: cap dropped nothing"
+
+
 def test_curate_ppl_band_and_span_strip(spark, docs):
     """Composition semantics: a doc outside the ppl band is dropped;
     a duplicated 13-token span planted in two surviving docs is
@@ -384,10 +407,25 @@ def test_persist_stages_parity_and_release(spark, docs):
         ).collect()
     )
     assert lazy == persisted
-    # three self-join branches active => three registered frames
-    assert len(scratch._SCRATCH) == 3
+    # r11: the default rep_impl="auto" repetition stage is a per-row
+    # Arrow column — NOT a self-join branch — so only the ppl band
+    # and span strip register persisted frames
+    assert len(scratch._SCRATCH) == 2
     cached = [df for df in scratch._SCRATCH if df.storageLevel.useMemory]
-    assert len(cached) == 3
+    assert len(cached) == 2
+    scratch.release()
+    assert not scratch._SCRATCH
+
+    # the oracle-shape native repetition route keeps its persist:
+    # three self-join branches => three registered frames
+    native = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            docs, eval_set, persist_stages=True, rep_impl="native", **kw
+        ).collect()
+    )
+    assert native == lazy
+    assert len(scratch._SCRATCH) == 3
     scratch.release()
     assert not scratch._SCRATCH
 
@@ -399,7 +437,12 @@ def test_persist_stages_single_scan_per_branch(spark, docs):
     from wroclaw_bike_stats_spark.operators import scratch
 
     scratch.release()
-    out = curate_corpus(docs, None, min_tokens=5, persist_stages=True)
+    # rep_impl="native": the repetition stage IS the self-join branch
+    # this test exercises (the r11 arrow default has no branch to
+    # cache — nothing to scan from memory)
+    out = curate_corpus(
+        docs, None, min_tokens=5, persist_stages=True, rep_impl="native"
+    )
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan

@@ -209,6 +209,49 @@ def test_repetition_stats_short_docs(spark):
     assert (got[3].top2_count, got[3].total_2grams, got[3].dup_word_frac) == (0, 0, 0.0)
 
 
+def test_repetition_stats_arrow_parity(spark):
+    """impl="arrow" (r11: repetition_2gram_struct — zero-shuffle
+    per-doc column) must be byte-parity with the native explode+agg
+    route, including the tokenization edge cases the arrow routes
+    mirror deliberately: NBSP is NOT whitespace (Java \\s), trim
+    strips spaces only (tab-only docs keep their empty-string
+    tokens), null text, repeated runs of spaces, and mode ties."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (900001, "a b a b a"),
+            (900002, "word"),
+            (900003, ""),
+            (900004, None),
+            (900005, "x y x y x y"),  # NBSP-joined tokens
+            (900006, "\t\t"),
+            (900007, "  p   q  p   q  "),
+            (900008, "t1 t2 t2 t3 t1 t2"),  # tie: (t1,t2) vs (t2,?)
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(edge)
+    nat = {
+        r.doc_id: (r.dup_word_frac, r.top2_count, r.total_2grams)
+        for r in T.repetition_stats(corpus, impl="native").collect()
+    }
+    arr = {
+        r.doc_id: (r.dup_word_frac, r.top2_count, r.total_2grams)
+        for r in T.repetition_stats(corpus, impl="arrow").collect()
+    }
+    assert nat == arr
+    # and "auto" resolves to the arrow route
+    aut = {
+        r.doc_id: (r.dup_word_frac, r.top2_count, r.total_2grams)
+        for r in T.repetition_stats(corpus, impl="auto").collect()
+    }
+    assert aut == nat
+
+
 def test_add_global_index_dense_and_ordered(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     got = {

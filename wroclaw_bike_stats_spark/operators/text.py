@@ -470,17 +470,91 @@ def word_bigrams(col: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+def repetition_2gram_struct(col: Column) -> Column:
+    """Per-row Arrow route for the 2-gram repetition signal: a
+    ``struct<top2_count:long, total_2grams:long>`` COLUMN (most-common
+    adjacent-2-gram count and total 2-grams of the doc), computed in
+    one Arrow-batched pass with a per-doc Counter — linear per doc,
+    ZERO shuffle, and because it is a column (not a derived frame)
+    consumers need no join-back onto the corpus. This is the shape
+    ``plans/curate.py``'s repetition stage wants at 100 TB: the
+    native ``repetition_stats`` route explodes every survivor 2-gram
+    through TWO keyed aggregations and re-joins the result (the
+    pipeline's only remaining self-referencing shuffle branch besides
+    the model stages). Tokenization mirrors the native ``tokens()``
+    exactly (the ``_gopher_filter_arrow`` precedent: Java ``\\s`` ==
+    Python ASCII ``\\s``; ``trim`` strips spaces only), so the two
+    routes are byte-parity — pinned in tests/test_pipeline_ops.py."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _stats(t) -> tuple:
+        ts = (t or "").strip(" ")
+        toks = ws.split(ts) if ts != "" else []
+        if len(toks) < 2:
+            return 0, 0
+        counts: dict = {}
+        prev = toks[0]
+        for w in toks[1:]:
+            g = (prev, w)
+            counts[g] = counts.get(g, 0) + 1
+            prev = w
+        return max(counts.values()), len(toks) - 1
+
+    def _rep(s):
+        rows = [_stats(t) for t in s]
+        return pd.DataFrame(rows, columns=["top2_count", "total_2grams"])
+
+    # real annotation objects, not PEP-563 strings (this module has
+    # `from __future__ import annotations`, which would break
+    # pandas_udf's Series→DataFrame eval-type inference)
+    _rep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    rep_udf = F.pandas_udf(_rep, "struct<top2_count:long,total_2grams:long>")
+    return rep_udf(col)
+
+
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id", impl: str = "native"
+):
     """Gopher-style repetition metrics per document: most-common-2-gram
     share and duplicate-word fraction.
 
-    The 2-gram mode is computed by explode → two keyed aggregations,
-    NOT by a per-row nested higher-order function: a HOF mode scan is
-    O(distinct²) per document of interpreted expression evaluation,
-    while this shape is linear work with map-side partial aggregation
-    on (doc, gram) — the plan that survives billion-document corpora.
-    Docs with <2 tokens get top2_count=0/total_2grams=0.
+    ``impl`` routes the 2-gram mode computation (the
+    ``gopher_quality_filter(impl=...)`` precedent):
+
+    - ``"native"`` (default — the oracle-gated SQL-differential
+      shape): explode → two keyed aggregations → join back. Linear
+      work with map-side partial aggregation on (doc, gram), but it
+      shuffles the gram stream twice and re-references ``df``.
+    - ``"arrow"`` / ``"auto"``: ``repetition_2gram_struct`` — one
+      zero-shuffle Arrow pass, no join-back (the stat is per-doc, so
+      unlike Gopher there is no rule-dependent regime: the arrow
+      route wins whenever Python workers are warm, measured 4.7×
+      at sf10 — SCALING.md r11 note). Byte-parity with native is
+      pinned in tests.
+
+    Docs with <2 tokens get top2_count=0/total_2grams=0 either way.
     """
+    if impl == "auto":
+        impl = "arrow"
+    base = df.select(
+        F.col(id_col),
+        F.round(dup_word_frac(F.col(text_col)), 4).alias("dup_word_frac"),
+        F.col(text_col).alias("_rep_text"),
+    )
+    if impl == "arrow":
+        st = repetition_2gram_struct(F.col("_rep_text"))
+        return base.select(
+            id_col,
+            "dup_word_frac",
+            st.getField("top2_count").alias("top2_count"),
+            st.getField("total_2grams").alias("total_2grams"),
+        )
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}")
     grams = df.select(
         F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("_g")
     )
@@ -491,11 +565,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         F.max("_c").cast("long").alias("top2_count"),
         F.sum("_c").cast("long").alias("total_2grams"),
     )
-    base = df.select(
-        F.col(id_col),
-        F.round(dup_word_frac(F.col(text_col)), 4).alias("dup_word_frac"),
-    )
-    return base.join(top, id_col, "left").select(
+    return base.drop("_rep_text").join(top, id_col, "left").select(
         id_col,
         "dup_word_frac",
         F.coalesce("top2_count", F.lit(0)).alias("top2_count"),

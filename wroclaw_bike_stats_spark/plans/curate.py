@@ -38,6 +38,7 @@ def curate_corpus(
     max_tokens: int = 100_000,
     max_dup_word_frac: float = 0.9,
     max_top2gram_frac: float = 0.5,
+    rep_impl: str = "auto",
     gopher_bounds: dict | None = None,
     decontam_mode: str = "exact",
     decontam_n: int = 5,
@@ -106,12 +107,19 @@ def curate_corpus(
       references the survivor plan twice (site generation + rebuild
       join).
 
-    ``persist_stages`` is the composed-pipeline scale switch: three
-    stages (repetition, ppl band, span strip) each derive a signal
-    frame FROM the survivor plan and join it BACK onto the survivor
-    plan, so the fully-lazy composition re-reads the progressively
-    filtered corpus once per self-referencing branch (~5 scans per
-    action with everything enabled). With ``persist_stages=True`` the
+    ``rep_impl`` (r11) routes the repetition stage: the default
+    ``"auto"``→``"arrow"`` computes the top-2-gram share as a
+    per-row Arrow column (``text.repetition_2gram_struct`` — no
+    shuffle, no join-back, byte-parity with native pinned in tests);
+    ``"native"`` keeps the oracle-shape explode+agg+join branch.
+
+    ``persist_stages`` is the composed-pipeline scale switch: the
+    self-referencing stages (the ``rep_impl="native"`` repetition
+    branch, ppl band, span strip) each derive a signal frame FROM
+    the survivor plan and join it BACK onto the survivor plan, so
+    the fully-lazy composition re-reads the progressively filtered
+    corpus once per self-referencing branch (~5 scans per action
+    with everything enabled). With ``persist_stages=True`` the
     survivor frame is scratch-persisted (operators/scratch.py,
     MEMORY_AND_DISK, lazy — no job until the first action) immediately
     before each self-join branch, so each stage costs ONE corpus scan
@@ -176,25 +184,52 @@ def curate_corpus(
             out, text_col=text_col, **{"impl": "auto", **gopher_bounds}
         )
 
-    # repetition filter: top-2-gram share (explode+agg over survivors).
-    # Self-referencing branch: `rep` derives from `out` and joins back
-    # onto it — persist the survivor frame first at scale.
-    if persist_stages:
-        out = scratch.persist(out)
-    rep = T.repetition_stats(out, text_col=text_col, id_col=id_col).select(
-        id_col,
-        F.when(
-            F.col("total_2grams") > 0,
-            F.col("top2_count") / F.col("total_2grams"),
+    # repetition filter: top-2-gram share. rep_impl routes it (r11,
+    # the gopher/LM impl precedent):
+    #   "auto"/"arrow" — repetition_2gram_struct: the share is a
+    #     per-row Arrow COLUMN, so the stage is a plain filter — no
+    #     shuffle, no join-back, no self-referencing branch (and thus
+    #     no persist needed here even at scale);
+    #   "native" — the oracle-shape explode+agg frame joined back
+    #     onto the survivors (the original self-referencing branch —
+    #     persist the survivor frame first at scale).
+    if rep_impl in ("auto", "arrow"):
+        st = T.repetition_2gram_struct(F.col(text_col))
+        out = (
+            out.withColumn("_rep", st)
+            .filter(
+                (F.col("_rep.total_2grams") <= 0)
+                | (
+                    F.col("_rep.top2_count") / F.col("_rep.total_2grams")
+                    <= max_top2gram_frac
+                )
+            )
+            .drop("_rep")
         )
-        .otherwise(F.lit(0.0))
-        .alias("_top2_frac"),
-    )
-    out = (
-        out.join(rep, id_col, "left")
-        .filter(F.coalesce(F.col("_top2_frac"), F.lit(0.0)) <= max_top2gram_frac)
-        .drop("_top2_frac")
-    )
+    elif rep_impl == "native":
+        if persist_stages:
+            out = scratch.persist(out)
+        rep = T.repetition_stats(
+            out, text_col=text_col, id_col=id_col
+        ).select(
+            id_col,
+            F.when(
+                F.col("total_2grams") > 0,
+                F.col("top2_count") / F.col("total_2grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_top2_frac"),
+        )
+        out = (
+            out.join(rep, id_col, "left")
+            .filter(
+                F.coalesce(F.col("_top2_frac"), F.lit(0.0))
+                <= max_top2gram_frac
+            )
+            .drop("_top2_frac")
+        )
+    else:
+        raise ValueError(f"unknown rep_impl {rep_impl!r}")
 
     # perplexity band under the reference bigram LM (CCNet keeps a
     # band of exactly this signal). lm_impl="auto" resolves to the
