@@ -194,30 +194,35 @@ def main(path: str) -> int:
         "time-sublinear in data (the windows shuffle once on their",
         "keys and AQE right-sizes partitions).",
         "",
-        "ROUND-11: the realppl row's 1000× cell is now MEASURED",
+        "ROUND-11: the realppl row's 1000× cell is MEASURED",
         "(sf100_salt, 5M docs; cold-once like the other >5 min opt-in",
-        "rows, gated behind SPARK_GRAFT_REALPPL_SF100=1): 1947.0 s,",
-        "2,952,000 kept rows — the keep fraction is scale-stable at",
-        "59.0% across all four points (2949/29530/295300/2952000 =",
-        "exactly linear rows, the load-bearing check the r10 note",
-        "named) and the prediction that strip cost stays linear in",
-        "site volume held: the 100×→1000× time step is 12.6× on 10×",
-        "data, TAMER than the 10×→100× step's 17.4× (the per-window",
-        "site-group growth amortizes once groups span enough shards),",
-        "so the composed real-band pipeline lands at 342× time for",
-        "1000× data with no quadratic blow-up — the salt-corpus",
-        "span-strip caveat cost is replication-inflated in FRACTION",
-        "stripped, not in asymptotic cost. Stage split",
+        "rows, gated behind SPARK_GRAFT_REALPPL_SF100=1), and the",
+        "measurement drove an operator change. First cut: 1947.0 s /",
+        "2,952,000 kept rows — keep fraction scale-stable at 59.0%",
+        "across all four points (2949/29530/295300/2952000 = exactly",
+        "linear rows, the load-bearing check the r10 note named), no",
+        "quadratic blow-up. A stage split of that run",
         "(tools/probe_realppl_stages.py, single cold runs): band",
         "setup (one Arrow scoring pass + approxQuantile) 23.1 →",
-        "193.3 s (8.4× — scan-bound, sublinear); pipeline sans strip",
-        "119.7 → 1474.3 s (12.3× — repetition explode+agg and the",
-        "band join-back at growing shuffle widths); strip residual",
-        "(headline − band − nostrip) ≈ 12 → 279 s (~23× — the",
-        "per-window site groups DO grow with shard count exactly as",
-        "the caveat says, but the strip is only ~14% of the total,",
-        "so the row stays near-linear; on a real non-replicated",
-        "corpus window groups would not concentrate like this).",
+        "193.3 s at sf10s→sf100s (8.4× — scan-bound, sublinear);",
+        "pipeline sans strip 119.7 → 1474.3 s (12.3× — DOMINANT);",
+        "strip residual ≈ 12 → 279 s (~23× — per-window site groups",
+        "grow with shard count exactly as the salt caveat says, but",
+        "at ~14% of total the strip is not the story). The dominant",
+        "term motivated the r11 repetition-stage rewrite: the",
+        "top-2-gram share is a PER-DOC statistic, so",
+        "text.repetition_2gram_struct computes it as one Arrow",
+        "column (zero shuffle, no join-back, byte-parity pinned) and",
+        "curate_corpus's rep_impl='auto' routes through it — the",
+        "gram explode + two keyed aggregations + survivor re-join",
+        "disappear from the composed plan. Re-measured (the table",
+        "rows below): realppl 1947.0 → 829.7 s at sf100s (2.35×;",
+        "1000× ratio 342× → 232×, and the 100×→1000× step drops to",
+        "8.1× on 10× data — sublinear), sf10s 154.7 → 103.0 s in the",
+        "same warm sequence (78.8 s in a dedicated clean run);",
+        "curate_full_corpus (token-suffix, vacuous band) 392.0 →",
+        "271.1 s at sf100 (1.45×), 27.1 → 17.6 s at sf10. Rows",
+        "identical everywhere — the route change is plan shape only.",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
