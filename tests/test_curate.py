@@ -407,21 +407,23 @@ def test_persist_stages_parity_and_release(spark, docs):
         ).collect()
     )
     assert lazy == persisted
-    # r11: the default rep_impl="auto" repetition stage is a per-row
-    # Arrow column — NOT a self-join branch — so only the ppl band
-    # and span strip register persisted frames
-    assert len(scratch._SCRATCH) == 2
+    # r11: under the defaults both the repetition stage (rep_impl
+    # "auto" → arrow struct column) and the ppl band (lm_impl "auto"
+    # → ppl column) are per-row columns — NOT self-join branches —
+    # so only the span strip registers a persisted frame
+    assert len(scratch._SCRATCH) == 1
     cached = [df for df in scratch._SCRATCH if df.storageLevel.useMemory]
-    assert len(cached) == 2
+    assert len(cached) == 1
     scratch.release()
     assert not scratch._SCRATCH
 
-    # the oracle-shape native repetition route keeps its persist:
-    # three self-join branches => three registered frames
+    # the oracle-shape native routes keep their persists: three
+    # self-join branches => three registered frames
     native = sorted(
         (r.doc_id, r.text, r.split)
         for r in curate_corpus(
-            docs, eval_set, persist_stages=True, rep_impl="native", **kw
+            docs, eval_set, persist_stages=True, rep_impl="native",
+            lm_impl="native", **kw
         ).collect()
     )
     assert native == lazy

@@ -328,6 +328,45 @@ def test_arrow_score_null_and_short_docs(spark, model):
     assert byid[4][1] == 1
 
 
+def test_ppl_column_parity(spark, model):
+    """bigram_lm_ppl_column (r11): the per-row COLUMN route shares
+    _score_text_batch with the arrow frame route, so its ppl must be
+    byte-identical to BOTH routes per doc — including real SQL NULL
+    (not NaN) for no-signal docs — and its plan must contain zero
+    Exchange and zero Join (the whole point: a ppl-band filter with
+    no join-back)."""
+    uni, bi = model
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(800001, None), (800002, ""), (800003, "one"),
+         (800004, "  a   b  ")],
+        "doc_id long, text string",
+    )
+    for u, b in [
+        T.train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3)),
+        (uni, bi),
+    ]:
+        corpus = docs.unionByName(edge)
+        want = {
+            r.doc_id: r.ppl
+            for r in T.bigram_lm_score(corpus, u, b).collect()
+        }
+        out = corpus.select(
+            "doc_id",
+            T.bigram_lm_ppl_column(
+                F.col("text"), u, b, spark=spark
+            ).alias("ppl"),
+        )
+        got = {r.doc_id: r.ppl for r in out.collect()}
+        assert got == want
+        assert got[800001] is None and got[800003] is None  # NULL, not NaN
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_lm_impl_auto_routing(spark, model):
     """bigram_lm_score(impl=...) — the gopher impl="auto" precedent
     applied to LM scoring (round 10): auto resolves to the Arrow

@@ -958,22 +958,11 @@ def bigram_lm_score_arrow(
     stream dominates — the 500M-gram sf100 regime where the native
     route pays two string-keyed join probes per gram; reachable as
     ``bigram_lm_score(impl="auto")`` in that regime."""
-    import math
-
-    import numpy as np
-
     if model_assets is None:
         model_assets = collect_lm_assets(df, unigrams, bigrams)
     b_uni, b_bi, v_count = model_assets
     a = float(alpha)
     a_v = a * v_count
-    log2e_inv = math.log(2.0)
-
-    # Java \s — exactly these six ASCII chars; python \s would also
-    # split on unicode whitespace and diverge from the native route.
-    import re
-
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def score(batches):
         import pandas as pd
@@ -981,41 +970,9 @@ def bigram_lm_score_arrow(
         uni_d = b_uni.value
         bi_d = b_bi.value
         for pdf in batches:
-            n_docs = len(pdf)
-            tok_lists = [
-                ws.split(t.strip(" ")) if t is not None else None
-                for t in pdf[text_col]
-            ]
-            # docs with <2 tokens (or NULL text) carry no signal —
-            # same NULL contract as the native route's explode_outer
-            counts = np.array(
-                [max(len(t) - 1, 0) if t is not None else 0
-                 for t in tok_lists],
-                dtype=np.int64,
+            counts, xent, ppl = _score_text_batch(
+                list(pdf[text_col]), uni_d, bi_d, a, a_v
             )
-            xent = np.full(n_docs, np.nan)
-            ppl = np.full(n_docs, np.nan)
-            live = counts > 0
-            if live.any():
-                w1 = [w for t in tok_lists if t and len(t) > 1
-                      for w in t[:-1]]
-                keys = [
-                    f"{t[j]} {t[j + 1]}"
-                    for t in tok_lists
-                    if t and len(t) > 1
-                    for j in range(len(t) - 1)
-                ]
-                c12 = pd.Series(keys).map(bi_d).fillna(0.0).to_numpy()
-                c1 = pd.Series(w1).map(uni_d).fillna(0.0).to_numpy()
-                logp = np.log((c12 + a) / (c1 + a_v)) / log2e_inv
-                cl = counts[live]
-                starts = np.concatenate(
-                    ([0], np.cumsum(cl)[:-1])
-                ).astype(np.int64)
-                sums = np.add.reduceat(logp, starts)
-                xb = _half_up4(-np.asarray(sums) / cl)
-                xent[live] = xb
-                ppl[live] = _half_up4(np.power(2.0, xb))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -1028,6 +985,98 @@ def bigram_lm_score_arrow(
     return df.mapInPandas(
         score, f"{id_col} long, n_bigrams long, xent_bits double, ppl double"
     )
+
+
+def _score_text_batch(texts, uni_d, bi_d, a, a_v):
+    """The arrow LM scorer's per-batch core, shared by the
+    ``bigram_lm_score_arrow`` frame route and the
+    ``bigram_lm_ppl_column`` column route so the two CANNOT diverge:
+    (counts, xent, ppl) numpy arrays for a list of texts. NaN =
+    no-signal (<2 tokens / NULL text) — Arrow converts it to a real
+    SQL NULL on the way back, matching the native route's
+    explode_outer NULL contract."""
+    import math
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    # Java \s — exactly these six ASCII chars; python \s would also
+    # split on unicode whitespace and diverge from the native route.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    log2e_inv = math.log(2.0)
+    n_docs = len(texts)
+    tok_lists = [
+        ws.split(t.strip(" ")) if t is not None else None for t in texts
+    ]
+    counts = np.array(
+        [max(len(t) - 1, 0) if t is not None else 0 for t in tok_lists],
+        dtype=np.int64,
+    )
+    xent = np.full(n_docs, np.nan)
+    ppl = np.full(n_docs, np.nan)
+    live = counts > 0
+    if live.any():
+        w1 = [w for t in tok_lists if t and len(t) > 1 for w in t[:-1]]
+        keys = [
+            f"{t[j]} {t[j + 1]}"
+            for t in tok_lists
+            if t and len(t) > 1
+            for j in range(len(t) - 1)
+        ]
+        c12 = pd.Series(keys).map(bi_d).fillna(0.0).to_numpy()
+        c1 = pd.Series(w1).map(uni_d).fillna(0.0).to_numpy()
+        logp = np.log((c12 + a) / (c1 + a_v)) / log2e_inv
+        cl = counts[live]
+        starts = np.concatenate(([0], np.cumsum(cl)[:-1])).astype(np.int64)
+        sums = np.add.reduceat(logp, starts)
+        xb = _half_up4(-np.asarray(sums) / cl)
+        xent[live] = xb
+        ppl[live] = _half_up4(np.power(2.0, xb))
+    return counts, xent, ppl
+
+
+def bigram_lm_ppl_column(
+    col: Column,
+    unigrams,
+    bigrams,
+    spark=None,
+    alpha: float = 0.1,
+    model_assets=None,
+) -> Column:
+    """Per-row ppl as a COLUMN (round 11, the
+    ``repetition_2gram_struct`` move applied to LM scoring): same
+    math, tokenizer, and HALF_UP rounding as ``bigram_lm_score_arrow``
+    (the shared ``_score_text_batch`` core — parity is structural),
+    but returned as a pandas_udf column instead of a scored frame, so
+    a ppl-band consumer filters IN PLACE: no join back onto the
+    corpus, no extra corpus scan, one fewer self-referencing branch
+    in ``plans/curate.py``. NULL (not NaN) for no-signal docs — the
+    band filter's ``isNull()`` pass rule works unchanged. Collects
+    the model eagerly unless ``model_assets`` is supplied (the same
+    documented plan-construction exception as the arrow frame
+    route; same broadcast-model regime caveat)."""
+    import pandas as pd
+
+    if model_assets is None:
+        if spark is None:
+            raise ValueError(
+                "bigram_lm_ppl_column needs `spark` to collect the "
+                "model when model_assets is not supplied"
+            )
+        model_assets = collect_lm_assets(spark, unigrams, bigrams)
+    b_uni, b_bi, v_count = model_assets
+    a = float(alpha)
+    a_v = a * v_count
+
+    def _ppl(s):
+        _, _, ppl = _score_text_batch(
+            list(s), b_uni.value, b_bi.value, a, a_v
+        )
+        return pd.Series(ppl)
+
+    _ppl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_ppl, "double")(col)
 
 
 def ppl_bucket_assign(

@@ -237,25 +237,60 @@ def curate_corpus(
     # (the documented eager exception); "native" keeps the fully-lazy
     # broadcast-join plan with the vocab as a lazy 1-row aggregate.
     if lm is not None and (max_ppl is not None or min_ppl is not None):
-        # Self-referencing branch (score `out`, join back onto `out`).
-        if persist_stages:
-            out = scratch.persist(out)
         uni, bi = lm
-        ppl = T.bigram_lm_score(
-            out, uni, bi, text_col=text_col, id_col=id_col,
-            impl=lm_impl, broadcast_model=lm_broadcast_model,
-            model_assets=lm_assets,
-        ).select(id_col, "ppl")
-        band = F.lit(True)
-        if max_ppl is not None:
-            band = band & (F.col("ppl") <= max_ppl)
-        if min_ppl is not None:
-            band = band & (F.col("ppl") >= min_ppl)
-        out = (
-            out.join(ppl, id_col, "left")
-            .filter(F.col("ppl").isNull() | band)
-            .drop("ppl")
-        )
+        resolved = lm_impl
+        if resolved == "auto":
+            resolved = T.pick_lm_impl(lm_broadcast_model)
+        if resolved == "arrow":
+            if not lm_broadcast_model:
+                # same guard text as text.bigram_lm_score's arrow
+                # route — the column route collects the model too
+                raise ValueError(
+                    "impl='arrow' collects the model to the driver - "
+                    "incompatible with broadcast_model=False "
+                    "(corpus-scale model); use the native route"
+                )
+            # r11: ppl as a per-row COLUMN (bigram_lm_ppl_column —
+            # same _score_text_batch core as the arrow frame route),
+            # so the band is a plain in-place filter: no join back
+            # onto the corpus, no self-referencing branch, no persist
+            # needed here. Model collect at plan construction stays
+            # the documented eager exception.
+            ppl_col = T.bigram_lm_ppl_column(
+                F.col(text_col), uni, bi,
+                spark=docs.sparkSession, model_assets=lm_assets,
+            )
+            band = F.lit(True)
+            if max_ppl is not None:
+                band = band & (F.col("_ppl") <= max_ppl)
+            if min_ppl is not None:
+                band = band & (F.col("_ppl") >= min_ppl)
+            out = (
+                out.withColumn("_ppl", ppl_col)
+                .filter(F.col("_ppl").isNull() | band)
+                .drop("_ppl")
+            )
+        else:
+            # native (oracle-shape) route: score `out`, join back —
+            # a self-referencing branch; persist the survivors first
+            # at scale.
+            if persist_stages:
+                out = scratch.persist(out)
+            ppl = T.bigram_lm_score(
+                out, uni, bi, text_col=text_col, id_col=id_col,
+                impl=resolved, broadcast_model=lm_broadcast_model,
+                model_assets=lm_assets,
+            ).select(id_col, "ppl")
+            band = F.lit(True)
+            if max_ppl is not None:
+                band = band & (F.col("ppl") <= max_ppl)
+            if min_ppl is not None:
+                band = band & (F.col("ppl") >= min_ppl)
+            out = (
+                out.join(ppl, id_col, "left")
+                .filter(F.col("ppl").isNull() | band)
+                .drop("ppl")
+            )
 
     # exact dedup: keep the smallest id per normalized-content
     # fingerprint (one shuffle on the fingerprint)
