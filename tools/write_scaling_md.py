@@ -209,20 +209,30 @@ def main(path: str) -> int:
         "strip residual ≈ 12 → 279 s (~23× — per-window site groups",
         "grow with shard count exactly as the salt caveat says, but",
         "at ~14% of total the strip is not the story). The dominant",
-        "term motivated the r11 repetition-stage rewrite: the",
-        "top-2-gram share is a PER-DOC statistic, so",
-        "text.repetition_2gram_struct computes it as one Arrow",
-        "column (zero shuffle, no join-back, byte-parity pinned) and",
-        "curate_corpus's rep_impl='auto' routes through it — the",
-        "gram explode + two keyed aggregations + survivor re-join",
-        "disappear from the composed plan. Re-measured (the table",
-        "rows below): realppl 1947.0 → 829.7 s at sf100s (2.35×;",
-        "1000× ratio 342× → 232×, and the 100×→1000× step drops to",
-        "8.1× on 10× data — sublinear), sf10s 154.7 → 103.0 s in the",
-        "same warm sequence (78.8 s in a dedicated clean run);",
-        "curate_full_corpus (token-suffix, vacuous band) 392.0 →",
-        "271.1 s at sf100 (1.45×), 27.1 → 17.6 s at sf10. Rows",
-        "identical everywhere — the route change is plan shape only.",
+        "term motivated TWO r11 stage rewrites, both the same move",
+        "(a per-doc statistic does not need a derived frame + id",
+        "join — make it a COLUMN): (1)",
+        "text.repetition_2gram_struct computes the top-2-gram share",
+        "as one Arrow struct column (zero shuffle, no join-back,",
+        "byte-parity pinned) and curate_corpus's rep_impl='auto'",
+        "routes through it — the gram explode + two keyed",
+        "aggregations + survivor re-join disappear; (2)",
+        "text.bigram_lm_ppl_column returns per-doc ppl as a",
+        "pandas_udf column sharing _score_text_batch with the arrow",
+        "frame scorer (parity structural, NULL no-signal contract",
+        "kept), so the ppl band filters IN PLACE — no scored frame,",
+        "no join, no persist branch. Under the defaults the composed",
+        "pipeline now has ONE self-referencing branch left (the span",
+        "strip). Re-measured after each step (the table rows below",
+        "are the final state): realppl at sf100s 1947.0 → 829.7",
+        "(arrow rep) → 657.5 s (ppl column) — cumulative 2.96×,",
+        "1000× ratio 342× → 176.8×, final 10× step 8.4× on 10× data;",
+        "sf10s 154.7 → 78.3 s; curate_full_corpus (token-suffix,",
+        "vacuous band) at sf100 392.0 → 271.1 → 243.1 s (1.61×),",
+        "sf10 27.1 → 16.5 s. Rows identical at every point — the",
+        "route changes are plan shape only, and the oracle gates",
+        "(curate_pipeline[_full], repetition_stats, bigram_lm_ppl)",
+        "re-attested against DuckDB at sf0.01 after each change.",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
