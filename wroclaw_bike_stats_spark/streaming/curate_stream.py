@@ -232,7 +232,7 @@ def make_ppl_band_filter(
     same hook: score the batch against the stored dsir_model /
     nb_weights tables and filter per doc."""
     from wroclaw_bike_stats_spark.operators.text import (
-        bigram_lm_score_arrow,
+        bigram_lm_ppl_column,
         collect_lm_assets,
     )
 
@@ -252,16 +252,23 @@ def make_ppl_band_filter(
         if app_id not in assets:
             assets.clear()
             assets[app_id] = collect_lm_assets(batch, uni, bi)
-        scored = bigram_lm_score_arrow(
-            batch, uni, bi, text_col=text_col, id_col=id_col,
-            model_assets=assets[app_id],
-        ).select(id_col, "ppl")
+        # r11: ppl as a per-row COLUMN (same _score_text_batch core,
+        # same NULL no-signal pass rule as _admit_scored's isNull) —
+        # the batch is filtered in place, no per-batch scored-frame
+        # join
+        ppl = bigram_lm_ppl_column(
+            F.col(text_col), uni, bi, model_assets=assets[app_id]
+        )
         band = F.lit(True)
         if max_ppl is not None:
-            band = band & (F.col("ppl") <= max_ppl)
+            band = band & (F.col("_ppl") <= max_ppl)
         if min_ppl is not None:
-            band = band & (F.col("ppl") >= min_ppl)
-        return _admit_scored(batch, scored, id_col, "ppl", band)
+            band = band & (F.col("_ppl") >= min_ppl)
+        return (
+            batch.withColumn("_ppl", ppl)
+            .filter(F.col("_ppl").isNull() | band)
+            .drop("_ppl")
+        )
 
     return admit
 
