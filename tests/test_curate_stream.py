@@ -425,6 +425,32 @@ def test_out_of_order_ingest_guard(spark, docs, tmp_path):
     assert got == want
 
 
+def test_legacy_maxid_store_without_text_hash(spark, docs, tmp_path):
+    """A pre-r11 maxid store (no text_hash column) must keep working:
+    the replay check falls back to the id-keyed fingerprint — a
+    replay of the last batch is admitted (with the warning), and a
+    genuinely out-of-order batch still raises."""
+    store = str(tmp_path / "store")
+    b1, b2, _ = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # strip the r11 column to simulate a store written by older code
+    maxid_dir = os.path.join(store, "maxid")
+    legacy = spark.read.parquet(maxid_dir).drop("text_hash").collect()
+    legacy_df = spark.createDataFrame(
+        legacy, "min_id long, max_id long, n_rows long, id_hash long"
+    )
+    import shutil
+
+    shutil.rmtree(maxid_dir)
+    legacy_df.write.parquet(maxid_dir)
+
+    with pytest.warns(UserWarning, match="checkpoint-replay"):
+        ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+
 def test_maybe_store_layouts(spark, docs, tmp_path):
     """_maybe (ADVICE r09): a hive-partitioned store written by an
     external producer (data files one level down) must be READ, and a
