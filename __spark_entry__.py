@@ -3112,10 +3112,15 @@ _GATE_ORDER = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _query_registry()
-    assert set(_GATE_ORDER) == set(q), (
-        "stale _GATE_ORDER - rerun `python tools/gate_rotation.py "
-        f"--apply`; diff: {sorted(set(_GATE_ORDER) ^ set(q))}"
-    )
+    # explicit raise, not assert: under `python -O` an assert is
+    # stripped and a registry-only gate would SILENTLY never be
+    # served to the driver (a stale _GATE_ORDER name at least dies
+    # on KeyError below; a missing one wouldn't).
+    if set(_GATE_ORDER) != set(q):
+        raise RuntimeError(
+            "stale _GATE_ORDER - rerun `python tools/gate_rotation.py "
+            f"--apply`; diff: {sorted(set(_GATE_ORDER) ^ set(q))}"
+        )
     # Every callable is bound to the _acquire session boundary.
     return {k: _with_session(q[k]) for k in _GATE_ORDER}
 

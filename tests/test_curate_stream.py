@@ -369,6 +369,66 @@ def test_embedding_stream_end_to_end(spark, tmp_path):
     assert len(want_keep) < union.count(), "vacuous: nothing deduped"
 
 
+def test_embedding_stream_bootstrap_crash_recovery(spark, tmp_path):
+    """A crash between init's two writes (centroids/ written,
+    assigned/ not yet) must NOT wedge the stream: the bootstrap probes
+    ``assigned/`` — init's LAST write — so a restart re-runs init
+    (overwrite) instead of entering the ingest path and dying forever
+    on PATH_NOT_FOUND for assigned/. Simulated by deleting assigned/
+    after an init."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        run_embedding_curation_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    batches = [
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+    ]
+
+    store = str(tmp_path / "emb_store")
+    # the half-store a mid-init crash leaves behind
+    init_embedding_store(batches[0], store, num_clusters=4)
+    shutil.rmtree(os.path.join(store, "assigned"))
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i, b in enumerate(batches):
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(b.orderBy("vec_id").toPandas()), path
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    q = run_embedding_curation_stream(
+        spark, str(input_dir), store, schema, str(tmp_path / "ckpt"),
+        threshold=EMB_THRESHOLD, num_clusters=4,
+    )
+    q.awaitTermination(300)
+
+    # the restart re-initialized: assigned/ exists and covers the
+    # union, and the kept view resolves without error
+    assigned = spark.read.parquet(os.path.join(store, "assigned"))
+    assert assigned.count() == emb.count()
+    assert kept_view_embeddings(spark, store).count() > 0
+
+
 def test_out_of_order_ingest_guard(spark, docs, tmp_path):
     """The span-parity precondition (ascending-id ingest) is a RUNTIME
     GUARD since round 10, not prose: a batch whose min id <= the
@@ -414,6 +474,25 @@ def test_out_of_order_ingest_guard(spark, docs, tmp_path):
             regen, store, threshold=THRESHOLD, span_k=SPAN_K
         )
 
+    # a regenerated file RE-PAIRING the same texts to different ids
+    # (positional id assignment over a reordered producer run): id
+    # multiset, row count, AND text multiset all match the last batch
+    # — only the (id, text) pairing differs. A text-multiset digest
+    # would admit this as a replay; the fingerprint hashes the
+    # PAIRING, so it must raise.
+    rows = b2.orderBy("doc_id").collect()
+    texts = [r.text for r in rows]
+    rotated = texts[1:] + texts[:1]
+    assert rotated != texts, "vacuous: rotation changed no pairing"
+    repaired = spark.createDataFrame(
+        [(r.doc_id, t) for r, t in zip(rows, rotated)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(
+            repaired, store, threshold=THRESHOLD, span_k=SPAN_K
+        )
+
     ingest_document_batch(
         b1, store, threshold=THRESHOLD, span_k=SPAN_K,
         enforce_ascending_ids=False,
@@ -449,6 +528,44 @@ def test_legacy_maxid_store_without_text_hash(spark, docs, tmp_path):
         ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
     with pytest.raises(ValueError, match="out-of-order ingest"):
         ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+
+def test_upgraded_legacy_maxid_store_keeps_content_check(
+    spark, docs, tmp_path
+):
+    """A legacy maxid store UPGRADED IN PLACE (pre-r11 4-column files
+    plus new 5-column appends in one directory) must still enforce the
+    content-digest replay check: plain parquet schema inference reads
+    ONE footer — whichever file listing order serves up — and can
+    nondeterministically HIDE text_hash (empirically reproduced), so
+    the guard reads the store with mergeSchema. After the upgrade
+    append, a regenerated last batch (same ids, different text) must
+    RAISE while a true replay still warns-and-admits."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    b1, b2, b3 = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # simulate a pre-r11 store: strip text_hash from every row
+    maxid_dir = os.path.join(store, "maxid")
+    legacy = spark.read.parquet(maxid_dir).drop("text_hash").collect()
+    legacy_df = spark.createDataFrame(
+        legacy, "min_id long, max_id long, n_rows long, id_hash long"
+    )
+    shutil.rmtree(maxid_dir)
+    legacy_df.write.parquet(maxid_dir)
+
+    # new code appends a 5-column fingerprint file into the 4-column
+    # dir — the store is now mixed-schema
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+    regen = b2.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(
+            regen, store, threshold=THRESHOLD, span_k=SPAN_K
+        )
+    with pytest.warns(UserWarning, match="checkpoint-replay"):
+        ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
 
 
 def test_maybe_store_layouts(spark, docs, tmp_path):
@@ -521,6 +638,53 @@ def test_scored_stage_batch_parity(spark, docs, tmp_path):
         ).collect()
     }
     assert got_text == full_strip
+
+
+def test_ppl_band_filter_loader_form(spark, docs):
+    """make_ppl_band_filter accepts a CALLABLE ``spark -> (uni, bi)``
+    in place of the DataFrame pair — the restart-survivable form: the
+    loader is invoked on the BATCH's session at (re)build time, so
+    after a real session restart the rebuild re-resolves the stored
+    model instead of re-collecting DataFrames bound to the dead
+    session. Loader form ≡ tuple form, invoked exactly once per
+    context, and re-invoked after the memo is invalidated (what an
+    applicationId change does)."""
+    from wroclaw_bike_stats_spark.operators.text import train_bigram_lm
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        make_ppl_band_filter,
+    )
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3))
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
+
+    scored = bigram_lm_score(docs, *lm)
+    lo, hi = scored.approxQuantile("ppl", [0.1, 0.9], 0.0)
+
+    calls = []
+
+    def loader(sess):
+        assert sess is spark
+        calls.append(1)
+        return lm
+
+    flt_loader = make_ppl_band_filter(loader, min_ppl=lo, max_ppl=hi)
+    flt_tuple = make_ppl_band_filter(lm, min_ppl=lo, max_ppl=hi)
+    got = {r.doc_id for r in flt_loader(docs).select("doc_id").collect()}
+    want = {r.doc_id for r in flt_tuple(docs).select("doc_id").collect()}
+    assert 0 < len(want) < docs.count(), "vacuous band"
+    assert got == want
+    # memoized: a second batch on the same context must not reload
+    flt_loader(docs.limit(5)).collect()
+    assert len(calls) == 1
+    # a context change (applicationId miss) re-resolves through the
+    # loader — simulated by clearing the memo the way a restart does
+    cell = [
+        c for c in flt_loader.__closure__
+        if isinstance(c.cell_contents, dict)
+    ][0]
+    cell.cell_contents.clear()
+    flt_loader(docs.limit(5)).collect()
+    assert len(calls) == 2
 
 
 def test_dsir_and_nb_admit_filters_batch_parity(spark, docs, tmp_path):

@@ -1079,6 +1079,33 @@ def bigram_lm_ppl_column(
     return F.pandas_udf(_ppl, "double")(col)
 
 
+def apply_ppl_band(
+    df,
+    ppl: Column,
+    min_ppl: float | None = None,
+    max_ppl: float | None = None,
+):
+    """The in-place ppl-band admission rule, in ONE place: attach
+    ``ppl`` (a per-row column, e.g. ``bigram_lm_ppl_column``), keep
+    rows whose ppl is NULL (the NO-SIGNAL pass rule — a doc with no
+    bigrams carries no evidence either way) or inside the optional
+    [``min_ppl``, ``max_ppl``] band, drop the scratch column. Shared
+    by ``plans/curate.py``'s arrow branch and the streaming
+    ``make_ppl_band_filter`` so the batch/stream parity contract
+    cannot drift through two hand-maintained copies of the band
+    predicate."""
+    band = F.lit(True)
+    if max_ppl is not None:
+        band = band & (F.col("_ppl") <= max_ppl)
+    if min_ppl is not None:
+        band = band & (F.col("_ppl") >= min_ppl)
+    return (
+        df.withColumn("_ppl", ppl)
+        .filter(F.col("_ppl").isNull() | band)
+        .drop("_ppl")
+    )
+
+
 def ppl_bucket_assign(
     scores,
     mode: str = "approx",

@@ -260,16 +260,10 @@ def curate_corpus(
                 F.col(text_col), uni, bi,
                 spark=docs.sparkSession, model_assets=lm_assets,
             )
-            band = F.lit(True)
-            if max_ppl is not None:
-                band = band & (F.col("_ppl") <= max_ppl)
-            if min_ppl is not None:
-                band = band & (F.col("_ppl") >= min_ppl)
-            out = (
-                out.withColumn("_ppl", ppl_col)
-                .filter(F.col("_ppl").isNull() | band)
-                .drop("_ppl")
-            )
+            # shared band rule (T.apply_ppl_band) — the streaming
+            # make_ppl_band_filter applies the SAME helper, so the
+            # batch/stream parity contract has one implementation
+            out = T.apply_ppl_band(out, ppl_col, min_ppl, max_ppl)
         else:
             # native (oracle-shape) route: score `out`, join back —
             # a self-referencing branch; persist the survivors first

@@ -99,7 +99,10 @@ def _d(store_dir: str, what: str) -> str:
 
 
 def _maybe(
-    spark: SparkSession, path: str, max_depth: int = 8
+    spark: SparkSession,
+    path: str,
+    max_depth: int = 8,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Read a store directory if it holds data, else None —
     first-batch bootstrap. Listing goes through the Hadoop FileSystem
@@ -151,6 +154,14 @@ def _maybe(
     top = list(fs.listStatus(hpath))
     saw_subdir = any(s.isDirectory() and not _is_hidden(s) for s in top)
     if _has_data(top, max_depth):
+        # merge_schema: for stores whose schema WIDENED in place (the
+        # maxid watermark gained text_hash in r11) plain inference
+        # reads ONE footer — whichever file listing order serves up —
+        # so a new column present only in newer files would
+        # nondeterministically vanish. Schema union costs one footer
+        # read per file; only tiny stores opt in.
+        if merge_schema:
+            return spark.read.option("mergeSchema", "true").parquet(path)
         return spark.read.parquet(path)
     if saw_subdir:
         raise ValueError(
@@ -230,45 +241,44 @@ def make_ppl_band_filter(
     model-sized driver work exactly once per stream, never per batch,
     never corpus-sized. DSIR / NB admission thresholds slot into the
     same hook: score the batch against the stored dsir_model /
-    nb_weights tables and filter per doc."""
+    nb_weights tables and filter per doc.
+
+    ``lm`` is either a ``(unigrams, bigrams)`` DataFrame pair or a
+    CALLABLE ``spark -> (unigrams, bigrams)`` (e.g. a closure over the
+    stored table paths). Pass the callable when the filter must
+    survive a real session/stream RESTART: the memoized broadcasts are
+    keyed by the batch's applicationId and rebuilt on a new context
+    (r11 ADVICE), but a rebuild from the tuple form re-collects
+    DataFrames bound to the DEAD session and raises — the loader form
+    re-resolves the model on the batch's own session instead."""
     from wroclaw_bike_stats_spark.operators.text import (
+        apply_ppl_band,
         bigram_lm_ppl_column,
         collect_lm_assets,
     )
 
-    uni, bi = lm
     # memoized {applicationId: (b_uni, b_bi, v_count)} — keyed by the
     # batch's OWN SparkContext (the _SHARED_FRAMES discipline), so a
     # filter object reused across a session/stream restart rebuilds
     # the broadcasts on the new context instead of scoring against a
-    # dead broadcast from the old one (r11 ADVICE). Note the rebuild
-    # re-collects ``lm``: the count-table DataFrames must still be
-    # resolvable on the new session (re-read stored tables through
-    # it if not).
+    # dead broadcast from the old one.
     assets: dict = {}
 
     def admit(batch: DataFrame) -> DataFrame:
-        app_id = batch.sparkSession.sparkContext.applicationId
+        spark = batch.sparkSession
+        app_id = spark.sparkContext.applicationId
         if app_id not in assets:
             assets.clear()
+            uni, bi = lm(spark) if callable(lm) else lm
             assets[app_id] = collect_lm_assets(batch, uni, bi)
-        # r11: ppl as a per-row COLUMN (same _score_text_batch core,
-        # same NULL no-signal pass rule as _admit_scored's isNull) —
-        # the batch is filtered in place, no per-batch scored-frame
-        # join
+        # r11: ppl as a per-row COLUMN (same _score_text_batch core),
+        # filtered in place by the SAME shared band rule the batch
+        # plan uses (text.apply_ppl_band — one implementation, no
+        # drift): no per-batch scored-frame join.
         ppl = bigram_lm_ppl_column(
-            F.col(text_col), uni, bi, model_assets=assets[app_id]
+            F.col(text_col), None, None, model_assets=assets[app_id]
         )
-        band = F.lit(True)
-        if max_ppl is not None:
-            band = band & (F.col("_ppl") <= max_ppl)
-        if min_ppl is not None:
-            band = band & (F.col("_ppl") >= min_ppl)
-        return (
-            batch.withColumn("_ppl", ppl)
-            .filter(F.col("_ppl").isNull() | band)
-            .drop("_ppl")
-        )
+        return apply_ppl_band(batch, ppl, min_ppl, max_ppl)
 
     return admit
 
@@ -375,9 +385,10 @@ def ingest_document_batch(
     before anything is appended — EXCEPT a checkpoint replay of the
     most recent batch (identical fingerprint: id range, row count,
     order-insensitive id hash AND — since r11 — an
-    order-insensitive content digest over ``text_col``, so neither
-    a new batch merely sharing the endpoints nor a REGENERATED day
-    file with the same id multiset but different text can
+    order-insensitive digest of the ``(id, text)`` PAIRING, so
+    neither a new batch merely sharing the endpoints, nor a
+    REGENERATED day file with the same id multiset but different
+    text, nor one re-pairing the same texts to different ids can
     impersonate one), which is let through WITH a ``UserWarning``
     (the re-append is correct at-least-once behavior, but never
     silent): fencing a replay would wedge the stream in a
@@ -426,11 +437,23 @@ def ingest_document_batch(
             F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("id_hash"),
             # content digest (r11 ADVICE): a regenerated day file with
             # the same id multiset but DIFFERENT text must not pass as
-            # a checkpoint replay — same aggregate, one more column
-            F.expr(f"bit_xor(xxhash64(`{text_col}`))").alias("text_hash"),
+            # a checkpoint replay — same aggregate, one more column.
+            # Hashes the (id, text) PAIRING, not the text multiset: a
+            # regenerated file that re-pairs the same texts to
+            # different ids (positional id assignment over a reordered
+            # producer run) must not pass either.
+            F.expr(
+                f"bit_xor(xxhash64(`{id_col}`, `{text_col}`))"
+            ).alias("text_hash"),
         ).first()
         if enforce_ascending_ids:
-            wm = _maybe(spark, _d(store_dir, "maxid"))
+            # merge_schema: a legacy (pre-r11, no text_hash) store
+            # UPGRADED in place holds mixed-width files; plain
+            # inference picks one footer nondeterministically and can
+            # HIDE text_hash — silently disabling the content-digest
+            # check. The store is rows-per-batch tiny, so per-file
+            # footer reads are free.
+            wm = _maybe(spark, _d(store_dir, "maxid"), merge_schema=True)
             if wm is not None:
                 has_text_hash = "text_hash" in wm.columns
                 last_fields = ["min_id", "n_rows", "id_hash"] + (
@@ -664,6 +687,12 @@ def init_embedding_store(
     cents, assigned = semdedup_assign(
         resident, num_clusters=num_clusters, id_col=id_col, vec_col=vec_col
     )
+    # ``assigned/`` is written LAST and is the init's COMMIT MARKER:
+    # the stream bootstrap probes it (not centroids/), so a crash
+    # between the two writes leaves a store the next attempt simply
+    # re-initializes (both writes are overwrite) instead of a
+    # half-store that wedges every restart in the ingest path's
+    # PATH_NOT_FOUND on assigned/.
     cents.write.mode("overwrite").parquet(_d(store_dir, "centroids"))
     assigned.write.mode("overwrite").parquet(_d(store_dir, "assigned"))
 
@@ -758,10 +787,21 @@ def run_embedding_curation_stream(
         .parquet(input_dir)
     )
 
+    # bootstrap probe memo: once the store is initialized it stays
+    # initialized (init is a once-per-stream event), so a long-running
+    # stream must not pay a filesystem listing per trigger just to
+    # re-learn that — probe until the first non-None, then remember.
+    bootstrapped = []
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        if _maybe(spark, _d(store_dir, "centroids")) is None:
+        # probe ``assigned/`` — init's LAST write (its commit marker),
+        # so a crash mid-init re-runs init instead of wedging every
+        # restart on a centroids-only half-store.
+        if not bootstrapped and _maybe(
+            spark, _d(store_dir, "assigned")
+        ) is None:
             init_embedding_store(
                 batch, store_dir, num_clusters=num_clusters,
                 id_col=id_col, vec_col=vec_col,
@@ -775,6 +815,7 @@ def run_embedding_curation_stream(
             ingest_embedding_batch(
                 batch, store_dir, threshold, id_col, vec_col
             )
+        bootstrapped.append(True)
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)
