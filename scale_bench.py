@@ -236,6 +236,34 @@ def prepare_stores(spark, sf_dir) -> None:
         _e.q_ngram_jaccard(spark, sf_dir).write.mode("overwrite").parquet(pp)
         _cold()
 
+    prepare_stream_store(spark, sf_dir)
+
+
+def prepare_stream_store(spark, sf_dir) -> None:
+    """Pristine curate_stream store for the composed day-N ingest row
+    (stream_ingest_day_n): the resident corpus's standing assets laid
+    out as streaming/curate_stream.py's store — docs/ (originals ride
+    as text_orig), bands/ (the stored MinHash band table, file-copied
+    so its scheme metadata survives), winindex/ (the aggregated window
+    index — a single part IS a valid per-batch store by the (cnt,
+    canonical) monoid read_window_index_store folds). Exists-guarded
+    like the pair graph (the docs/ copy alone is ~1.2 GB at sf100);
+    the timed row overlays it with symlinks per run so repeated runs
+    never mutate it."""
+    import shutil
+
+    root = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
+    if os.path.exists(os.path.join(root, "docs", "_SUCCESS")):
+        return
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    old = spark.read.parquet(_p(sf_dir, "old_docs"))
+    old.withColumn("text_orig", F.col("text")).write.parquet(
+        os.path.join(root, "docs")
+    )
+    shutil.copytree(_p(sf_dir, "minhash_bands"), os.path.join(root, "bands"))
+    shutil.copytree(_p(sf_dir, "window_index"), os.path.join(root, "winindex"))
+
 
 # --- the measured family ----------------------------------------------------
 # Each entry: name -> callable(spark, sf_dir) returning a DataFrame to
@@ -712,6 +740,63 @@ def curate_full_corpus_realppl(spark, sf_dir):
     )
 
 
+def stream_ingest_day_n(spark, sf_dir):
+    """The COMPOSED streaming day-N ingest
+    (curate_stream.ingest_document_batch): one daily batch (the stored
+    2% ingest split) admitted against the resident store — batch
+    fingerprint aggregate, incremental MinHash pairs via the stored
+    band table, incremental span strip against the accumulated window
+    index, and all four asset appends, in one call. The per-stage
+    incremental rows above measure the pieces; this row is the cost a
+    production stream actually pays per micro-batch, glue included.
+
+    Mechanics: each run symlink-overlays the pristine store
+    (prepare_stream_store) into a scratch dir — appends land in the
+    overlay, the pristine store is never mutated, so both cold runs
+    ingest against identical resident state. The %50 ingest split
+    interleaves ids with the resident corpus, so the row opts out of
+    the ascending-id ordering guard (enforce_ascending_ids=False —
+    the documented first-ingested-wins span semantics); the batch
+    fingerprint aggregate runs unconditionally either way, so its
+    cost IS measured. Returns the admitted (span-stripped) day-N
+    docs read back from the overlay's newly-appended files."""
+    import glob as _glob
+    import shutil
+
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        ingest_document_batch,
+    )
+
+    pristine = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
+    # stale overlays from a prior crashed run
+    for stale in _glob.glob(f"{STORE}/stream_overlay_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    import tempfile
+
+    overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
+    for sub in ("docs", "bands", "winindex"):
+        src = os.path.join(pristine, sub)
+        dst = os.path.join(overlay, sub)
+        os.makedirs(dst)
+        for name in os.listdir(src):
+            if name.startswith(("_", ".")):
+                continue
+            os.symlink(os.path.join(src, name), os.path.join(dst, name))
+
+    batch = spark.read.parquet(_p(sf_dir, "new_docs"))
+    ingest_document_batch(
+        batch, overlay, threshold=0.5, span_k=13,
+        enforce_ascending_ids=False,
+    )
+    appended = [
+        os.path.join(overlay, "docs", name)
+        for name in os.listdir(os.path.join(overlay, "docs"))
+        if not name.startswith(("_", "."))
+        and not os.path.islink(os.path.join(overlay, "docs", name))
+    ]
+    return spark.read.parquet(*appended)
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -750,6 +835,7 @@ FAMILY = {
     "neardup_components_banded": neardup_components_banded,
     "curate_full_corpus": curate_full_corpus,
     "curate_full_corpus_realppl": curate_full_corpus_realppl,
+    "stream_ingest_day_n": stream_ingest_day_n,
     "cc_fixpoint": cc_fixpoint,
 }
 # per-FAMILY-row sf points when not the default DEDUP_POINTS; salt

@@ -234,6 +234,22 @@ def main(path: str) -> int:
         "(curate_pipeline[_full], repetition_stats, bigram_lm_ppl)",
         "re-attested against DuckDB at sf0.01 after each change.",
         "",
+        "stream_ingest_day_n (late round 11) is the COMPOSED streaming",
+        "ingest — curate_stream.ingest_document_batch over the stored 2%",
+        "day-N batch against a pristine resident store (docs/bands/",
+        "window-index standing assets, symlink-overlaid per run so both",
+        "cold runs see identical resident state): fingerprint aggregate,",
+        "incremental MinHash pairs, incremental span strip, and all",
+        "asset appends in one call — the cost a production stream pays",
+        "per micro-batch, glue included, where the *_incremental rows",
+        "above measure the stages in isolation. The %50 ingest split",
+        "interleaves ids with the resident corpus, so the row runs with",
+        "enforce_ascending_ids=False (the guard's fingerprint aggregate",
+        "is unconditional and therefore still measured; only the",
+        "watermark compare is skipped). Its floor is the same physics as",
+        "the component rows: one streamed scan of the stored band table",
+        "+ one of the window index + batch-proportional work.",
+        "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
