@@ -568,6 +568,39 @@ def test_upgraded_legacy_maxid_store_keeps_content_check(
         ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
 
 
+def test_window_index_store_probe_filter_exact(spark, docs, tmp_path):
+    """read_window_index_store(probe_hashes=...) — the late-r11
+    re-aggregation bound — must return EXACTLY the full index
+    restricted to the probe's hashes: the monoid folds per h, so
+    dropping never-consulted hashes changes no surviving row (cnt and
+    canonical site included, even when a hash's occurrences span
+    several stored parts)."""
+    store = str(tmp_path / "store")
+    b1, b2, b3 = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+    probe = SD.window_index(b3, k=SPAN_K)
+    full = read_window_index_store(spark, store)
+    filtered = read_window_index_store(spark, store, probe_hashes=probe)
+
+    want = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos)
+        for r in full.join(
+            probe.select("h").distinct(), "h", "leftsemi"
+        ).collect()
+    }
+    got = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos) for r in filtered.collect()
+    }
+    assert got == want
+    assert want, "vacuous: no batch-3 window content in the store"
+    # metadata (the parameterization guard's substrate) survives
+    assert dict(filtered.schema["h"].metadata or {}) == dict(
+        full.schema["h"].metadata or {}
+    )
+
+
 def test_maybe_store_layouts(spark, docs, tmp_path):
     """_maybe (ADVICE r09): a hive-partitioned store written by an
     external producer (data files one level down) must be READ, and a

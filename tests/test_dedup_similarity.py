@@ -388,6 +388,27 @@ def test_minhash_incremental_matches_full_run(spark):
     )
     assert got4 == expected
 
+    # precomputed NEW-batch signatures (late r11 — the streaming
+    # ingest hashes the batch once and reuses it for the band-table
+    # append): same answer, and a mismatched parameterization is
+    # rejected loudly instead of silently missing every pair
+    new_sigs = D.minhash_signatures(new)
+    got5 = sorted(
+        map(
+            tuple,
+            D.minhash_incremental_pairs(
+                new, old, threshold=0.5, old_banded=banded,
+                new_signatures=new_sigs,
+            ).collect(),
+        )
+    )
+    assert got5 == expected
+    with pytest.raises(ValueError, match="incompatible parameterization"):
+        D.minhash_incremental_pairs(
+            new, old, threshold=0.5, old_banded=banded,
+            new_signatures=D.minhash_signatures(new, num_hashes=16),
+        )
+
     # an untagged banded table must be rejected loudly
     with pytest.raises(ValueError, match="untagged or.*incompatible"):
         D.minhash_incremental_pairs(

@@ -248,7 +248,19 @@ def main(path: str) -> int:
         "is unconditional and therefore still measured; only the",
         "watermark compare is skipped). Its floor is the same physics as",
         "the component rows: one streamed scan of the stored band table",
-        "+ one of the window index + batch-proportional work.",
+        "+ one of the window index + batch-proportional work. The",
+        "first measurement (64.4 s at sf100, ratio 14.1×) was",
+        "decomposed per stage and found two composed-path-only costs",
+        "the isolated rows never pay: the stored window index was",
+        "re-aggregated STORE-SIZED per ingest (43 s over 197M distinct",
+        "windows, consumed for ~4M of them) and the batch was",
+        "MinHash-hashed twice (pair probe + band append). Fixes:",
+        "read_window_index_store(probe_hashes=...) semi-join-bounds the",
+        "monoid re-agg by the batch's own hash set BEFORE the groupBy",
+        "(exact — the strip consults only those hashes), and the batch's",
+        "signatures/window-index part are computed once and reused",
+        "across pair probe, strip probe, and both asset appends. The",
+        "table row is the post-fix state: 26.0 s at sf100, ratio 5.2×.",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",

@@ -718,6 +718,57 @@ def minhash_dedup_pairs(
     )
 
 
+def _validate_signature_table(
+    signatures: DataFrame, num_hashes: int, shingle_n: int
+) -> None:
+    """Fail LOUD on a signature table from an incompatible
+    parameterization (fewer hashes, another shingle_n, a reseeded
+    permutation family): band hashes would never collide and
+    cross-batch duplicates would be silently missed — exactly the
+    production path the incremental operator exists for. Tables
+    written by ``minhash_signatures`` carry their parameterization as
+    schema metadata (survives the parquet footer), so the check is
+    zero-job; untagged legacy tables fall back to the weaker
+    signature-length probe (one ``first()`` job)."""
+    meta = (
+        signatures.schema["signature"].metadata
+        if "signature" in signatures.columns
+        else {}
+    )
+    if meta.get("minhash_num_hashes") is not None:
+        expected = {
+            "minhash_num_hashes": num_hashes,
+            "minhash_shingle_n": shingle_n,
+            "minhash_seed": 42,
+            "minhash_scheme": MINHASH_SCHEME,
+        }
+        bad = {
+            k: (meta.get(k), v)
+            for k, v in expected.items()
+            if meta.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                "stored signatures were built with an incompatible "
+                "parameterization — cross-batch duplicates would be "
+                "silently missed: "
+                + ", ".join(
+                    f"{k}: stored={s!r} run={r!r}"
+                    for k, (s, r) in sorted(bad.items())
+                )
+            )
+        _check_hash_probe(meta)
+    else:
+        probe = signatures.select(F.size("signature")).first()
+        if probe is not None and probe[0] != num_hashes:
+            raise ValueError(
+                f"stored signatures have {probe[0]} hashes but this "
+                f"run uses num_hashes={num_hashes} — band hashes "
+                "would never collide and cross-batch duplicates would "
+                "be missed"
+            )
+
+
 def minhash_incremental_pairs(
     new_docs: DataFrame,
     old_docs: DataFrame,
@@ -730,6 +781,7 @@ def minhash_incremental_pairs(
     old_signatures: DataFrame | None = None,
     old_banded: DataFrame | None = None,
     broadcast_new: bool = True,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Day-N incremental near-dup: verified pairs INVOLVING at least
     one new document (new↔new and new↔old; old↔old pairs were resolved
@@ -763,10 +815,21 @@ def minhash_incremental_pairs(
     the fly (correct, just not incremental). Pairs are normalized
     id_a < id_b. Equivalence to the full-corpus run filtered to
     new-involving pairs is pinned in tests/test_dedup_similarity.py.
+
+    ``new_signatures``: precomputed ``minhash_signatures(new_docs)``
+    — pass it when the caller also needs the batch's signatures for
+    the band-table append (the streaming ingest does), so the batch
+    is shingled and hashed ONCE per ingest, not once per consumer.
+    Validated like ``old_signatures`` (same silent-miss risk if a
+    stored table from another parameterization sneaks in).
     """
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_n
-    )
+    if new_signatures is not None:
+        _validate_signature_table(new_signatures, num_hashes, shingle_n)
+        new_sigs = new_signatures
+    else:
+        new_sigs = minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_n
+        )
     if old_banded is not None:
         # Stored band tables are always written by minhash_band_table,
         # which tags band_hash with the full parameterization; an
@@ -801,51 +864,7 @@ def minhash_incremental_pairs(
         _check_hash_probe(meta)
         old_bands = old_banded.select("_id", "band_idx", "band_hash")
     elif old_signatures is not None:
-        # Stored signatures from a different parameterization (fewer
-        # hashes, another shingle_n, a reseeded permutation family)
-        # would make the band join silently find ~nothing — exactly
-        # the production path this operator exists for, so fail LOUD
-        # on incompatibility. Tables written by minhash_signatures
-        # carry their full parameterization as schema metadata (it
-        # survives the parquet footer), so the check is zero-job;
-        # untagged legacy tables fall back to the weaker shape probe.
-        meta = (
-            old_signatures.schema["signature"].metadata
-            if "signature" in old_signatures.columns
-            else {}
-        )
-        if meta.get("minhash_num_hashes") is not None:
-            expected = {
-                "minhash_num_hashes": num_hashes,
-                "minhash_shingle_n": shingle_n,
-                "minhash_seed": 42,
-                "minhash_scheme": MINHASH_SCHEME,
-            }
-            bad = {
-                k: (meta.get(k), v)
-                for k, v in expected.items()
-                if meta.get(k) != v
-            }
-            if bad:
-                raise ValueError(
-                    "stored old_signatures were built with an "
-                    "incompatible parameterization — cross-batch "
-                    "duplicates would be silently missed: "
-                    + ", ".join(
-                        f"{k}: stored={s!r} run={r!r}"
-                        for k, (s, r) in sorted(bad.items())
-                    )
-                )
-            _check_hash_probe(meta)
-        else:
-            probe = old_signatures.select(F.size("signature")).first()
-            if probe is not None and probe[0] != num_hashes:
-                raise ValueError(
-                    f"stored old_signatures have {probe[0]} hashes but "
-                    f"this run uses num_hashes={num_hashes} — band hashes "
-                    "would never collide and cross-batch duplicates would "
-                    "be missed"
-                )
+        _validate_signature_table(old_signatures, num_hashes, shingle_n)
         old_bands = _band_table(old_signatures, bands)
     else:
         old_bands = _band_table(

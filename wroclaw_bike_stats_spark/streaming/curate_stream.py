@@ -174,17 +174,41 @@ def _maybe(
     return None
 
 
-def read_window_index_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+def read_window_index_store(
+    spark: SparkSession,
+    store_dir: str,
+    probe_hashes: DataFrame | None = None,
+    broadcast_probe: bool = True,
+) -> DataFrame | None:
     """The accumulated window index: per-batch parts re-aggregated by
     the (count, canonical) monoid — identical result to folding each
     part through ``span_dedup.merge_window_index``, in ONE groupBy.
     Field metadata (span_k / span_scheme) survives the parquet
     round-trip, so the incremental strip's parameterization guard
-    still fires on a mismatched store."""
+    still fires on a mismatched store.
+
+    ``probe_hashes`` (late r11, found by the stream_ingest_day_n
+    scale decomposition): a frame whose ``h`` column bounds the
+    hashes the CONSUMER will consult — e.g. the ingest batch's own
+    ``window_index`` part. The store is then semi-join-filtered on
+    ``h`` BEFORE the monoid groupBy, collapsing the re-aggregation
+    shuffle from store-sized to probe-sized (measured 43 s → scan
+    cost at sf100: 197M distinct windows aggregated for a consumer
+    that reads ~4M of them). EXACT for such a consumer: the monoid
+    folds per ``h``, so dropping never-consulted hashes changes no
+    surviving row — but the result is NOT the full index (do not
+    store it or pass it to ``merge_window_index``). ``broadcast_probe``
+    mirrors the incremental operators' ``broadcast_new`` contract
+    (False for a backfill-size probe)."""
     raw = _maybe(spark, _d(store_dir, "winindex"))
     if raw is None:
         return None
     meta = dict(raw.schema["h"].metadata or {})
+    if probe_hashes is not None:
+        probe = probe_hashes.select("h").distinct()
+        if broadcast_probe:
+            probe = F.broadcast(probe)
+        raw = raw.join(probe, "h", "leftsemi")
     merged = (
         raw.groupBy("h")
         .agg(
@@ -423,6 +447,7 @@ def ingest_document_batch(
     spark = batch.sparkSession
     batch = batch.persist()
     admitted_in = batch
+    new_sigs = batch_index = None
     try:
         # ONE aggregate over the raw batch serves both the ordering
         # guard and the end-of-ingest watermark append (id range +
@@ -522,6 +547,18 @@ def ingest_document_batch(
         if admit_filter is not None:
             admitted_in = admit_filter(batch).persist()
 
+        # Batch standing-asset parts, computed ONCE per ingest and
+        # reused (late-r11 scale decomposition of the composed ingest):
+        # the signatures feed the pair probe AND the band append; the
+        # window-index part bounds the stored index's re-aggregation
+        # (probe_hashes) AND is the winindex append. Persisted — each
+        # is consumed twice and costs a full batch tokenize+hash pass.
+        new_sigs = D.minhash_signatures(admitted_in, text_col, id_col)
+        new_sigs = new_sigs.persist()
+        batch_index = SD.window_index(
+            admitted_in, text_col, id_col, k=span_k
+        ).persist()
+
         old_docs = _maybe(spark, _d(store_dir, "docs"))
         old_banded = _maybe(spark, _d(store_dir, "bands"))
         if old_docs is None:
@@ -538,10 +575,16 @@ def ingest_document_batch(
                 id_col,
                 threshold=threshold,
                 old_banded=old_banded,
+                new_signatures=new_sigs,
             )
         pairs.write.mode("append").parquet(_d(store_dir, "pairs"))
 
-        idx = read_window_index_store(spark, store_dir)
+        # the stored index's monoid re-agg is bounded by the batch's
+        # own hash set — exact for the strip (it consults only the
+        # batch's hashes) and store-size-independent in shuffle volume
+        idx = read_window_index_store(
+            spark, store_dir, probe_hashes=batch_index
+        )
         if idx is None:
             stripped = SD.strip_duplicate_spans(
                 admitted_in, text_col, id_col, k=span_k, keep_all=True
@@ -557,12 +600,10 @@ def ingest_document_batch(
         )
         admitted.write.mode("append").parquet(_d(store_dir, "docs"))
 
-        D.minhash_band_table(
-            D.minhash_signatures(admitted_in, text_col, id_col)
-        ).write.mode("append").parquet(_d(store_dir, "bands"))
-        SD.window_index(admitted_in, text_col, id_col, k=span_k).write.mode(
-            "append"
-        ).parquet(_d(store_dir, "winindex"))
+        D.minhash_band_table(new_sigs).write.mode("append").parquet(
+            _d(store_dir, "bands")
+        )
+        batch_index.write.mode("append").parquet(_d(store_dir, "winindex"))
         # advance the high-water mark LAST (a failed ingest must not
         # fence out its own retry), from the RAW batch's fingerprint
         # computed up front: ids seen, admitted or not. No second
@@ -592,6 +633,9 @@ def ingest_document_batch(
                 wm_schema,
             ).write.mode("append").parquet(_d(store_dir, "maxid"))
     finally:
+        for frame in (new_sigs, batch_index):
+            if frame is not None:
+                frame.unpersist()
         if admitted_in is not batch:
             admitted_in.unpersist()
         batch.unpersist()
