@@ -253,16 +253,34 @@ def prepare_stream_store(spark, sf_dir) -> None:
     import shutil
 
     root = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
-    if os.path.exists(os.path.join(root, "docs", "_SUCCESS")):
-        return
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    old = spark.read.parquet(_p(sf_dir, "old_docs"))
-    old.withColumn("text_orig", F.col("text")).write.parquet(
-        os.path.join(root, "docs")
-    )
-    shutil.copytree(_p(sf_dir, "minhash_bands"), os.path.join(root, "bands"))
-    shutil.copytree(_p(sf_dir, "window_index"), os.path.join(root, "winindex"))
+    if not os.path.exists(os.path.join(root, "docs", "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        old = spark.read.parquet(_p(sf_dir, "old_docs"))
+        old.withColumn("text_orig", F.col("text")).write.parquet(
+            os.path.join(root, "docs")
+        )
+        shutil.copytree(
+            _p(sf_dir, "minhash_bands"), os.path.join(root, "bands")
+        )
+        shutil.copytree(
+            _p(sf_dir, "window_index"), os.path.join(root, "winindex")
+        )
+
+    # embedding twin: the resident SemDeDup assets as the embedding
+    # stream's store layout — exactly what init_embedding_store writes
+    # (centroids fit once on the resident corpus, assignments under
+    # them), file-copied from the standing assets
+    eroot = f"{STORE}/{os.path.basename(sf_dir)}_emb_stream_store"
+    if not os.path.exists(os.path.join(eroot, "assigned", "_SUCCESS")):
+        shutil.rmtree(eroot, ignore_errors=True)
+        os.makedirs(eroot)
+        shutil.copytree(
+            _p(sf_dir, "sem_centroids"), os.path.join(eroot, "centroids")
+        )
+        shutil.copytree(
+            _p(sf_dir, "emb_assigned"), os.path.join(eroot, "assigned")
+        )
 
 
 # --- the measured family ----------------------------------------------------
@@ -740,6 +758,41 @@ def curate_full_corpus_realppl(spark, sf_dir):
     )
 
 
+def _overlay_store(pristine: str, subs: tuple) -> str:
+    """Per-run scratch overlay of a pristine store: every data file
+    symlinked, so appends land in the overlay and repeated cold runs
+    ingest against identical resident state. Stale overlays from a
+    crashed prior run are swept first."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    for stale in _glob.glob(f"{STORE}/stream_overlay_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
+    for sub in subs:
+        src = os.path.join(pristine, sub)
+        dst = os.path.join(overlay, sub)
+        os.makedirs(dst)
+        for name in os.listdir(src):
+            if name.startswith(("_", ".")):
+                continue
+            os.symlink(os.path.join(src, name), os.path.join(dst, name))
+    return overlay
+
+
+def _appended_files(overlay: str, sub: str) -> list:
+    """Data files an ingest appended into an overlay subdir (real
+    files; the pristine store's contents are the symlinks)."""
+    d = os.path.join(overlay, sub)
+    return [
+        os.path.join(d, name)
+        for name in os.listdir(d)
+        if not name.startswith(("_", "."))
+        and not os.path.islink(os.path.join(d, name))
+    ]
+
+
 def stream_ingest_day_n(spark, sf_dir):
     """The COMPOSED streaming day-N ingest
     (curate_stream.ingest_document_batch): one daily batch (the stored
@@ -760,41 +813,43 @@ def stream_ingest_day_n(spark, sf_dir):
     fingerprint aggregate runs unconditionally either way, so its
     cost IS measured. Returns the admitted (span-stripped) day-N
     docs read back from the overlay's newly-appended files."""
-    import glob as _glob
-    import shutil
-
     from wroclaw_bike_stats_spark.streaming.curate_stream import (
         ingest_document_batch,
     )
 
-    pristine = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
-    # stale overlays from a prior crashed run
-    for stale in _glob.glob(f"{STORE}/stream_overlay_*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    import tempfile
-
-    overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
-    for sub in ("docs", "bands", "winindex"):
-        src = os.path.join(pristine, sub)
-        dst = os.path.join(overlay, sub)
-        os.makedirs(dst)
-        for name in os.listdir(src):
-            if name.startswith(("_", ".")):
-                continue
-            os.symlink(os.path.join(src, name), os.path.join(dst, name))
-
+    overlay = _overlay_store(
+        f"{STORE}/{os.path.basename(sf_dir)}_stream_store",
+        ("docs", "bands", "winindex"),
+    )
     batch = spark.read.parquet(_p(sf_dir, "new_docs"))
     ingest_document_batch(
         batch, overlay, threshold=0.5, span_k=13,
         enforce_ascending_ids=False,
     )
-    appended = [
-        os.path.join(overlay, "docs", name)
-        for name in os.listdir(os.path.join(overlay, "docs"))
-        if not name.startswith(("_", "."))
-        and not os.path.islink(os.path.join(overlay, "docs", name))
-    ]
-    return spark.read.parquet(*appended)
+    return spark.read.parquet(*_appended_files(overlay, "docs"))
+
+
+def stream_ingest_emb_day_n(spark, sf_dir):
+    """The embedding-side composed day-N ingest
+    (curate_stream.ingest_embedding_batch): one daily vector batch
+    assigned ONCE against the stored centroids, semantic pairs via
+    the cluster-matmul increment against the resident assignment
+    store, and both asset appends (sem_pairs, assigned) — the twin of
+    stream_ingest_day_n, same pristine-store + symlink-overlay
+    mechanics (prepare_stream_store builds the emb store from the
+    sem_centroids / emb_assigned standing assets). Returns the
+    batch's appended assignment rows read back from the overlay."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        ingest_embedding_batch,
+    )
+
+    overlay = _overlay_store(
+        f"{STORE}/{os.path.basename(sf_dir)}_emb_stream_store",
+        ("centroids", "assigned"),
+    )
+    batch = spark.read.parquet(_p(sf_dir, "new_emb"))
+    ingest_embedding_batch(batch, overlay, threshold=0.95)
+    return spark.read.parquet(*_appended_files(overlay, "assigned"))
 
 
 def cc_fixpoint(spark, sf_dir):
@@ -836,6 +891,7 @@ FAMILY = {
     "curate_full_corpus": curate_full_corpus,
     "curate_full_corpus_realppl": curate_full_corpus_realppl,
     "stream_ingest_day_n": stream_ingest_day_n,
+    "stream_ingest_emb_day_n": stream_ingest_emb_day_n,
     "cc_fixpoint": cc_fixpoint,
 }
 # per-FAMILY-row sf points when not the default DEDUP_POINTS; salt

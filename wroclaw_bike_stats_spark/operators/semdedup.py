@@ -281,6 +281,7 @@ def semdedup_incremental_pairs(
     vec_col: str = "embedding",
     old_vectors: DataFrame | None = None,
     pair_method: str = "cluster_matmul",
+    new_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Day-N incremental SemDeDup: duplicate pairs INVOLVING at least
     one NEW vector (new↔new and new↔old; old↔old was resolved when the
@@ -310,10 +311,16 @@ def semdedup_incremental_pairs(
     path's matmul beat it per pair ~50×).
     ``old_vectors`` defaults to ``old_assigned`` itself (it carries
     the vectors); pass the raw corpus frame if your stored assignment
-    table was thinned to ids."""
+    table was thinned to ids. ``new_assigned``: the batch's own
+    ``assign_to_centroids(new, centroids)`` frame, precomputed — pass
+    it when the caller also appends it to the standing assignment
+    store (the streaming ingest does), so the batch is assigned ONCE
+    per ingest. MUST be the assignment of exactly ``new`` under
+    exactly ``centroids``; anything else silently misplaces pairs."""
     import numpy as np
 
-    new_assigned = assign_to_centroids(new, centroids, id_col, vec_col)
+    if new_assigned is None:
+        new_assigned = assign_to_centroids(new, centroids, id_col, vec_col)
     if pair_method == "join":
         members = old_assigned.select(
             F.col(id_col).alias("_mid"), "centroid_id"

@@ -761,18 +761,26 @@ def ingest_embedding_batch(
     spark = batch.sparkSession
     cents = spark.read.parquet(_d(store_dir, "centroids"))
     assigned = spark.read.parquet(_d(store_dir, "assigned"))
-    pairs = semdedup_incremental_pairs(
-        batch,
-        assigned,
-        cents,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    pairs.write.mode("append").parquet(_d(store_dir, "sem_pairs"))
-    assign_to_centroids(batch, cents, id_col, vec_col).write.mode(
-        "append"
-    ).parquet(_d(store_dir, "assigned"))
+    # assign the batch ONCE (late r11 — the text ingest's asset-reuse
+    # move applied here): the same frame feeds the incremental pair
+    # block and the assignment-store append; persisted across its two
+    # consumers (plus the pair path's own new_cids distinct).
+    new_assigned = assign_to_centroids(batch, cents, id_col, vec_col)
+    new_assigned = new_assigned.persist()
+    try:
+        pairs = semdedup_incremental_pairs(
+            batch,
+            assigned,
+            cents,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            new_assigned=new_assigned,
+        )
+        pairs.write.mode("append").parquet(_d(store_dir, "sem_pairs"))
+        new_assigned.write.mode("append").parquet(_d(store_dir, "assigned"))
+    finally:
+        new_assigned.unpersist()
 
 
 def kept_view_embeddings(
