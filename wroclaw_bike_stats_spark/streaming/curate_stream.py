@@ -29,7 +29,13 @@ needed because nothing here overwrites what a lazy plan reads):
 - ``winindex/``  per-batch ``span_dedup.window_index`` parts; readers
                  re-aggregate (the (cnt, canonical) monoid) — append
                  beats merge-rewrite and the re-agg is one groupBy
-                 over index-sized data.
+                 over index-sized data (bounded by the consumer's own
+                 hash set via ``read_window_index_store``'s
+                 ``probe_hashes``).
+- ``maxid/``     the ascending-id guard's high-water-mark store: one
+                 1-row batch fingerprint append per ingest (id range,
+                 row count, id-multiset hash, (id,text) pairing
+                 digest).
 
 Exactness (the batch-parity contract, pinned in
 tests/test_curate_stream.py): every near-dup pair of the union is
