@@ -253,7 +253,10 @@ def prepare_stream_store(spark, sf_dir) -> None:
     import shutil
 
     root = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
-    if not os.path.exists(os.path.join(root, "docs", "_SUCCESS")):
+    # guard on the LAST artifact written (the init_embedding_store
+    # commit-marker rule): a crash mid-build must re-run the build,
+    # never leave a half-store the next run trusts
+    if not os.path.exists(os.path.join(root, "winindex", "_SUCCESS")):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
         old = spark.read.parquet(_p(sf_dir, "old_docs"))

@@ -515,7 +515,7 @@ def test_legacy_maxid_store_without_text_hash(spark, docs, tmp_path):
     ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
     # strip the r11 column to simulate a store written by older code
     maxid_dir = os.path.join(store, "maxid")
-    legacy = spark.read.parquet(maxid_dir).drop("text_hash").collect()
+    legacy = spark.read.parquet(maxid_dir).drop("text_hash", "fp_scheme").collect()
     legacy_df = spark.createDataFrame(
         legacy, "min_id long, max_id long, n_rows long, id_hash long"
     )
@@ -528,6 +528,49 @@ def test_legacy_maxid_store_without_text_hash(spark, docs, tmp_path):
         ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
     with pytest.raises(ValueError, match="out-of-order ingest"):
         ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+
+def test_old_formula_maxid_vintage_does_not_wedge_replays(
+    spark, docs, tmp_path
+):
+    """A maxid store whose last row carries a text_hash from an OLDER
+    digest formula (pre-fp_scheme r11 code hashed the text multiset,
+    not the (id, text) pairing) must not wedge a genuine checkpoint
+    replay: the content compare applies only when the stored row's
+    fp_scheme matches the current one — otherwise the check falls back
+    id-keyed, because hard-failing a compare across formulas is
+    exactly the restart-crash loop the replay exemption exists to
+    prevent."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    b1, b2, _ = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # simulate the pre-scheme vintage: drop fp_scheme and corrupt
+    # text_hash to a value the current formula can never reproduce
+    maxid_dir = os.path.join(store, "maxid")
+    vintage = [
+        (r.min_id, r.max_id, r.n_rows, r.id_hash, r.text_hash ^ 0x5A5A)
+        for r in spark.read.parquet(maxid_dir).collect()
+    ]
+    shutil.rmtree(maxid_dir)
+    spark.createDataFrame(
+        vintage,
+        "min_id long, max_id long, n_rows long, id_hash long, "
+        "text_hash long",
+    ).write.parquet(maxid_dir)
+
+    # a replay of the last batch is ADMITTED (warned), not raised —
+    # and the re-append writes a current-scheme row, so the content
+    # check re-arms for the NEXT replay
+    with pytest.warns(UserWarning, match="checkpoint-replay"):
+        ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    regen = b2.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(
+            regen, store, threshold=THRESHOLD, span_k=SPAN_K
+        )
 
 
 def test_upgraded_legacy_maxid_store_keeps_content_check(
@@ -548,7 +591,7 @@ def test_upgraded_legacy_maxid_store_keeps_content_check(
     ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
     # simulate a pre-r11 store: strip text_hash from every row
     maxid_dir = os.path.join(store, "maxid")
-    legacy = spark.read.parquet(maxid_dir).drop("text_hash").collect()
+    legacy = spark.read.parquet(maxid_dir).drop("text_hash", "fp_scheme").collect()
     legacy_df = spark.createDataFrame(
         legacy, "min_id long, max_id long, n_rows long, id_hash long"
     )

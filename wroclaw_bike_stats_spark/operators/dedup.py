@@ -684,6 +684,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     broadcast_candidates: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification of CANDIDATES ONLY.
@@ -699,8 +700,20 @@ def minhash_dedup_pairs(
     heavy that candidates approach corpus size (a forced broadcast
     there can OOM; AQE then sizes the join from the persisted
     candidates' statistics).
+
+    ``signatures``: precomputed ``minhash_signatures(df)`` — pass it
+    when the caller also needs the signatures elsewhere (the streaming
+    ingest's bootstrap batch feeds its band-table append from the same
+    frame), so the corpus is shingled and hashed once. Validated
+    against this run's parameterization.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if signatures is not None:
+        _validate_signature_table(
+            signatures, num_hashes, shingle_n, what="signatures"
+        )
+        sigs = signatures
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # The candidate set feeds three downstream consumers (the two id
     # projections and the pair join); without persistence the whole
     # signature+banding pipeline would re-execute for each. Candidate
@@ -719,7 +732,10 @@ def minhash_dedup_pairs(
 
 
 def _validate_signature_table(
-    signatures: DataFrame, num_hashes: int, shingle_n: int
+    signatures: DataFrame,
+    num_hashes: int,
+    shingle_n: int,
+    what: str = "signatures",
 ) -> None:
     """Fail LOUD on a signature table from an incompatible
     parameterization (fewer hashes, another shingle_n, a reseeded
@@ -749,7 +765,7 @@ def _validate_signature_table(
         }
         if bad:
             raise ValueError(
-                "stored signatures were built with an incompatible "
+                f"{what} were built with an incompatible "
                 "parameterization — cross-batch duplicates would be "
                 "silently missed: "
                 + ", ".join(
@@ -762,7 +778,7 @@ def _validate_signature_table(
         probe = signatures.select(F.size("signature")).first()
         if probe is not None and probe[0] != num_hashes:
             raise ValueError(
-                f"stored signatures have {probe[0]} hashes but this "
+                f"{what} have {probe[0]} hashes but this "
                 f"run uses num_hashes={num_hashes} — band hashes "
                 "would never collide and cross-batch duplicates would "
                 "be missed"
@@ -824,7 +840,9 @@ def minhash_incremental_pairs(
     stored table from another parameterization sneaks in).
     """
     if new_signatures is not None:
-        _validate_signature_table(new_signatures, num_hashes, shingle_n)
+        _validate_signature_table(
+            new_signatures, num_hashes, shingle_n, what="new_signatures"
+        )
         new_sigs = new_signatures
     else:
         new_sigs = minhash_signatures(
@@ -864,7 +882,9 @@ def minhash_incremental_pairs(
         _check_hash_probe(meta)
         old_bands = old_banded.select("_id", "band_idx", "band_hash")
     elif old_signatures is not None:
-        _validate_signature_table(old_signatures, num_hashes, shingle_n)
+        _validate_signature_table(
+            old_signatures, num_hashes, shingle_n, what="stored old_signatures"
+        )
         old_bands = _band_table(old_signatures, bands)
     else:
         old_bands = _band_table(

@@ -76,7 +76,12 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from wroclaw_bike_stats_spark.operators import dedup as D
 from wroclaw_bike_stats_spark.operators import span_dedup as SD
@@ -98,6 +103,16 @@ __all__ = [
     "run_curation_stream",
     "run_embedding_curation_stream",
 ]
+
+
+#: Version tag of the maxid fingerprint's CONTENT digest. Rows written
+#: under a different (or absent) scheme fall back to the id-keyed
+#: replay check instead of hard-failing the content compare — a
+#: formula change must never wedge an upgraded-in-place store in the
+#: restart-crash loop the replay exemption exists to prevent.
+#: "idtext-v2" = bit_xor(xxhash64(id, text)), the (id, text) PAIRING
+#: digest (v1, unmarked, hashed the text multiset only).
+FP_SCHEME = "idtext-v2"
 
 
 def _d(store_dir: str, what: str) -> str:
@@ -487,13 +502,30 @@ def ingest_document_batch(
             wm = _maybe(spark, _d(store_dir, "maxid"), merge_schema=True)
             if wm is not None:
                 has_text_hash = "text_hash" in wm.columns
-                last_fields = ["min_id", "n_rows", "id_hash"] + (
-                    ["text_hash"] if has_text_hash else []
+                has_scheme = "fp_scheme" in wm.columns
+                last_fields = (
+                    ["min_id", "n_rows", "id_hash"]
+                    + (["text_hash"] if has_text_hash else [])
+                    + (["fp_scheme"] if has_scheme else [])
+                )
+                # ties on max_id (a replay re-appends the same batch's
+                # fingerprint, possibly under a NEWER digest scheme
+                # after an in-place upgrade): the current-scheme row
+                # wins deterministically — it carries the comparable
+                # content digest
+                scheme_rank = (
+                    (F.col("fp_scheme") == FP_SCHEME).cast("int")
+                    if has_scheme
+                    else F.lit(0)
                 )
                 top = wm.agg(
                     F.max("max_id").alias("_mx"),
                     F.max_by(
-                        F.struct(*last_fields), "max_id"
+                        F.struct(*last_fields),
+                        F.struct(
+                            F.col("max_id"),
+                            F.coalesce(scheme_rank, F.lit(0)).alias("_r"),
+                        ),
                     ).alias("_last"),
                 ).first()
                 stored_max, last = top["_mx"], top["_last"]
@@ -507,19 +539,26 @@ def ingest_document_batch(
                 # impersonate one — and is let through: re-appending
                 # is the module's documented at-least-once behavior,
                 # and fencing a replay would wedge the stream in a
-                # restart-crash loop. The content check is skipped
-                # (id-keyed fingerprint, pre-r11 behavior) only for a
-                # legacy maxid store whose rows predate the
-                # text_hash column. Anything else at-or-below the
-                # high-water mark is a genuine ordering violation.
+                # restart-crash loop. The content check applies ONLY
+                # when the stored row was written under THIS digest
+                # scheme (fp_scheme == FP_SCHEME); older vintages —
+                # no text_hash column, or a pre-scheme text_hash from
+                # a different formula — fall back to the id-keyed
+                # check instead of hard-failing a compare across
+                # formulas (which would wedge an upgraded-in-place
+                # store in exactly the restart loop this exemption
+                # prevents). Anything else at-or-below the high-water
+                # mark is a genuine ordering violation.
+                scheme_current = (
+                    has_scheme and last["fp_scheme"] == FP_SCHEME
+                )
                 is_replay_of_last = (
                     fp["min_id"] == last["min_id"]
                     and fp["max_id"] == stored_max
                     and fp["n_rows"] == last["n_rows"]
                     and fp["id_hash"] == last["id_hash"]
                     and (
-                        not has_text_hash
-                        or last["text_hash"] is None  # legacy rows
+                        not scheme_current
                         or fp["text_hash"] == last["text_hash"]
                     )
                 )
@@ -568,8 +607,12 @@ def ingest_document_batch(
         old_docs = _maybe(spark, _d(store_dir, "docs"))
         old_banded = _maybe(spark, _d(store_dir, "bands"))
         if old_docs is None:
+            # bootstrap batch (often backfill-sized): the full
+            # within-batch pipeline, fed the SAME precomputed
+            # signatures as every other consumer
             pairs = D.minhash_dedup_pairs(
-                admitted_in, text_col, id_col, threshold=threshold
+                admitted_in, text_col, id_col, threshold=threshold,
+                signatures=new_sigs,
             )
         else:
             pairs = D.minhash_incremental_pairs(
@@ -624,6 +667,7 @@ def ingest_document_batch(
                     StructField("n_rows", LongType()),
                     StructField("id_hash", LongType()),
                     StructField("text_hash", LongType()),
+                    StructField("fp_scheme", StringType()),
                 ]
             )
             spark.createDataFrame(
@@ -634,6 +678,7 @@ def ingest_document_batch(
                         fp["n_rows"],
                         fp["id_hash"],
                         fp["text_hash"],
+                        FP_SCHEME,
                     )
                 ],
                 wm_schema,
@@ -873,7 +918,8 @@ def run_embedding_curation_stream(
             ingest_embedding_batch(
                 batch, store_dir, threshold, id_col, vec_col
             )
-        bootstrapped.append(True)
+        if not bootstrapped:
+            bootstrapped.append(True)
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)
