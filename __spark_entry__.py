@@ -2979,6 +2979,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     "curate_pipeline_full",
     "curate_pipeline",
+    "incremental_neardup_recall",
+    "semdedup_incremental",
     "value_quantiles_approx",
     "simhash_groups",
     "simhash_neardup",
@@ -3064,7 +3066,6 @@ _GATE_ORDER = [
     "gopher_stats",
     "nb_lang_predict",
     "ppl_buckets",
-    "semdedup_incremental",
     "semdedup_keep",
     "semdedup_pairs",
     "semdedup_stats",
@@ -3073,7 +3074,6 @@ _GATE_ORDER = [
     "ppl_pruned",
     "ppl_cms_bound",
     "dsir_scheme_consistency",
-    "incremental_neardup_recall",
     "hll_bounds",
     "skew_safe_distinct",
     "approx_quantile_bounds",
