@@ -642,6 +642,11 @@ def test_window_index_store_probe_filter_exact(spark, docs, tmp_path):
     assert dict(filtered.schema["h"].metadata or {}) == dict(
         full.schema["h"].metadata or {}
     )
+    # plan shape: the probe must reach the store as a BROADCAST semi
+    # join BELOW the monoid groupBy — that bound is the entire point
+    # (a lost hint would silently shuffle the store-sized table again)
+    plan = filtered._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
 
 
 def test_maybe_store_layouts(spark, docs, tmp_path):
