@@ -276,7 +276,11 @@ def main(path: str) -> int:
         "FLAT, day 5 at 0.67× day 1, so per-ingest cost does not grow",
         "as the pairs / window-index / band stores accumulate parts;",
         "'tomorrow's ingest pays the same batch-proportional cost' is",
-        "a measured curve, not prose.",
+        "a measured curve, not prose. The embedding twin (--emb) is",
+        "flat too: 8.3 / 6.9 / 6.1 / 6.1 / 6.5 s, day 5 at 0.78×",
+        "day 1. The stage split that drove the probe-bound fix is",
+        "itself a committed tool (tools/probe_stream_stages.py) so a",
+        "future regression can be re-attributed the same way.",
         "",
         "| query | sf0.1 s | sf1 s | sf10 s | sf100 s | @10× | @100× | @1000× | rows (sf0.1→largest) | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
