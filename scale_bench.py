@@ -252,11 +252,13 @@ def prepare_stream_store(spark, sf_dir) -> None:
     never mutate it."""
     import shutil
 
+    # commit marker = a root-level file touched AFTER every artifact:
+    # a parquet _SUCCESS inside a copytree'd dir is NOT a marker
+    # (copytree copies it in listing order, not last), so a crash
+    # mid-copy could otherwise leave a half-store later runs trust
     root = f"{STORE}/{os.path.basename(sf_dir)}_stream_store"
-    # guard on the LAST artifact written (the init_embedding_store
-    # commit-marker rule): a crash mid-build must re-run the build,
-    # never leave a half-store the next run trusts
-    if not os.path.exists(os.path.join(root, "winindex", "_SUCCESS")):
+    marker = os.path.join(root, "_STORE_READY")
+    if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
         old = spark.read.parquet(_p(sf_dir, "old_docs"))
@@ -269,13 +271,15 @@ def prepare_stream_store(spark, sf_dir) -> None:
         shutil.copytree(
             _p(sf_dir, "window_index"), os.path.join(root, "winindex")
         )
+        open(marker, "w").close()
 
     # embedding twin: the resident SemDeDup assets as the embedding
     # stream's store layout — exactly what init_embedding_store writes
     # (centroids fit once on the resident corpus, assignments under
     # them), file-copied from the standing assets
     eroot = f"{STORE}/{os.path.basename(sf_dir)}_emb_stream_store"
-    if not os.path.exists(os.path.join(eroot, "assigned", "_SUCCESS")):
+    emarker = os.path.join(eroot, "_STORE_READY")
+    if not os.path.exists(emarker):
         shutil.rmtree(eroot, ignore_errors=True)
         os.makedirs(eroot)
         shutil.copytree(
@@ -284,6 +288,7 @@ def prepare_stream_store(spark, sf_dir) -> None:
         shutil.copytree(
             _p(sf_dir, "emb_assigned"), os.path.join(eroot, "assigned")
         )
+        open(emarker, "w").close()
 
 
 # --- the measured family ----------------------------------------------------

@@ -530,6 +530,26 @@ def test_legacy_maxid_store_without_text_hash(spark, docs, tmp_path):
         ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
 
 
+def test_zero_row_maxid_store_treated_as_empty(spark, docs, tmp_path):
+    """A maxid/ dir holding only a committed ZERO-ROW parquet part
+    (external compaction or a filtered rewrite) records nothing and
+    must enforce nothing — the guard treats it like an absent store
+    instead of crashing on a None aggregate row."""
+    store = str(tmp_path / "store")
+    b1, b2, _ = _doc_batches(docs, n=3)
+    maxid_dir = os.path.join(store, "maxid")
+    os.makedirs(store)
+    spark.createDataFrame(
+        [],
+        "min_id long, max_id long, n_rows long, id_hash long, "
+        "text_hash long, fp_scheme string",
+    ).write.parquet(maxid_dir)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # the high-water mark took effect from that first real append
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+
 def test_old_formula_maxid_vintage_does_not_wedge_replays(
     spark, docs, tmp_path
 ):

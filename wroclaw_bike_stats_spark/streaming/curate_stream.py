@@ -111,7 +111,11 @@ __all__ = [
 #: formula change must never wedge an upgraded-in-place store in the
 #: restart-crash loop the replay exemption exists to prevent.
 #: "idtext-v2" = bit_xor(xxhash64(id, text)), the (id, text) PAIRING
-#: digest (v1, unmarked, hashed the text multiset only).
+#: digest. UNMARKED text_hash rows are ambiguous — two pre-scheme
+#: formulas existed (a text-multiset digest, then briefly the pairing
+#: digest, both written without a tag) and are indistinguishable on
+#: disk, which is exactly why a scheme mismatch falls back id-keyed
+#: rather than attempting the compare.
 FP_SCHEME = "idtext-v2"
 
 
@@ -438,8 +442,10 @@ def ingest_document_batch(
     (the re-append is correct at-least-once behavior, but never
     silent): fencing a replay would wedge the stream in a
     restart-crash loop after a crash between the watermark append
-    and the checkpoint commit. A legacy (pre-r11) ``maxid/`` store
-    without the ``text_hash`` column keeps the id-keyed replay
+    and the checkpoint commit. The content compare applies only to
+    rows tagged with the current ``fp_scheme``; any older vintage — no
+    ``text_hash`` column at all, or an untagged ``text_hash`` from a
+    pre-scheme formula — keeps the id-keyed replay
     check. The watermark rides in a
     tiny ``maxid/`` store (one 1-row fingerprint append per batch,
     built from the guard's own aggregate — one batch job total;
@@ -529,6 +535,11 @@ def ingest_document_batch(
                     ).alias("_last"),
                 ).first()
                 stored_max, last = top["_mx"], top["_last"]
+                if last is None:
+                    # a store that holds only zero-row parts (external
+                    # compaction/rewrite) — nothing recorded, nothing
+                    # to enforce; same as an absent store
+                    stored_max = None
                 # A CHECKPOINT REPLAY of the most recent batch (crash
                 # after the maxid append, before the checkpoint
                 # commit) re-presents the last recorded fingerprint —
@@ -550,9 +561,11 @@ def ingest_document_batch(
                 # prevents). Anything else at-or-below the high-water
                 # mark is a genuine ordering violation.
                 scheme_current = (
-                    has_scheme and last["fp_scheme"] == FP_SCHEME
+                    last is not None
+                    and has_scheme
+                    and last["fp_scheme"] == FP_SCHEME
                 )
-                is_replay_of_last = (
+                is_replay_of_last = last is not None and (
                     fp["min_id"] == last["min_id"]
                     and fp["max_id"] == stored_max
                     and fp["n_rows"] == last["n_rows"]
