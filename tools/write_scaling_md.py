@@ -260,7 +260,9 @@ def main(path: str) -> int:
         "(exact — the strip consults only those hashes), and the batch's",
         "signatures/window-index part are computed once and reused",
         "across pair probe, strip probe, and both asset appends. The",
-        "table row is the post-fix state: 26.0 s at sf100, ratio 5.2×.",
+        "table row is the post-fix state, re-confirmed at the round's",
+        "final HEAD (24.3 s at sf100, ratio ~5×; first measured 26.0 s",
+        "right after the fix — same host band).",
         "stream_ingest_emb_day_n is the embedding twin",
         "(ingest_embedding_batch over the 2% vector batch against the",
         "resident SemDeDup store): the same decomposition found the",
@@ -268,8 +270,9 @@ def main(path: str) -> int:
         "increment + assignment append) — so",
         "semdedup_incremental_pairs now accepts the precomputed",
         "new_assigned frame and the ingest persists it across both",
-        "consumers; measured post-fix 1.6 / 1.5 / 2.3 / 8.3 s, ratio",
-        "5.2× at 1000× data, appended assignment rows exactly linear.",
+        "consumers; final-HEAD confirmation run 1.0 / 1.2 / 1.8 /",
+        "7.3 s (first post-fix measurement 8.3 s at sf100 — same",
+        "band), appended assignment rows exactly linear.",
         "The multi-day curve (tools/probe_stream_days.py — five",
         "consecutive ~0.4% daily drops into ONE accumulating store at",
         "sf100, single runs): 18.7 / 14.6 / 11.1 / 14.8 / 12.6 s —",
