@@ -332,6 +332,35 @@ def test_quantized_topk_recall(spark, emb):
     assert len(ex & ap) / len(ex) >= 0.8
 
 
+def test_minhash_dedup_pairs_signatures_passthrough(spark):
+    """minhash_dedup_pairs(signatures=...) — the bootstrap-ingest
+    reuse hook — must equal the self-computing form, and reject a
+    frame from another parameterization loudly (the same silent-miss
+    contract as the incremental twin's new_signatures)."""
+    import wroclaw_bike_stats_spark.operators.dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        map(tuple, D.minhash_dedup_pairs(docs, threshold=0.5).collect())
+    )
+    assert want, "fixture must produce pairs"
+    sigs = D.minhash_signatures(docs)
+    got = sorted(
+        map(
+            tuple,
+            D.minhash_dedup_pairs(
+                docs, threshold=0.5, signatures=sigs
+            ).collect(),
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="incompatible parameterization"):
+        D.minhash_dedup_pairs(
+            docs, threshold=0.5,
+            signatures=D.minhash_signatures(docs, num_hashes=16),
+        )
+
+
 def test_minhash_incremental_matches_full_run(spark):
     """Incremental near-dup (new batch vs resident corpus) must equal
     the full-corpus LSH run filtered to pairs involving a new doc —
