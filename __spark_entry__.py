@@ -2593,6 +2593,28 @@ def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
 
 
+def q_bigram_lm_ppl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle attestation of the r11 COLUMN route for LM
+    scoring (operators/text.py bigram_lm_ppl_column): the exact
+    pandas_udf column `plans/curate.py`'s arrow branch filters on
+    in place — same math/tokenizer/HALF_UP rounding as the frame
+    route (shared `_score_text_batch` core), but zero join-back.
+    The `bigram_lm_ppl` gate exercises the frame route; this one
+    pins the column route against the SAME DuckDB model CTEs, so
+    the default curate path's scorer is driver-attested on its own,
+    not only through the composed `curate_pipeline_full` hash."""
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_ppl_column
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = _ref_lm_shared(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        bigram_lm_ppl_column(
+            F.col("text"), uni, bi, spark=spark, alpha=0.1
+        ).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 def q_ppl_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM scoring under a MIN-COUNT-PRUNED model
     (operators/text.py thin_bigram_lm): singleton bigrams dropped
@@ -2666,6 +2688,27 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic HOF — operators/text.py repetition_stats)."""
     docs = _t(spark, sf_dir, "documents")
     return T.repetition_stats(docs).orderBy("doc_id")
+
+
+def q_repetition_2gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle attestation of the r11 COLUMN route for the
+    2-gram repetition signal (operators/text.py
+    repetition_2gram_struct): one zero-shuffle Arrow pass returning
+    struct<top2_count,total_2grams> per row — the shape
+    `plans/curate.py`'s repetition stage uses by default. The
+    `repetition_stats` gate pins the explode+agg frame route; this
+    one pins the column route against the same DuckDB gram CTEs."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        repetition_2gram_struct,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    st = repetition_2gram_struct(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st.getField("top2_count").alias("top2_count"),
+        st.getField("total_2grams").alias("total_2grams"),
+    ).orderBy("doc_id")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2897,6 +2940,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_strip": q_span_strip,
         "span_strip_incremental": q_span_strip_incremental,
         "bigram_lm_ppl": q_bigram_lm_ppl,
+        "bigram_lm_ppl_column": q_bigram_lm_ppl_column,
         "range_series_daily": q_range_series_daily,
         "range_hist_avg": q_range_hist_avg,
         "range_reagg_routes": q_range_reagg_routes,
@@ -2954,6 +2998,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "region_nation_revenue": q_region_nation_revenue,
         "repetition_stats": q_repetition_stats,
+        "repetition_2gram_column": q_repetition_2gram_column,
         "revenue_rank_by_nation": q_revenue_rank_by_nation,
         "revenue_topk": q_revenue_topk,
         "rich_customers_by_nation": q_rich_customers_by_nation,
@@ -2991,6 +3036,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
     "simhash_groups",
+    "bigram_lm_ppl_column",
+    "repetition_2gram_column",
     "pii_scrub",
     "pricing_summary",
     "promo_revenue_share",
@@ -5206,6 +5253,50 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
             ORDER BY t.doc_id
         """,
+        # bigram_lm_ppl_column: the bigram_lm_ppl model CTEs, projected
+        # to (doc_id, ppl) — the column route's output shape.
+        "bigram_lm_ppl_column": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                FROM documents
+            ), ref AS (
+                SELECT * FROM t WHERE doc_id % 7 = 3
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+            ), v AS (
+                SELECT count(*) + 1 AS vs FROM uni
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM (SELECT toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                      FROM ref,
+                           LATERAL (SELECT unnest(range(len(toks) - 1))
+                                    AS i) u
+                      WHERE len(toks) >= 2)
+                GROUP BY w1, w2
+            ), db AS (
+                SELECT doc_id, toks[u.i + 1] AS w1, toks[u.i + 2] AS w2
+                FROM t, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i) u
+                WHERE len(toks) >= 2
+            ), sc AS (
+                SELECT db.doc_id,
+                       log2((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)) AS lp
+                FROM db
+                LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+                LEFT JOIN uni ON db.w1 = uni.w
+                CROSS JOIN v
+            ), agg AS (
+                SELECT doc_id, round(avg(-lp), 4) AS xent_bits
+                FROM sc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(pow(2.0, agg.xent_bits), 4) AS ppl
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
         "ppl_pruned": """
             WITH t AS (
                 SELECT doc_id,
@@ -5414,6 +5505,34 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
                                     / len(toks)
                          ELSE 0.0 END, 4) AS dup_word_frac,
+                   coalesce(top.top2_count, 0) AS top2_count,
+                   coalesce(top.total_2grams, 0) AS total_2grams
+            FROM l LEFT JOIN top ON l.doc_id = top.doc_id
+            ORDER BY l.doc_id
+        """,
+        # repetition_2gram_column: the repetition_stats gram CTEs,
+        # projected to (doc_id, top2_count, total_2grams) — the column
+        # route's output shape (no dup_word_frac).
+        "repetition_2gram_column": r"""
+            WITH l AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM l
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (
+                SELECT doc_id,
+                       CAST(max(c) AS BIGINT) AS top2_count,
+                       CAST(sum(c) AS BIGINT) AS total_2grams
+                FROM gc GROUP BY 1
+            )
+            SELECT l.doc_id,
                    coalesce(top.top2_count, 0) AS top2_count,
                    coalesce(top.total_2grams, 0) AS total_2grams
             FROM l LEFT JOIN top ON l.doc_id = top.doc_id
