@@ -766,17 +766,36 @@ def curate_full_corpus_realppl(spark, sf_dir):
     )
 
 
+# overlays created by THIS process, still potentially backing a
+# returned DataFrame; swept only after the row's result has been
+# materialized (_time) or the curve that made them finished
+_PROC_START = time.time()
+_OWN_OVERLAYS: list = []
+
+
 def _overlay_store(pristine: str, subs: tuple) -> str:
     """Per-run scratch overlay of a pristine store: every data file
     symlinked, so appends land in the overlay and repeated cold runs
-    ingest against identical resident state. Stale overlays from a
-    crashed prior run are swept first."""
+    ingest against identical resident state.
+
+    Sweep discipline (r11 ADVICE — the old every-call sweep was a
+    latent use-after-delete on any returned frame re-read after the
+    next row): creating an overlay removes only overlays left by
+    DEAD processes (mtime predating this process). This process's
+    own overlays are tracked and swept by ``_sweep_own_overlays``,
+    which callers invoke only once the frames reading from them have
+    been fully materialized."""
     import glob as _glob
     import shutil
     import tempfile
 
     for stale in _glob.glob(f"{STORE}/stream_overlay_*"):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            dead = os.path.getmtime(stale) < _PROC_START
+        except OSError:
+            dead = True
+        if dead and stale not in _OWN_OVERLAYS:
+            shutil.rmtree(stale, ignore_errors=True)
     overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
     for sub in subs:
         src = os.path.join(pristine, sub)
@@ -786,7 +805,18 @@ def _overlay_store(pristine: str, subs: tuple) -> str:
             if name.startswith(("_", ".")):
                 continue
             os.symlink(os.path.join(src, name), os.path.join(dst, name))
+    _OWN_OVERLAYS.append(overlay)
     return overlay
+
+
+def _sweep_own_overlays() -> None:
+    """Delete every overlay this process created — callable only when
+    no returned DataFrame still reads from one (after _materialize,
+    or at the end of a curve)."""
+    import shutil
+
+    while _OWN_OVERLAYS:
+        shutil.rmtree(_OWN_OVERLAYS.pop(), ignore_errors=True)
 
 
 def _appended_files(overlay: str, sub: str) -> list:
@@ -858,6 +888,92 @@ def stream_ingest_emb_day_n(spark, sf_dir):
     batch = spark.read.parquet(_p(sf_dir, "new_emb"))
     ingest_embedding_batch(batch, overlay, threshold=0.95)
     return spark.read.parquet(*_appended_files(overlay, "assigned"))
+
+
+def stream_day_curve(
+    spark, sf_dir, emb_mode: bool = False, n_days: int = 5, runs: int = 2
+) -> dict:
+    """Multi-day streaming-ingest cost curve as a GATED measurement
+    (r12, promoting tools/probe_stream_days.py's single-run prose
+    curve to a failing check): ingest ``n_days`` consecutive daily
+    batches into the SAME overlaid store, per-day seconds = min over
+    ``runs`` independent curve passes, and gate
+    day-N / day-1 ≤ ``STREAM_DAY_GATE`` — the claim "tomorrow's
+    ingest pays the same batch-proportional cost" fails loudly if
+    store accumulation ever creeps into the per-batch path again
+    (the r11 composed-path bugs were exactly this shape).
+
+    Day k = the stored ingest split filtered to
+    (id // 50) % n_days == k — equal-sized, disjoint daily drops.
+    Same overlay mechanics as stream_ingest_day_n: appends land in a
+    symlink overlay, the pristine store is never mutated, so every
+    curve pass starts from identical resident state. Document ids
+    interleave with the resident corpus → enforce_ascending_ids=False
+    (the documented first-ingested-wins span semantics)."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        ingest_document_batch,
+        ingest_embedding_batch,
+    )
+
+    base = os.path.basename(sf_dir)
+    if emb_mode:
+        pristine = f"{STORE}/{base}_emb_stream_store"
+        subs = ("centroids", "assigned")
+        new = spark.read.parquet(_p(sf_dir, "new_emb"))
+        id_col = "vec_id"
+
+        def ingest(batch, overlay):
+            ingest_embedding_batch(batch, overlay, threshold=0.95)
+    else:
+        pristine = f"{STORE}/{base}_stream_store"
+        subs = ("docs", "bands", "winindex")
+        new = spark.read.parquet(_p(sf_dir, "new_docs"))
+        id_col = "doc_id"
+
+        def ingest(batch, overlay):
+            ingest_document_batch(
+                batch, overlay, threshold=0.5, span_k=13,
+                enforce_ascending_ids=False,
+            )
+
+    # warmup (JVM + Arrow workers) on a throwaway overlay; each
+    # measured overlay is created AFTER the previous pass because
+    # _overlay_store sweeps all existing overlays
+    warm = _overlay_store(pristine, subs)
+    ingest(new.limit(50), warm)
+
+    day_sec = [float("inf")] * n_days
+    for _ in range(runs):
+        overlay = _overlay_store(pristine, subs)
+        for k in range(n_days):
+            batch = new.filter(
+                (F.col(id_col) / 50).cast("long") % n_days == k
+            )
+            _cold()
+            start = time.perf_counter()
+            ingest(batch, overlay)
+            day_sec[k] = min(
+                day_sec[k], round(time.perf_counter() - start, 3)
+            )
+    ratio = (
+        round(day_sec[-1] / day_sec[0], 2) if day_sec[0] else None
+    )
+    _sweep_own_overlays()
+    return {
+        "day_sec": day_sec,
+        "n_days": n_days,
+        "runs": runs,
+        "dayN_over_day1": ratio,
+        "gate_max_ratio": STREAM_DAY_GATE,
+        "gate_ok": ratio is not None and ratio <= STREAM_DAY_GATE,
+    }
+
+
+# store-accumulation gate: day-N ingest may cost at most this multiple
+# of day-1 (flat curve; r11 measured day-5 at 0.67×/0.78× day-1, so
+# 1.5× is generous headroom over noise while still failing any
+# resident-store-proportional term in the per-batch path)
+STREAM_DAY_GATE = 1.5
 
 
 def cc_fixpoint(spark, sf_dir):
@@ -975,6 +1091,9 @@ def _time(fn, spark, sf_dir, runs: int = 2) -> tuple[float, int]:
         n = _materialize(fn(spark, sf_dir))
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
+        # the row's result is fully materialized — any overlay it
+        # created no longer backs a live frame (outside the clock)
+        _sweep_own_overlays()
     return round(best, 3), n
 
 
@@ -1068,6 +1187,18 @@ def main() -> int:
             sec, rows = _time(fn, spark, sf_dir_of(tag), runs=runs)
             results.setdefault(name, {})[tag] = {"sec": sec, "rows": rows}
             print(f"# {name} @ {tag}: {sec}s ({rows} rows)", flush=True)
+    # multi-day ingest curves (gated: day-N/day-1 ≤ STREAM_DAY_GATE),
+    # measured at the largest point so store accumulation has 1000×
+    # resident data to show up against
+    curves: dict[str, dict] = {}
+    for cname, emb in (
+        ("stream_day_curve", False),
+        ("stream_day_curve_emb", True),
+    ):
+        if only and cname not in only:
+            continue
+        curves[cname] = stream_day_curve(spark, SF100, emb_mode=emb)
+        print(f"# {cname} @ sf100: {curves[cname]}", flush=True)
     _cold()
 
     summary = {}
@@ -1092,12 +1223,19 @@ def main() -> int:
                 summary[incr][f"speedup_vs_full_recompute_{pt}"] = round(
                     results[full][pt]["sec"] / results[incr][pt]["sec"], 2
                 )
+    summary.update(curves)
     out = {
         "metric": "scaling_sf0.1_to_sf1",
         "cpus": int(cpus),
         "queries": summary,
     }
     print(json.dumps(out))
+    # the day-curve gate is a HARD check: a regression in the
+    # per-batch ingest path (any resident-store-proportional term)
+    # fails the bench run, not just a number in the JSON
+    if any(not c["gate_ok"] for c in curves.values()):
+        print(json.dumps({"error": "stream_day_curve gate failed"}))
+        return 1
     return 0
 
 

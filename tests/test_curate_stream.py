@@ -369,6 +369,106 @@ def test_embedding_stream_end_to_end(spark, tmp_path):
     assert len(want_keep) < union.count(), "vacuous: nothing deduped"
 
 
+def test_embedding_stream_scored_stage(spark, tmp_path):
+    """run_embedding_curation_stream with an ADMIT FILTER (r12 — the
+    doc runner's scored-stage e2e coverage, applied to the embedding
+    twin): a vector-derived admission rule (component-sum > 0) runs
+    before bootstrap and ingest alike, so centroids are fit on the
+    ADMITTED first drop and rejected vectors never reach the pair
+    graph or the assignment store. Parity: sem_pairs / keep ==
+    one-shot SemDeDup over the FILTERED union under the stored
+    centroids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        run_embedding_curation_stream,
+    )
+
+    def admit(df):
+        score = F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x
+        )
+        return df.filter(score > 0)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 2], ids[3 * len(ids) // 4]
+    batches = [
+        emb.filter(F.col("vec_id") < cut1),
+        emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        emb.filter(F.col("vec_id") >= cut2),
+    ]
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    admitted_union = admit(union)
+    n_all, n_admit = union.count(), admitted_union.count()
+    assert 0 < n_admit < n_all, "vacuous: filter passes all or none"
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for i, b in enumerate(batches):
+        path = str(input_dir / f"{i:02d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(b.orderBy("vec_id").toPandas()), path
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = str(tmp_path / "emb_store")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    q = run_embedding_curation_stream(
+        spark, str(input_dir), store, schema, str(tmp_path / "ckpt"),
+        threshold=EMB_THRESHOLD, num_clusters=4, admit_filter=admit,
+    )
+    q.awaitTermination(300)
+
+    # rejected vectors never reached the assignment store
+    stored_ids = {
+        r.vec_id
+        for r in spark.read.parquet(os.path.join(store, "assigned"))
+        .select("vec_id")
+        .collect()
+    }
+    assert stored_ids == {r.vec_id for r in admitted_union.collect()}
+
+    cents = spark.read.parquet(os.path.join(store, "centroids"))
+    one_shot = semdedup_pairs(
+        admitted_union,
+        threshold=EMB_THRESHOLD,
+        assigned=assign_to_centroids(admitted_union, cents),
+    )
+    want = _pair_set(one_shot)
+    assert want, "vacuous: no semantic pairs among admitted vectors"
+    got = _pair_set(spark.read.parquet(os.path.join(store, "sem_pairs")))
+    assert got == want
+
+    want_keep = {
+        r.vec_id
+        for r in keep_canonical(
+            admitted_union,
+            comps=connected_components(one_shot, rebalance_edges=True),
+            id_col="vec_id",
+        ).collect()
+    }
+    got_keep = {
+        r.vec_id for r in kept_view_embeddings(spark, store).collect()
+    }
+    assert got_keep == want_keep
+    assert len(want_keep) < n_admit, "vacuous: nothing deduped"
+
+
 def test_embedding_stream_bootstrap_crash_recovery(spark, tmp_path):
     """A crash between init's two writes (centroids/ written,
     assigned/ not yet) must NOT wedge the stream: the bootstrap probes
@@ -667,6 +767,156 @@ def test_window_index_store_probe_filter_exact(spark, docs, tmp_path):
     # (a lost hint would silently shuffle the store-sized table again)
     plan = filtered._jdf.queryExecution().sparkPlan().toString()
     assert "LeftSemi" in plan and "Broadcast" in plan
+    # the backfill knob (broadcast_probe=False, r12: now reachable
+    # from ingest_document_batch/run_curation_stream as
+    # broadcast_index_probe) is the same exact restriction — only the
+    # join strategy hint differs
+    no_bc = read_window_index_store(
+        spark, store, probe_hashes=probe, broadcast_probe=False
+    )
+    got_no_bc = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos) for r in no_bc.collect()
+    }
+    assert got_no_bc == want
+
+
+def test_compact_curation_store(spark, docs, tmp_path):
+    """compact_curation_store (r12): after N ingests the store holds
+    one part per batch per subdir; compaction must (a) reduce file
+    counts, (b) fold winindex to the merged monoid with field
+    metadata intact, (c) change NO observable view (pairs, kept_view,
+    window index content), and (d) leave the ordering guard and
+    subsequent ingests fully functional — ingest-compact-ingest must
+    equal the straight-through run."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        compact_curation_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1, b2, b3 = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+    pre_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+    pre_keep = {r.doc_id for r in kept_view(spark, store).collect()}
+    pre_idx_df = read_window_index_store(spark, store)
+    pre_idx = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos) for r in pre_idx_df.collect()
+    }
+    pre_meta = dict(pre_idx_df.schema["h"].metadata or {})
+    assert pre_meta, "vacuous: no parameterization metadata to preserve"
+
+    report = compact_curation_store(spark, store)
+    assert set(report) == {"docs", "pairs", "bands", "winindex", "maxid"}
+    for sub, r in report.items():
+        assert r["files_after"] <= r["files_before"], sub
+        assert r["files_after"] == 1, sub  # tiny store → one file each
+
+    # observable views unchanged
+    assert (
+        _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+        == pre_pairs
+    )
+    assert {r.doc_id for r in kept_view(spark, store).collect()} == pre_keep
+    post_idx_df = read_window_index_store(spark, store)
+    assert {
+        (r.h, r.cnt, r.canon_id, r.canon_pos)
+        for r in post_idx_df.collect()
+    } == pre_idx
+    assert dict(post_idx_df.schema["h"].metadata or {}) == pre_meta
+
+    # the ordering guard survived the maxid rewrite: out-of-order
+    # still raises, a replay of the last batch still warns through
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    with pytest.warns(UserWarning, match="checkpoint-replay"):
+        ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    # the replay warning above re-appended b2's rows (documented
+    # at-least-once behavior), so rebuild a clean store for the
+    # ingest-compact-ingest parity leg
+    import shutil
+
+    shutil.rmtree(store)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    ingest_document_batch(b2, store, threshold=THRESHOLD, span_k=SPAN_K)
+    compact_curation_store(spark, store)
+    ingest_document_batch(b3, store, threshold=THRESHOLD, span_k=SPAN_K)
+
+    want_pairs = _pair_set(D.minhash_dedup_pairs(docs, threshold=THRESHOLD))
+    assert (
+        _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+        == want_pairs
+    )
+    want_keep = {
+        r.doc_id
+        for r in keep_canonical(
+            docs,
+            comps=connected_components(
+                D.minhash_dedup_pairs(docs, threshold=THRESHOLD),
+                rebalance_edges=True,
+            ),
+        ).collect()
+    }
+    assert {r.doc_id for r in kept_view(spark, store).collect()} == want_keep
+
+
+def test_compact_curation_store_embedding_side(spark, tmp_path):
+    """The embedding store's subdirs compact through the same entry:
+    sem_pairs / assigned / centroids rewritten, views unchanged, and
+    a post-compaction ingest still appends correctly."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        compact_curation_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    resident = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+
+    store = str(tmp_path / "emb_store")
+    init_embedding_store(resident, store, num_clusters=4)
+    ingest_embedding_batch(batch, store, threshold=EMB_THRESHOLD)
+
+    pre_keep = {
+        r.vec_id for r in kept_view_embeddings(spark, store).collect()
+    }
+    report = compact_curation_store(spark, store)
+    assert {"assigned", "centroids"} <= set(report)
+    assert {
+        r.vec_id for r in kept_view_embeddings(spark, store).collect()
+    } == pre_keep
+
+
+def test_compact_curation_store_self_heals_parked_dir(spark, docs, tmp_path):
+    """Crash window: between the two swap renames the live subdir is
+    absent and the old data sits at <sub>__compact_trash. The next
+    call must restore the parked dir before compacting — the store
+    is never silently treated as empty."""
+    import shutil
+
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        compact_curation_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1, _, _ = _doc_batches(docs, n=3)
+    ingest_document_batch(b1, store, threshold=THRESHOLD, span_k=SPAN_K)
+    pre = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
+
+    # simulate the crash: park pairs/, leave no live dir
+    os.rename(
+        os.path.join(store, "pairs"),
+        os.path.join(store, "pairs__compact_trash"),
+    )
+    report = compact_curation_store(spark, store)
+    assert "pairs" in report
+    assert (
+        _pair_set(spark.read.parquet(os.path.join(store, "pairs"))) == pre
+    )
+    shutil.rmtree(store)
 
 
 def test_maybe_store_layouts(spark, docs, tmp_path):

@@ -652,6 +652,21 @@ def test_incremental_guard_legacy_untagged_tables_still_probed(spark, docs):
         )
 
 
+def test_incremental_guard_names_non_signature_frame(spark, docs):
+    """A frame with no 'signature' column at all is not a signature
+    table (r11 ADVICE): the guard must raise a ValueError naming the
+    argument, not fall through to the length probe and die on an
+    opaque unresolved-column AnalysisException."""
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    not_sigs = old.select("doc_id", "text")
+    with pytest.raises(ValueError, match="not a signature table"):
+        D.minhash_incremental_pairs(
+            new_docs=docs.filter(F.col("doc_id") % 5 == 0),
+            old_docs=old,
+            old_signatures=not_sigs,
+        )
+
+
 def test_raw_shingle_pass_shared_across_cap_variants(spark, docs):
     """r04 verdict item: ngram_jaccard's cost swung 8× between rounds
     because the persisted shingle table sat BELOW the df_cap anti-join

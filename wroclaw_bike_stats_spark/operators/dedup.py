@@ -745,12 +745,17 @@ def _validate_signature_table(
     written by ``minhash_signatures`` carry their parameterization as
     schema metadata (survives the parquet footer), so the check is
     zero-job; untagged legacy tables fall back to the weaker
-    signature-length probe (one ``first()`` job)."""
-    meta = (
-        signatures.schema["signature"].metadata
-        if "signature" in signatures.columns
-        else {}
-    )
+    signature-length probe (one ``first()`` job). A frame with no
+    ``signature`` column at all is not a signature table — name the
+    argument here instead of letting the length probe die on an
+    opaque unresolved-column AnalysisException."""
+    if "signature" not in signatures.columns:
+        raise ValueError(
+            f"{what} is not a signature table — no 'signature' "
+            f"column (has: {signatures.columns}); pass the output of "
+            "minhash_signatures / minhash_band_table"
+        )
+    meta = signatures.schema["signature"].metadata
     if meta.get("minhash_num_hashes") is not None:
         expected = {
             "minhash_num_hashes": num_hashes,

@@ -91,6 +91,7 @@ from wroclaw_bike_stats_spark.operators.components import (
 )
 
 __all__ = [
+    "compact_curation_store",
     "ingest_document_batch",
     "ingest_embedding_batch",
     "init_embedding_store",
@@ -408,6 +409,7 @@ def ingest_document_batch(
     span_k: int = 13,
     enforce_ascending_ids: bool = True,
     admit_filter=None,
+    broadcast_index_probe: bool = True,
 ) -> None:
     """Admit one daily batch: batch-proportional work only.
 
@@ -470,7 +472,17 @@ def ingest_document_batch(
     tests/test_curate_stream.py). A filter computing batch-relative
     statistics (quantiles, means) breaks that equivalence. The
     ordering guard and the high-water mark run on the RAW batch: ids
-    the stream has seen, admitted or not."""
+    the stream has seen, admitted or not.
+
+    ``broadcast_index_probe`` (r12, closing the knob the
+    ``read_window_index_store`` docstring promised but the ingest
+    never exposed): the batch's window-hash set that bounds the
+    stored index re-agg is ~one row per distinct k-token window —
+    token-proportional, far larger than a doc-count probe — so a
+    BACKFILL-sized batch ingested into an existing store must pass
+    False here (shuffle semi-join instead of a hash-set broadcast),
+    mirroring the incremental operators' ``broadcast_new``
+    contract. Daily-drop batches keep the True default."""
     spark = batch.sparkSession
     batch = batch.persist()
     admitted_in = batch
@@ -645,7 +657,8 @@ def ingest_document_batch(
         # own hash set — exact for the strip (it consults only the
         # batch's hashes) and store-size-independent in shuffle volume
         idx = read_window_index_store(
-            spark, store_dir, probe_hashes=batch_index
+            spark, store_dir, probe_hashes=batch_index,
+            broadcast_probe=broadcast_index_probe,
         )
         if idx is None:
             stripped = SD.strip_duplicate_spans(
@@ -725,6 +738,115 @@ def kept_view(
     return keep_canonical(docs, comps=comps, id_col=id_col)
 
 
+def compact_curation_store(
+    spark: SparkSession,
+    store_dir: str,
+    target_rows_per_file: int = 5_000_000,
+    subs: tuple | None = None,
+) -> dict:
+    """Compact a curation store's append-accreted subdirs in place —
+    the maintenance counterpart of ``operators/maintenance.py``'s
+    partitioned compaction, for the FLAT stores this module appends
+    to (one parquet part per micro-batch: a year of daily ingests is
+    ~365 tiny files PER SUBDIR, and at 100 TB scan planning over
+    them starts to rival the scan itself).
+
+    Per present subdir:
+
+    - ``docs`` / ``pairs`` / ``bands`` / ``sem_pairs`` / ``assigned``
+      / ``centroids``: plain rewrite into
+      ``ceil(rows / target_rows_per_file)`` right-sized files. Field
+      metadata (the MinHash/span parameterization guards' substrate)
+      survives — it rides the parquet footer schema through
+      read → repartition → write.
+    - ``winindex``: the monoid FOLD — the per-batch parts are
+      re-aggregated once (``read_window_index_store``, no probe) and
+      stored as the single merged index, so the store stops growing
+      with batch count and every later read/re-agg is
+      distinct-window-sized. Folding is safe precisely because the
+      merged index is itself a valid part under the (cnt, canonical)
+      monoid (associative + idempotent under re-fold).
+    - ``maxid``: rewritten through a ``mergeSchema`` read (the
+      documented mixed-vintage layout) into one file — ALL
+      fingerprint rows are kept (the ordering guard consults only
+      the top row, but history is tiny and an audit trail); legacy
+      rows gain NULL ``text_hash``/``fp_scheme``, which the guard
+      already treats as not-current-scheme.
+
+    NOT concurrency-safe: run offline (no active ingest, no live
+    DataFrames over the store) — the swap is two renames per subdir
+    (write to ``<sub>__compact_tmp``, park the old dir at
+    ``<sub>__compact_trash``, rename tmp into place), through the
+    Hadoop FileSystem API so any supported store filesystem works. A
+    crash between the renames leaves the old dir parked; the next
+    call self-heals (restores a parked dir whose subdir is missing,
+    clears leftover tmp/trash) before compacting.
+
+    Returns {sub: {rows, files_before, files_after}} for the subdirs
+    it rewrote."""
+    import math
+
+    jvm = spark._jvm
+
+    def _hp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hp(store_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        return sum(
+            1
+            for s in fs.listStatus(_hp(p))
+            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+        )
+
+    known = (
+        "docs", "pairs", "bands", "winindex", "maxid",
+        "centroids", "assigned", "sem_pairs",
+    )
+    report: dict = {}
+    for sub in subs if subs is not None else known:
+        path = _d(store_dir, sub)
+        tmp, trash = path + "__compact_tmp", path + "__compact_trash"
+        # self-heal a crashed prior compaction: a parked dir whose
+        # live subdir is missing is the real store — restore it;
+        # leftover tmp/trash next to a live subdir is garbage
+        if fs.exists(_hp(trash)) and not fs.exists(_hp(path)):
+            fs.rename(_hp(trash), _hp(path))
+        for leftover in (tmp, trash):
+            if fs.exists(_hp(leftover)):
+                fs.delete(_hp(leftover), True)
+        df = _maybe(spark, path, merge_schema=(sub == "maxid"))
+        if df is None:
+            continue
+        files_before = _n_files(path)
+        if sub == "winindex":
+            df = read_window_index_store(spark, store_dir)
+        n = df.count()
+        df.repartition(
+            max(1, math.ceil(n / target_rows_per_file))
+        ).write.mode("overwrite").parquet(tmp)
+        if not fs.rename(_hp(path), _hp(trash)):
+            raise IOError(f"compaction swap failed parking {path!r}")
+        if not fs.rename(_hp(tmp), _hp(path)):
+            # put the store back before failing — never leave the
+            # subdir absent
+            fs.rename(_hp(trash), _hp(path))
+            raise IOError(f"compaction swap failed installing {path!r}")
+        fs.delete(_hp(trash), True)
+        # drop anything Spark still holds over the old files — cached
+        # plans / persisted frames keyed on this path (e.g. the
+        # ingest's scratch-persisted candidate tables) would otherwise
+        # resolve to the deleted parts on their next action
+        spark.catalog.refreshByPath(path)
+        report[sub] = {
+            "rows": n,
+            "files_before": files_before,
+            "files_after": _n_files(path),
+        }
+    return report
+
+
 def run_curation_stream(
     spark: SparkSession,
     input_dir: str,
@@ -738,6 +860,7 @@ def run_curation_stream(
     available_now: bool = True,
     admit_filter=None,
     enforce_ascending_ids: bool = True,
+    broadcast_index_probe: bool = True,
 ):
     """Wire ``ingest_document_batch`` to a file-source stream: one
     input file per daily drop, ``maxFilesPerTrigger=1`` so each day
@@ -751,7 +874,9 @@ def run_curation_stream(
     the parity tests run clean-checkpoint). ``admit_filter`` is the
     scored-stage hook, passed through to every ingest — build it
     ONCE from stored model assets (``make_ppl_band_filter``), never
-    per batch."""
+    per batch. ``broadcast_index_probe`` passes through to every
+    ingest — set False for a stream fed backfill-sized drops (see
+    ``ingest_document_batch``)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -764,6 +889,7 @@ def run_curation_stream(
                 batch, store_dir, text_col, id_col, threshold, span_k,
                 enforce_ascending_ids=enforce_ascending_ids,
                 admit_filter=admit_filter,
+                broadcast_index_probe=broadcast_index_probe,
             )
 
     writer = (
@@ -811,17 +937,26 @@ def ingest_embedding_batch(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    admit_filter=None,
 ) -> None:
     """Admit one embedding batch: semantic pairs involving the batch
     (``semdedup_incremental_pairs`` against the stored assignments +
     fixed centroids — cost ∝ |batch| × cluster size), appended to
     ``sem_pairs/``; the batch's assignments appended so the NEXT
-    batch sees it as resident."""
+    batch sees it as resident.
+
+    ``admit_filter`` is the scored-stage hook (the doc ingest's
+    contract, r12): a DataFrame→DataFrame admission rule applied to
+    the batch BEFORE assignment, so rejected vectors never enter the
+    pair graph or the assignment store — same stage composition as
+    the one-shot pipeline (filter, then dedup)."""
     from wroclaw_bike_stats_spark.operators.semdedup import (
         assign_to_centroids,
         semdedup_incremental_pairs,
     )
 
+    if admit_filter is not None:
+        batch = admit_filter(batch)
     spark = batch.sparkSession
     cents = spark.read.parquet(_d(store_dir, "centroids"))
     assigned = spark.read.parquet(_d(store_dir, "assigned"))
@@ -875,6 +1010,7 @@ def run_embedding_curation_stream(
     vec_col: str = "embedding",
     num_clusters: int = 8,
     available_now: bool = True,
+    admit_filter=None,
 ):
     """The embedding-side twin of ``run_curation_stream`` (round 11):
     wire ``ingest_embedding_batch`` to a file-source stream, one
@@ -894,7 +1030,15 @@ def run_embedding_curation_stream(
     ``kept_view_embeddings`` equals the one-shot SemDeDup keep over
     the union under the stored centroids — pinned in
     tests/test_curate_stream.py. Exactly-once per batch comes from
-    the checkpoint, same caveats as the document stream."""
+    the checkpoint, same caveats as the document stream.
+
+    ``admit_filter`` mirrors the doc runner's scored-stage hook: the
+    admission rule runs BEFORE bootstrap and ingest alike, so the
+    centroids are fit on the ADMITTED first drop (the resident corpus
+    is by definition the admitted corpus) and rejected vectors never
+    reach the pair graph. A first drop filtered down to nothing
+    leaves the store uninitialized — bootstrap waits for the first
+    drop with survivors (same as an empty file)."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
 
     stream = (
@@ -910,6 +1054,8 @@ def run_embedding_curation_stream(
     bootstrapped = []
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if admit_filter is not None:
+            batch = admit_filter(batch)
         if not batch.head(1):
             return
         # probe ``assigned/`` — init's LAST write (its commit marker),
@@ -928,6 +1074,8 @@ def run_embedding_curation_stream(
                 vec_col=vec_col, assigned=assigned,
             ).write.mode("append").parquet(_d(store_dir, "sem_pairs"))
         else:
+            # filter already applied above — don't pass it down, the
+            # ingest would run the admission rule twice
             ingest_embedding_batch(
                 batch, store_dir, threshold, id_col, vec_col
             )
