@@ -769,8 +769,15 @@ def curate_full_corpus_realppl(spark, sf_dir):
 # overlays created by THIS process, still potentially backing a
 # returned DataFrame; swept only after the row's result has been
 # materialized (_time) or the curve that made them finished
-_PROC_START = time.time()
 _OWN_OVERLAYS: list = []
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
 
 
 def _overlay_store(pristine: str, subs: tuple) -> str:
@@ -780,23 +787,30 @@ def _overlay_store(pristine: str, subs: tuple) -> str:
 
     Sweep discipline (r11 ADVICE — the old every-call sweep was a
     latent use-after-delete on any returned frame re-read after the
-    next row): creating an overlay removes only overlays left by
-    DEAD processes (mtime predating this process). This process's
-    own overlays are tracked and swept by ``_sweep_own_overlays``,
-    which callers invoke only once the frames reading from them have
-    been fully materialized."""
+    next row): each overlay carries an ``_owner`` pid marker; creating
+    an overlay removes only overlays whose owning process is DEAD (or
+    that have no marker — a pre-r12 leftover or a mid-create crash).
+    A concurrent scale_bench/probe process's live overlays are never
+    touched. This process's own overlays are tracked and swept by
+    ``_sweep_own_overlays``, which callers invoke only once the
+    frames reading from them have been fully materialized."""
     import glob as _glob
     import shutil
     import tempfile
 
     for stale in _glob.glob(f"{STORE}/stream_overlay_*"):
+        if stale in _OWN_OVERLAYS:
+            continue
         try:
-            dead = os.path.getmtime(stale) < _PROC_START
-        except OSError:
-            dead = True
-        if dead and stale not in _OWN_OVERLAYS:
-            shutil.rmtree(stale, ignore_errors=True)
+            with open(os.path.join(stale, "_owner")) as fh:
+                if _pid_alive(int(fh.read().strip())):
+                    continue
+        except (OSError, ValueError):
+            pass
+        shutil.rmtree(stale, ignore_errors=True)
     overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
+    with open(os.path.join(overlay, "_owner"), "w") as fh:
+        fh.write(str(os.getpid()))
     for sub in subs:
         src = os.path.join(pristine, sub)
         dst = os.path.join(overlay, sub)
@@ -890,26 +904,12 @@ def stream_ingest_emb_day_n(spark, sf_dir):
     return spark.read.parquet(*_appended_files(overlay, "assigned"))
 
 
-def stream_day_curve(
-    spark, sf_dir, emb_mode: bool = False, n_days: int = 5, runs: int = 2
-) -> dict:
-    """Multi-day streaming-ingest cost curve as a GATED measurement
-    (r12, promoting tools/probe_stream_days.py's single-run prose
-    curve to a failing check): ingest ``n_days`` consecutive daily
-    batches into the SAME overlaid store, per-day seconds = min over
-    ``runs`` independent curve passes, and gate
-    day-N / day-1 ≤ ``STREAM_DAY_GATE`` — the claim "tomorrow's
-    ingest pays the same batch-proportional cost" fails loudly if
-    store accumulation ever creeps into the per-batch path again
-    (the r11 composed-path bugs were exactly this shape).
-
-    Day k = the stored ingest split filtered to
-    (id // 50) % n_days == k — equal-sized, disjoint daily drops.
-    Same overlay mechanics as stream_ingest_day_n: appends land in a
-    symlink overlay, the pristine store is never mutated, so every
-    curve pass starts from identical resident state. Document ids
-    interleave with the resident corpus → enforce_ascending_ids=False
-    (the documented first-ingested-wins span semantics)."""
+def stream_setup(spark, sf_dir: str, emb_mode: bool = False) -> tuple:
+    """The stream rows' shared parameterization — ONE place for the
+    pristine-store path, overlay subs, ingest split, id column, and
+    ingest closure (threshold / span_k / ascending-id opt-out), so
+    the gated day curve and every probe tool measure the SAME
+    workload. Returns (pristine, subs, new, id_col, ingest)."""
     from wroclaw_bike_stats_spark.streaming.curate_stream import (
         ingest_document_batch,
         ingest_embedding_batch,
@@ -936,9 +936,36 @@ def stream_day_curve(
                 enforce_ascending_ids=False,
             )
 
-    # warmup (JVM + Arrow workers) on a throwaway overlay; each
-    # measured overlay is created AFTER the previous pass because
-    # _overlay_store sweeps all existing overlays
+    return pristine, subs, new, id_col, ingest
+
+
+def stream_day_curve(
+    spark, sf_dir, emb_mode: bool = False, n_days: int = 5, runs: int = 2
+) -> dict:
+    """Multi-day streaming-ingest cost curve as a GATED measurement
+    (r12, promoting tools/probe_stream_days.py's single-run prose
+    curve to a failing check): ingest ``n_days`` consecutive daily
+    batches into the SAME overlaid store, per-day seconds = min over
+    ``runs`` independent curve passes, and gate
+    day-N / day-1 ≤ ``STREAM_DAY_GATE`` — the claim "tomorrow's
+    ingest pays the same batch-proportional cost" fails loudly if
+    store accumulation ever creeps into the per-batch path again
+    (the r11 composed-path bugs were exactly this shape).
+
+    Day k = the stored ingest split filtered to
+    (id // 50) % n_days == k — equal-sized, disjoint daily drops.
+    Same overlay mechanics as stream_ingest_day_n: appends land in a
+    symlink overlay, the pristine store is never mutated, so every
+    curve pass starts from identical resident state. Document ids
+    interleave with the resident corpus → enforce_ascending_ids=False
+    (the documented first-ingested-wins span semantics)."""
+    pristine, subs, new, id_col, ingest = stream_setup(
+        spark, sf_dir, emb_mode
+    )
+
+    # warmup (JVM + Arrow workers) on a throwaway overlay; own
+    # overlays are only reclaimed by _sweep_own_overlays at the end
+    # of the curve, so each pass's overlay is independent
     warm = _overlay_store(pristine, subs)
     ingest(new.limit(50), warm)
 

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from wroclaw_bike_stats_spark.session import get_spark  # noqa: E402
 from wroclaw_bike_stats_spark.streaming.curate_stream import (  # noqa: E402
     compact_curation_store,
-    ingest_document_batch,
 )
 
 N_DAYS = 4  # 3 accreting drops + 1 measured post-compaction drop
@@ -49,17 +48,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pristine = f"{sb.STORE}/{os.path.basename(sf_dir)}_stream_store"
-    subs = ("docs", "bands", "winindex")
-    new = spark.read.parquet(sb._p(sf_dir, "new_docs"))
+    # the gated day curve's exact workload parameterization — shared
+    # so this probe never silently measures a different ingest
+    pristine, subs, new, id_col, ingest = sb.stream_setup(spark, sf_dir)
 
     def day(k):
-        return new.filter((F.col("doc_id") / 50).cast("long") % N_DAYS == k)
-
-    def ingest(batch, overlay):
-        ingest_document_batch(
-            batch, overlay, threshold=0.5, span_k=13,
-            enforce_ascending_ids=False,
+        return new.filter(
+            (F.col(id_col) / 50).cast("long") % N_DAYS == k
         )
 
     # warmup overlay (JVM + Arrow workers)

@@ -753,7 +753,8 @@ def _validate_signature_table(
         raise ValueError(
             f"{what} is not a signature table — no 'signature' "
             f"column (has: {signatures.columns}); pass the output of "
-            "minhash_signatures / minhash_band_table"
+            "minhash_signatures (a BAND table from minhash_band_table "
+            "goes to the old_banded parameter instead)"
         )
     meta = signatures.schema["signature"].metadata
     if meta.get("minhash_num_hashes") is not None:

@@ -809,10 +809,18 @@ def compact_curation_store(
         path = _d(store_dir, sub)
         tmp, trash = path + "__compact_tmp", path + "__compact_trash"
         # self-heal a crashed prior compaction: a parked dir whose
-        # live subdir is missing is the real store — restore it;
-        # leftover tmp/trash next to a live subdir is garbage
+        # live subdir is missing is the ONLY copy of the data —
+        # restore it, and refuse to continue if the restore rename
+        # fails (falling through would let the leftover sweep below
+        # destroy the store). Tmp/trash next to a LIVE subdir is
+        # garbage from a completed or re-run swap.
         if fs.exists(_hp(trash)) and not fs.exists(_hp(path)):
-            fs.rename(_hp(trash), _hp(path))
+            if not fs.rename(_hp(trash), _hp(path)):
+                raise IOError(
+                    f"could not restore parked store dir {trash!r} "
+                    f"to {path!r} - refusing to continue (the parked "
+                    "dir is the only copy)"
+                )
         for leftover in (tmp, trash):
             if fs.exists(_hp(leftover)):
                 fs.delete(_hp(leftover), True)
@@ -822,10 +830,17 @@ def compact_curation_store(
         files_before = _n_files(path)
         if sub == "winindex":
             df = read_window_index_store(spark, store_dir)
-        n = df.count()
-        df.repartition(
-            max(1, math.ceil(n / target_rows_per_file))
-        ).write.mode("overwrite").parquet(tmp)
+        # persist across the sizing count and the rewrite — without
+        # it every subdir is scanned twice and the winindex monoid
+        # shuffle runs twice (review finding, r12)
+        df = df.persist()
+        try:
+            n = df.count()
+            df.repartition(
+                max(1, math.ceil(n / target_rows_per_file))
+            ).write.mode("overwrite").parquet(tmp)
+        finally:
+            df.unpersist()
         if not fs.rename(_hp(path), _hp(trash)):
             raise IOError(f"compaction swap failed parking {path!r}")
         if not fs.rename(_hp(tmp), _hp(path)):
