@@ -2064,6 +2064,58 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(emb, threshold=0.8, method="lsh")
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding column as (i, j, cov)
+    rows (operators/embedding_stats.py embedding_covariance — ONE
+    partial-aggregated mapInPandas pass over the vectors, constant
+    d²-sized tail). Full-hash oracle: DuckDB reproduces every entry
+    with avg(e[i]*e[j]) - avg(e[i])*avg(e[j]) over the unnested
+    column (d=64 in the test corpus; the Spark side infers d)."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        embedding_covariance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb)
+
+
+def q_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit contract gate (operators/embedding_stats.py fit_pca),
+    the hll_bounds pattern: the SQL-computable number (total variance
+    = trace of the covariance) is real oracle SQL; the deterministic
+    booleans are the invariants the Spark side must reproduce —
+    orthonormal components, descending eigenvalues, explained ≤
+    total, and the sign pin (every component's largest-|loading|
+    coordinate positive)."""
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.embedding_stats import fit_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=8)
+    C = np.asarray(model["components"])
+    vals = np.asarray(model["eigvals"])
+    row = (
+        float(model["total_var"]),
+        bool(np.allclose(C @ C.T, np.eye(C.shape[0]), atol=1e-8)),
+        bool((np.diff(vals) <= 1e-12).all()),
+        bool(model["explained_var"] <= model["total_var"] + 1e-9),
+        bool(all(c[int(np.argmax(np.abs(c)))] > 0 for c in C)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "total_var double, orthonormal_ok boolean, "
+        "eigvals_descending boolean, explained_le_total boolean, "
+        "sign_pinned boolean",
+    ).select(
+        F.round("total_var", 6).alias("total_var"),
+        "orthonormal_ok",
+        "eigvals_descending",
+        "explained_le_total",
+        "sign_pinned",
+    )
+
+
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-k (no SQL oracle; recall vs brute
     force asserted in tests/test_dedup_similarity.py::
@@ -2964,6 +3016,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_keep": q_neardup_dedup_keep,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca_invariants": q_embedding_pca_invariants,
         "multimodal_bytes": q_multimodal_bytes,
         "json_props_stats": q_json_props_stats,
         "explode_token_positions": q_explode_token_positions,
@@ -3038,6 +3092,8 @@ _GATE_ORDER = [
     "simhash_groups",
     "bigram_lm_ppl_column",
     "repetition_2gram_column",
+    "embedding_covariance",
+    "embedding_pca_invariants",
     "pii_scrub",
     "pricing_summary",
     "promo_revenue_share",
@@ -5537,6 +5593,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(top.total_2grams, 0) AS total_2grams
             FROM l LEFT JOIN top ON l.doc_id = top.doc_id
             ORDER BY l.doc_id
+        """,
+        # embedding_covariance: every (i, j) entry of the population
+        # covariance from the unnested column — d=64 in the test
+        # corpus (the Spark side infers d; the oracle pins it).
+        "embedding_covariance": """
+            WITH idx AS (
+                SELECT CAST(unnest(range(64)) AS INT) AS i
+            ), pos AS (
+                SELECT e.vec_id, i.i, e.embedding[i.i + 1] AS v
+                FROM embeddings e, idx i
+            ), co AS (
+                SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+                FROM pos a JOIN pos b USING (vec_id)
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT i, avg(v) AS mu FROM pos GROUP BY 1
+            )
+            SELECT co.i, co.j,
+                   round(co.exy - ma.mu * mb.mu, 6) + 0.0 AS cov
+            FROM co
+            JOIN m ma ON co.i = ma.i
+            JOIN m mb ON co.j = mb.i
+            ORDER BY co.i, co.j
+        """,
+        # embedding_pca_invariants: the SQL-computable number is the
+        # covariance trace (total variance); the booleans are the
+        # deterministic fit contract (the hll_bounds pattern).
+        "embedding_pca_invariants": """
+            WITH idx AS (
+                SELECT CAST(unnest(range(64)) AS INT) AS i
+            ), pos AS (
+                SELECT e.vec_id, i.i, e.embedding[i.i + 1] AS v
+                FROM embeddings e, idx i
+            )
+            SELECT round(sum(var), 6) AS total_var,
+                   TRUE AS orthonormal_ok,
+                   TRUE AS eigvals_descending,
+                   TRUE AS explained_le_total,
+                   TRUE AS sign_pinned
+            FROM (
+                SELECT avg(v * v) - avg(v) * avg(v) AS var
+                FROM pos GROUP BY i
+            )
         """,
         "pii_scrub": r"""
             WITH t AS (

@@ -100,6 +100,10 @@ ENTRY_POINTS = {
     "sessionize": ("sf0.1", "sf1", "sf10", "sf100"),
     "group_quota_cap": ("sf0.1", "sf1", "sf10", "sf100"),
     "asof_last_purchase": ("sf0.1", "sf1", "sf10", "sf100"),
+    # r12: one partial-aggregated mapInPandas pass over the vectors;
+    # the d²-sized tail is constant, so the curve must be linear in
+    # the vector count
+    "embedding_covariance": ("sf0.1", "sf1", "sf10", "sf100"),
 }
 
 

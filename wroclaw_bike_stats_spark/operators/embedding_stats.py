@@ -1,0 +1,233 @@
+"""Embedding-column statistics: distributed covariance, PCA fit, and
+projection/whitening.
+
+Why this exists in a curation engine: dimensionality reduction is the
+standard pre-step for embedding-heavy pipeline stages — SemDeDup-style
+semantic dedup and ANN retrieval are routinely run on PCA-reduced (and
+often whitened) vectors to cut the O(d) per-comparison cost and strip
+low-variance noise directions. The reference repo has no embedding
+surface at all (this module is beyond-reference, like the rest of the
+LLM-pipeline operators); the math is textbook PCA (mean-center,
+eigendecompose the covariance, project onto the top-k eigenvectors).
+
+Scale shape (the 100 TB story):
+
+- ``embedding_covariance`` is ONE ``mapInPandas`` pass over the
+  vectors with PER-PARTITION partial aggregation: each partition
+  emits a single (n, Σx, ΣxxT) row (d + d² doubles — constant
+  per partition), so the shuffle is #partitions × d² values no
+  matter how many vectors flow through. The d×d tail (fold the
+  partials, eigh) is constant-size work — the same
+  constant-size-mergeable discipline as the CMS/profile operators.
+- ``fit_pca``'s eigendecomposition runs on the DRIVER over the d×d
+  covariance (d is an embedding dimension — 64 here, ≤ a few
+  thousand anywhere): not a distributed-compute problem, and
+  ``numpy.linalg.eigh`` is deterministic for a fixed matrix.
+- ``pca_project`` broadcasts the (d × k) component matrix in the UDF
+  closure (the ``assign_to_centroids`` pattern) and does one
+  (batch × d) @ (d × k) matmul per Arrow batch — no shuffle, no
+  join, embarrassingly parallel.
+
+Eigenvector SIGN is conventionally ambiguous; ``fit_pca`` pins each
+component's sign so its largest-|loading| coordinate is positive,
+making the model deterministic across runs/hosts (required by this
+repo's gate discipline, and harmless: sign flips don't change any
+distance or inner product downstream consumers care about).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality via one cheap first() probe (the
+    stats-probe pattern: an eager job at plan-construction time,
+    like approxQuantile thresholds)."""
+    row = df.select(F.size(vec_col)).where(F.col(vec_col).isNotNull()).first()
+    if row is None or row[0] is None or row[0] <= 0:
+        raise ValueError(f"no non-null vectors in column {vec_col!r}")
+    return int(row[0])
+
+
+def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Per-PARTITION moment partials: one (n, Σx[d], ΣxxT[d*d]) row
+    per partition with any non-null vectors. The only pass that
+    touches every vector."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        o = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            vals = pdf[vec_col].dropna()
+            if not len(vals):
+                continue
+            E = np.asarray(vals.tolist(), dtype=np.float64)
+            if E.ndim != 2 or E.shape[1] != d:
+                raise ValueError(
+                    f"ragged embedding column {vec_col!r}: expected "
+                    f"dim {d}, got shape {E.shape}"
+                )
+            n += E.shape[0]
+            s += E.sum(axis=0)
+            o += E.T @ E
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(
+        gen, schema="n long, s array<double>, o array<double>"
+    )
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> tuple:
+    """(n, mean[d], cov[d][d]) of the embedding column as plain Python
+    / numpy values — population covariance (divide by n, matching
+    SQL ``avg(x*y) - avg(x)*avg(y)``).
+
+    The heavy pass is distributed (see module docstring); the fold of
+    the per-partition partials and the d² result are constant-size,
+    collected to the driver like every stats probe in this repo."""
+    import numpy as np
+
+    d = _vec_dim(df, vec_col)
+    partials = _moment_partials(df, vec_col, d).persist()
+    try:
+        # fold the B partial rows in Spark (B = #partitions — tiny,
+        # but unbounded-cluster-safe: never collect B raw rows)
+        n = partials.agg(F.sum("n")).first()[0] or 0
+        if n == 0:
+            raise ValueError(f"no non-null vectors in column {vec_col!r}")
+        s_rows = (
+            partials.select(F.posexplode("s").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        o_rows = (
+            partials.select(F.posexplode("o").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+    s = np.zeros(d)
+    for r in s_rows:
+        s[r.pos] = r.v
+    o = np.zeros(d * d)
+    for r in o_rows:
+        o[r.pos] = r.v
+    mean = s / n
+    cov = o.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", round_to: int = 6
+) -> DataFrame:
+    """Population covariance of the embedding column as (i, j, cov)
+    rows — the SQL-differential shape (DuckDB reproduces every entry
+    with ``avg(e[i]*e[j]) - avg(e[i])*avg(e[j])``). d² rows total —
+    tiny for any real embedding dim; the input pass is the
+    distributed one."""
+    spark = df.sparkSession
+    _, _, cov = embedding_moments(df, vec_col)
+    d = cov.shape[0]
+    rows = [
+        (i, j, float(cov[i, j])) for i in range(d) for j in range(d)
+    ]
+    # F.round, not Python round: Spark's HALF_UP matches the SQL
+    # oracles' rounding; Python's round is banker's. The +0.0
+    # normalizes IEEE signed zero (-0.0 → 0.0) — a near-zero negative
+    # covariance rounds to -0.0, which value-compares equal but
+    # STRING/hash-compares unequal in differential harnesses.
+    return (
+        spark.createDataFrame(rows, "i int, j int, cov double")
+        .select(
+            "i",
+            "j",
+            (F.round("cov", round_to) + F.lit(0.0)).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def fit_pca(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Fit a k-component PCA model on the embedding column. Returns a
+    plain dict (broadcastable, picklable):
+    ``{"mean": [d], "components": [k][d], "eigvals": [k],
+    "total_var": float, "explained_var": float}``; components are
+    unit-norm eigenvectors of the population covariance, descending
+    eigenvalue, sign-pinned (largest-|loading| coordinate positive)
+    for cross-run determinism."""
+    import numpy as np
+
+    _, mean, cov = embedding_moments(df, vec_col)
+    d = cov.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} out of range for dim {d}")
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T  # (k, d)
+    for c in comps:
+        pivot = np.argmax(np.abs(c))
+        if c[pivot] < 0:
+            c *= -1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigvals": vals.tolist(),
+        "total_var": float(np.trace(cov)),
+        "explained_var": float(vals.sum()),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project the embedding column onto the model's components:
+    ``out = (x - mean) @ components.T`` (k floats per row), optionally
+    whitened (each coordinate divided by sqrt(eigval) → unit variance
+    per component, the usual pre-step before cosine/L2 comparisons on
+    reduced vectors). One matmul per Arrow batch against the
+    closure-embedded (d × k) matrix — no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(model["mean"], dtype=np.float64)
+    W = np.asarray(model["components"], dtype=np.float64).T  # (d, k)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.asarray(model["eigvals"]) + eps)
+        W = W * scale  # column-wise
+    from wroclaw_bike_stats_spark.operators.similarity import _vec_matrix
+
+    def project(embs: pd.Series) -> pd.Series:
+        out = np.full(len(embs), None, dtype=object)
+        mask = embs.notna().to_numpy()
+        if mask.any():
+            E = _vec_matrix(embs[mask], np)
+            P = (E - mu) @ W
+            # positional loop, not out[mask] = list-of-lists — numpy
+            # would reinterpret that RHS as a 2-D fancy assignment
+            for pos, row in zip(np.flatnonzero(mask), P):
+                out[pos] = row.tolist()
+        return pd.Series(out)
+
+    project.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(project, "array<double>")
+    return df.withColumn(out_col, udf(F.col(vec_col)))
