@@ -1118,6 +1118,23 @@ def _shared_persisted(spark: SparkSession, sf_dir: str, name: str, build):
     return got
 
 
+_SHARED_VALUES: dict = {}
+
+
+def _shared_value(spark: SparkSession, sf_dir: str, name: str, build):
+    """The `_shared_persisted` pattern for plain (non-DataFrame)
+    results — e.g. the embedding moments tuple consumed by both PCA
+    gates: the corpus-wide pass runs once per (session, sf), the
+    constant-size result is memoized, and `release_shared` drops it
+    with everything else."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SHARED_VALUES:
+        for k in [k for k in _SHARED_VALUES if k[2] == name and k != key]:
+            _SHARED_VALUES.pop(k)
+        _SHARED_VALUES[key] = build()
+    return _SHARED_VALUES[key]
+
+
 def release_shared() -> None:
     """Unpersist every session-shared / scratch intermediate (the
     near-dup pair graph, the shared model/stage frames and dedup
@@ -1135,6 +1152,7 @@ def release_shared() -> None:
             pass
     _PAIR_GRAPH_CACHE.clear()
     _SHARED_FRAMES.clear()
+    _SHARED_VALUES.clear()
     # CC results are checkpoint-backed: dropping the references lets
     # ContextCleaner reclaim the blocks (DataFrame.unpersist would be
     # a no-op for them — see operators/scratch.py).
@@ -2064,6 +2082,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs(emb, threshold=0.8, method="lsh")
 
 
+def _emb_moments_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    """The (n, mean, cov) moments of the embeddings table — the one
+    corpus-wide pass both PCA gates consume; computed once per
+    (session, sf) via the `_shared_value` memo."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        embedding_moments,
+    )
+
+    return _shared_value(
+        spark, sf_dir, "emb_moments",
+        lambda: embedding_moments(_t(spark, sf_dir, "embeddings")),
+    )
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance of the embedding column as (i, j, cov)
     rows (operators/embedding_stats.py embedding_covariance — ONE
@@ -2076,7 +2108,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_covariance(emb)
+    return embedding_covariance(emb, moments=_emb_moments_shared(spark, sf_dir))
 
 
 def q_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2092,7 +2124,7 @@ def q_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wroclaw_bike_stats_spark.operators.embedding_stats import fit_pca
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = fit_pca(emb, k=8)
+    model = fit_pca(emb, k=8, moments=_emb_moments_shared(spark, sf_dir))
     C = np.asarray(model["components"])
     vals = np.asarray(model["eigvals"])
     row = (

@@ -130,15 +130,23 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding") -> tuple:
 
 
 def embedding_covariance(
-    df: DataFrame, vec_col: str = "embedding", round_to: int = 6
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    moments: tuple | None = None,
 ) -> DataFrame:
     """Population covariance of the embedding column as (i, j, cov)
     rows — the SQL-differential shape (DuckDB reproduces every entry
     with ``avg(e[i]*e[j]) - avg(e[i])*avg(e[j])``). d² rows total —
     tiny for any real embedding dim; the input pass is the
-    distributed one."""
+    distributed one. ``moments``: a precomputed
+    ``embedding_moments`` result (the ``signatures=`` pass-through
+    pattern) so a caller also fitting PCA pays the corpus pass
+    once."""
     spark = df.sparkSession
-    _, _, cov = embedding_moments(df, vec_col)
+    _, _, cov = (
+        moments if moments is not None else embedding_moments(df, vec_col)
+    )
     d = cov.shape[0]
     rows = [
         (i, j, float(cov[i, j])) for i in range(d) for j in range(d)
@@ -160,7 +168,10 @@ def embedding_covariance(
 
 
 def fit_pca(
-    df: DataFrame, k: int, vec_col: str = "embedding"
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    moments: tuple | None = None,
 ) -> dict:
     """Fit a k-component PCA model on the embedding column. Returns a
     plain dict (broadcastable, picklable):
@@ -168,10 +179,13 @@ def fit_pca(
     "total_var": float, "explained_var": float}``; components are
     unit-norm eigenvectors of the population covariance, descending
     eigenvalue, sign-pinned (largest-|loading| coordinate positive)
-    for cross-run determinism."""
+    for cross-run determinism. ``moments``: precomputed
+    ``embedding_moments`` result (see ``embedding_covariance``)."""
     import numpy as np
 
-    _, mean, cov = embedding_moments(df, vec_col)
+    _, mean, cov = (
+        moments if moments is not None else embedding_moments(df, vec_col)
+    )
     d = cov.shape[0]
     if not 1 <= k <= d:
         raise ValueError(f"k={k} out of range for dim {d}")
