@@ -70,6 +70,10 @@ GATE_QUERIES = frozenset(
         "nb_scheme_consistency",
         "ppl_pruned",
         "ppl_cms_bound",
+        # r12: PCA fit-contract booleans + trace — an audit of the
+        # fit, not operator throughput (embedding_covariance, the
+        # actual corpus pass, stays in the engine bucket).
+        "embedding_pca_invariants",
     }
 )
 
