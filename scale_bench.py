@@ -1007,6 +1007,23 @@ def stream_day_curve(
 STREAM_DAY_GATE = 1.5
 
 
+def pca_project_corpus(spark, sf_dir):
+    """PCA fit + full-corpus projection (r12,
+    operators/embedding_stats.py): the moments pass (one
+    partial-aggregated mapInPandas sweep), the constant-size driver
+    eigh, and the per-Arrow-batch projection matmul over every
+    vector — the cost a pipeline pays to move its embedding column
+    to reduced coordinates before semantic dedup / ANN."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        fit_pca,
+        pca_project,
+    )
+
+    emb = _emb(spark, sf_dir)
+    model = fit_pca(emb, k=8)
+    return pca_project(emb, model).select("vec_id", "embedding_pca")
+
+
 def cc_fixpoint(spark, sf_dir):
     """The connected-components operator IN ISOLATION, on the stored
     near-dup pair graph (see prepare_stores). The `neardup_components`
@@ -1047,6 +1064,7 @@ FAMILY = {
     "curate_full_corpus_realppl": curate_full_corpus_realppl,
     "stream_ingest_day_n": stream_ingest_day_n,
     "stream_ingest_emb_day_n": stream_ingest_emb_day_n,
+    "pca_project_corpus": pca_project_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # per-FAMILY-row sf points when not the default DEDUP_POINTS; salt
