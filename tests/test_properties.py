@@ -341,3 +341,78 @@ def test_half_up4_matches_decimal_ground_truth(xs):
     ]
     bad = [(x, g, w) for x, g, w in zip(xs, got, want) if g != w]
     assert not bad, bad[:5]
+
+
+vec_entries = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, width=32
+)
+
+
+@SLOW
+@given(
+    st.integers(min_value=2, max_value=6).flatmap(
+        lambda d: st.lists(
+            st.lists(vec_entries, min_size=d, max_size=d),
+            min_size=3,
+            max_size=25,
+        )
+    )
+)
+def test_embedding_moments_match_numpy_on_random_vectors(spark, vecs):
+    """The partial-aggregated moments pass == plain numpy on any
+    random (n × d) batch — including degenerate corpora (constant
+    columns, rank-deficient covariance)."""
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        embedding_moments,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    n, mean, cov = embedding_moments(df)
+    E = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    assert n == len(vecs)
+    np.testing.assert_allclose(mean, E.mean(axis=0), rtol=0, atol=1e-6)
+    want = (E.T @ E) / n - np.outer(E.mean(axis=0), E.mean(axis=0))
+    np.testing.assert_allclose(cov, want, rtol=0, atol=1e-5)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(vec_entries, min_size=4, max_size=4),
+        min_size=6,
+        max_size=25,
+    )
+)
+def test_pca_explained_variance_bounds_on_random_vectors(spark, vecs):
+    """fit_pca contract on arbitrary data: 0 ≤ explained ≤ total
+    (within fp tolerance), orthonormal components, and projecting
+    then reconstructing never increases total squared error as k
+    grows from 1 to d."""
+    import numpy as np
+
+    from wroclaw_bike_stats_spark.operators.embedding_stats import fit_pca
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    E = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    mu = E.mean(axis=0)
+    prev_err = None
+    for k in (1, 2, 4):
+        model = fit_pca(df, k=k)
+        C = np.asarray(model["components"])
+        np.testing.assert_allclose(
+            C @ C.T, np.eye(k), rtol=0, atol=1e-6
+        )
+        assert -1e-6 <= model["explained_var"] <= model["total_var"] + 1e-6
+        P = (E - mu) @ C.T
+        err = float(((E - (P @ C + mu)) ** 2).sum())
+        if prev_err is not None:
+            assert err <= prev_err + 1e-6
+        prev_err = err
