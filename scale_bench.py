@@ -779,6 +779,11 @@ _OWN_OVERLAYS: list = []
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        # live pid owned by another user — definitely alive
+        return True
     except OSError:
         return False
     return True
@@ -810,7 +815,15 @@ def _overlay_store(pristine: str, subs: tuple) -> str:
                 if _pid_alive(int(fh.read().strip())):
                     continue
         except (OSError, ValueError):
-            pass
+            # no/unreadable marker: usually a pre-marker leftover or
+            # a crashed create — but a CONCURRENT process sits in the
+            # mkdtemp→marker-write window for microseconds, so only
+            # reclaim marker-less dirs past a generous grace age
+            try:
+                if time.time() - os.path.getmtime(stale) < 60:
+                    continue
+            except OSError:
+                pass
         shutil.rmtree(stale, ignore_errors=True)
     overlay = tempfile.mkdtemp(prefix="stream_overlay_", dir=STORE)
     with open(os.path.join(overlay, "_owner"), "w") as fh:
@@ -910,10 +923,12 @@ def stream_ingest_emb_day_n(spark, sf_dir):
 
 def stream_setup(spark, sf_dir: str, emb_mode: bool = False) -> tuple:
     """The stream rows' shared parameterization — ONE place for the
-    pristine-store path, overlay subs, ingest split, id column, and
-    ingest closure (threshold / span_k / ascending-id opt-out), so
-    the gated day curve and every probe tool measure the SAME
-    workload. Returns (pristine, subs, new, id_col, ingest)."""
+    pristine-store path, overlay subs, ingest split, id column,
+    ingest closure (threshold / span_k / ascending-id opt-out), AND
+    the daily-drop slicing formula, so the gated day curve and every
+    probe tool measure the SAME workload. Returns
+    (pristine, subs, new, id_col, ingest, day_slice) where
+    ``day_slice(k, n_days)`` is day k's equal-sized disjoint batch."""
     from wroclaw_bike_stats_spark.streaming.curate_stream import (
         ingest_document_batch,
         ingest_embedding_batch,
@@ -940,7 +955,12 @@ def stream_setup(spark, sf_dir: str, emb_mode: bool = False) -> tuple:
                 enforce_ascending_ids=False,
             )
 
-    return pristine, subs, new, id_col, ingest
+    def day_slice(k: int, n_days: int):
+        return new.filter(
+            (F.col(id_col) / 50).cast("long") % n_days == k
+        )
+
+    return pristine, subs, new, id_col, ingest, day_slice
 
 
 def stream_day_curve(
@@ -963,7 +983,7 @@ def stream_day_curve(
     curve pass starts from identical resident state. Document ids
     interleave with the resident corpus → enforce_ascending_ids=False
     (the documented first-ingested-wins span semantics)."""
-    pristine, subs, new, id_col, ingest = stream_setup(
+    pristine, subs, new, id_col, ingest, day_slice = stream_setup(
         spark, sf_dir, emb_mode
     )
 
@@ -977,9 +997,7 @@ def stream_day_curve(
     for _ in range(runs):
         overlay = _overlay_store(pristine, subs)
         for k in range(n_days):
-            batch = new.filter(
-                (F.col(id_col) / 50).cast("long") % n_days == k
-            )
+            batch = day_slice(k, n_days)
             _cold()
             start = time.perf_counter()
             ingest(batch, overlay)

@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
 import scale_bench as sb  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
 
 from wroclaw_bike_stats_spark.session import get_spark  # noqa: E402
 from wroclaw_bike_stats_spark.streaming.curate_stream import (  # noqa: E402
@@ -49,13 +48,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # the gated day curve's exact workload parameterization — shared
-    # so this probe never silently measures a different ingest
-    pristine, subs, new, id_col, ingest = sb.stream_setup(spark, sf_dir)
+    # (including the day-slicing formula) so this probe never
+    # silently measures a different ingest
+    pristine, subs, new, id_col, ingest, day_slice = sb.stream_setup(
+        spark, sf_dir
+    )
 
     def day(k):
-        return new.filter(
-            (F.col(id_col) / 50).cast("long") % N_DAYS == k
-        )
+        return day_slice(k, N_DAYS)
 
     # warmup overlay (JVM + Arrow workers)
     warm = sb._overlay_store(pristine, subs)

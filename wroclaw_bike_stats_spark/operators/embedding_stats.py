@@ -63,11 +63,18 @@ def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
         n = 0
         s = np.zeros(d, dtype=np.float64)
         o = np.zeros((d, d), dtype=np.float64)
+        from wroclaw_bike_stats_spark.operators.similarity import (
+            _vec_matrix,
+        )
+
         for pdf in batches:
             vals = pdf[vec_col].dropna()
             if not len(vals):
                 continue
-            E = np.asarray(vals.tolist(), dtype=np.float64)
+            # _vec_matrix, not asarray(tolist()): one buffer stack
+            # instead of boxing every float through Python — this is
+            # the module's only pass that touches every vector
+            E = _vec_matrix(vals, np)
             if E.ndim != 2 or E.shape[1] != d:
                 raise ValueError(
                     f"ragged embedding column {vec_col!r}: expected "
