@@ -2795,6 +2795,33 @@ def q_repetition_2gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-LINE repetition stats (operators/text.py
+    segment_repetition_stats — the segment-granularity sibling of
+    repetition_stats; native split/trim/distinct + two aggregate
+    folds per row, no explode). The synthetic corpus is single-line,
+    so the gate stages a deterministic duplicated-prefix line per doc
+    (the pii_scrub precedent: inject the signal so the whole
+    computation is exercised on every row); DuckDB reproduces every
+    value from the same staged text."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit("\n"),
+            F.substring("text", 1, 80),
+            F.lit("\n"),
+            F.expr("substring(text, 81)"),
+        ).alias("text"),
+    )
+    return (
+        T.segment_repetition_stats(staged)
+        .withColumn("n_segments", F.col("n_segments").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pipeline.py scrub_pii):
     deterministic synthetic PII is appended per doc so the regex chain
@@ -3085,6 +3112,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_revenue": q_region_nation_revenue,
         "repetition_stats": q_repetition_stats,
         "repetition_2gram_column": q_repetition_2gram_column,
+        "segment_repetition": q_segment_repetition,
         "revenue_rank_by_nation": q_revenue_rank_by_nation,
         "revenue_topk": q_revenue_topk,
         "rich_customers_by_nation": q_rich_customers_by_nation,
@@ -3126,6 +3154,7 @@ _GATE_ORDER = [
     "repetition_2gram_column",
     "embedding_covariance",
     "embedding_pca_invariants",
+    "segment_repetition",
     "pii_scrub",
     "pricing_summary",
     "promo_revenue_share",
@@ -5597,6 +5626,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(top.total_2grams, 0) AS total_2grams
             FROM l LEFT JOIN top ON l.doc_id = top.doc_id
             ORDER BY l.doc_id
+        """,
+        # segment_repetition: Gopher dup-line stats over the staged
+        # duplicated-prefix text (same injection as the Spark gate).
+        "segment_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       substr(text, 1, 80) || chr(10)
+                       || substr(text, 1, 80) || chr(10)
+                       || substr(text, 81) AS txt
+                FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(txt, chr(10)),
+                                          s -> trim(s)),
+                           s -> s <> '') AS segs
+                FROM t
+            ), c AS (
+                SELECT doc_id,
+                       len(segs) AS n,
+                       len(list_distinct(segs)) AS nd,
+                       coalesce(list_sum(
+                           list_transform(segs, s -> length(s))), 0)
+                           AS chars,
+                       coalesce(list_sum(
+                           list_transform(list_distinct(segs),
+                                          s -> length(s))), 0)
+                           AS fchars
+                FROM l
+            )
+            SELECT doc_id,
+                   round(CASE WHEN n > 0
+                         THEN 1.0 - CAST(nd AS DOUBLE) / n
+                         ELSE 0.0 END, 4) AS dup_seg_frac,
+                   round(CASE WHEN chars > 0
+                         THEN CAST(chars - fchars AS DOUBLE) / chars
+                         ELSE 0.0 END, 4) AS dup_seg_char_frac,
+                   CAST(n AS BIGINT) AS n_segments
+            FROM c
+            ORDER BY doc_id
         """,
         # repetition_2gram_column: the repetition_stats gram CTEs,
         # projected to (doc_id, top2_count, total_2grams) — the column

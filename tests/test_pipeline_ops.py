@@ -209,6 +209,67 @@ def test_repetition_stats_short_docs(spark):
     assert (got[3].top2_count, got[3].total_2grams, got[3].dup_word_frac) == (0, 0, 0.0)
 
 
+def test_segment_repetition_stats_lines(spark):
+    """Gopher duplicate-line stats (r12): hand-computed values,
+    whitespace-only segment dropping, NULL/empty text, and the
+    char-fraction accounting (repeat OCCURRENCES' chars / total)."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc"),   # 4 segs, 1 dup pair
+            (2, "xx\n  \nxx\nxx"),   # ws-only seg dropped; xx ×3
+            (3, "solo"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.segment_repetition_stats(df).collect()}
+    # doc 1: n=4 distinct=3 → dup_frac 0.25; chars 8, first-chars 6
+    assert got[1].n_segments == 4
+    assert got[1].dup_seg_frac == 0.25
+    assert got[1].dup_seg_char_frac == 0.25
+    # doc 2: segs [xx, xx, xx] → dup 2/3; chars 6, firsts 2
+    assert got[2].n_segments == 3
+    assert abs(got[2].dup_seg_frac - (1 - 1 / 3)) < 1e-4
+    assert abs(got[2].dup_seg_char_frac - (4 / 6)) < 1e-4
+    for d in (3,):
+        assert (got[d].dup_seg_frac, got[d].dup_seg_char_frac) == (0.0, 0.0)
+    for d in (4, 5):
+        assert got[d].n_segments == 0
+        assert (got[d].dup_seg_frac, got[d].dup_seg_char_frac) == (0.0, 0.0)
+
+
+def test_segment_repetition_paragraph_mode_and_filter(spark):
+    """sep_pattern='\\n{2,}' groups lines into paragraphs; the filter
+    keeps exactly the docs under both Gopher bounds and matches a
+    stats-side reimplementation of the predicate."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    dup_para = "p one\nstill p one\n\np one\nstill p one\n\nother"
+    clean = "p one\n\np two\n\np three"
+    df = spark.createDataFrame(
+        [(1, dup_para), (2, clean)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in T.segment_repetition_stats(
+            df, sep_pattern=r"\n{2,}"
+        ).collect()
+    }
+    assert got[1].n_segments == 3 and got[1].dup_seg_frac > 0.3
+    assert got[2].n_segments == 3 and got[2].dup_seg_frac == 0.0
+
+    kept = {
+        r.doc_id
+        for r in T.segment_repetition_filter(
+            df, sep_pattern=r"\n{2,}"
+        ).collect()
+    }
+    assert kept == {2}
+
+
 def test_repetition_stats_arrow_parity(spark):
     """impl="arrow" (r11: repetition_2gram_struct — zero-shuffle
     per-doc column) must be byte-parity with the native explode+agg

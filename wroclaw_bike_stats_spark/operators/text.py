@@ -516,6 +516,91 @@ def repetition_2gram_struct(col: Column) -> Column:
     return rep_udf(col)
 
 
+def segment_repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_pattern: str = "\n",
+):
+    """Gopher's duplicate LINE/PARAGRAPH repetition signals (Rae et
+    al. 2021, Table A1 — the segment-granularity siblings of
+    ``repetition_stats``'s word/2-gram metrics): per document,
+
+    - ``dup_seg_frac``   = 1 − distinct/total segments (fraction of
+      segments that repeat an earlier one);
+    - ``dup_seg_char_frac`` = characters inside repeat OCCURRENCES
+      (every occurrence beyond a segment's first) / total segment
+      characters.
+
+    ``sep_pattern`` is a Java regex for ``split`` — ``"\\n"`` gives
+    the line rules, ``"\\n{2,}"`` the paragraph rules (the paper
+    gates at dup-frac ≤ 0.30 / char-frac ≤ 0.20 for lines, 0.30/0.20
+    for paragraphs — thresholds belong to the caller's filter, the
+    stats are the operator). Segments are compared TRIMMED, and
+    whitespace-only segments are dropped (the common Dolma/NeMo
+    normalization).
+
+    Shape: pure native array expressions — split + trim + distinct +
+    two ``aggregate`` folds per row, linear per doc, zero shuffle,
+    no explode (the distinct is per-row, so no (doc, segment) stream
+    ever materializes)."""
+    dup_frac, dup_char_frac, n = _segment_dup_exprs(text_col, sep_pattern)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_frac, 4).alias("dup_seg_frac"),
+        F.round(dup_char_frac, 4).alias("dup_seg_char_frac"),
+        n.alias("n_segments"),
+    )
+
+
+def _segment_dup_exprs(text_col: str, sep_pattern: str) -> tuple:
+    """The shared (dup_seg_frac, dup_seg_char_frac, n_segments)
+    expressions — ONE source of truth for the stats frame and the
+    inline filter, so the two cannot drift."""
+    col = F.col(text_col)
+    raw = F.split(F.coalesce(col, F.lit("")), sep_pattern)
+    segs = F.filter(
+        F.transform(raw, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    dist = F.array_distinct(segs)
+    n = F.size(segs)
+    nd = F.size(dist)
+    chars = F.aggregate(
+        segs, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    first_chars = F.aggregate(
+        dist, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_frac = F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        chars > 0, (chars - first_chars).cast("double") / chars
+    ).otherwise(F.lit(0.0))
+    return dup_frac, dup_char_frac, n
+
+
+def segment_repetition_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_pattern: str = "\n",
+    max_dup_seg_frac: float = 0.30,
+    max_dup_seg_char_frac: float = 0.20,
+):
+    """Keep documents under the Gopher duplicate-segment bounds
+    (paper defaults for lines; pass ``sep_pattern="\\n{2,}"`` and the
+    paragraph bounds for the paragraph rules). Compiled INLINE from
+    the same expressions as the stats (``_segment_dup_exprs``, one
+    source of truth) — a pure narrow filter at the scan, never a
+    join-back (the ``gopher_quality_filter`` discipline)."""
+    dup_frac, dup_char_frac, _ = _segment_dup_exprs(text_col, sep_pattern)
+    return df.filter(
+        (dup_frac <= max_dup_seg_frac)
+        & (dup_char_frac <= max_dup_seg_char_frac)
+    )
+
+
 def repetition_stats(
     df, text_col: str = "text", id_col: str = "doc_id", impl: str = "native"
 ):
