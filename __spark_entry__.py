@@ -2795,6 +2795,16 @@ def q_repetition_2gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_top_3gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-3-gram signal (operators/text.py top_ngram_stats —
+    the native explode+agg route generalized past n=2; the paper
+    gates top-{2,3,4}-gram shares at 0.20/0.18/0.16). Full-hash
+    oracle: the repetition_stats gram CTEs built with 3-token
+    windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.top_ngram_stats(docs, n=3).orderBy("doc_id")
+
+
 def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-LINE repetition stats (operators/text.py
     segment_repetition_stats — the segment-granularity sibling of
@@ -3113,6 +3123,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "repetition_2gram_column": q_repetition_2gram_column,
         "segment_repetition": q_segment_repetition,
+        "top_3gram_stats": q_top_3gram_stats,
         "revenue_rank_by_nation": q_revenue_rank_by_nation,
         "revenue_topk": q_revenue_topk,
         "rich_customers_by_nation": q_rich_customers_by_nation,
@@ -3155,6 +3166,7 @@ _GATE_ORDER = [
     "embedding_covariance",
     "embedding_pca_invariants",
     "segment_repetition",
+    "top_3gram_stats",
     "pii_scrub",
     "pricing_summary",
     "promo_revenue_share",
@@ -5624,6 +5636,34 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 4) AS dup_word_frac,
                    coalesce(top.top2_count, 0) AS top2_count,
                    coalesce(top.total_2grams, 0) AS total_2grams
+            FROM l LEFT JOIN top ON l.doc_id = top.doc_id
+            ORDER BY l.doc_id
+        """,
+        # top_3gram_stats: the repetition_stats gram CTEs with
+        # 3-token windows.
+        "top_3gram_stats": r"""
+            WITH l AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1]
+                                || ' ' || toks[i + 2])) AS g
+                FROM l
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (
+                SELECT doc_id,
+                       CAST(max(c) AS BIGINT) AS top3_count,
+                       CAST(sum(c) AS BIGINT) AS total_3grams
+                FROM gc GROUP BY 1
+            )
+            SELECT l.doc_id,
+                   coalesce(top.top3_count, 0) AS top3_count,
+                   coalesce(top.total_3grams, 0) AS total_3grams
             FROM l LEFT JOIN top ON l.doc_id = top.doc_id
             ORDER BY l.doc_id
         """,

@@ -270,6 +270,121 @@ def test_segment_repetition_paragraph_mode_and_filter(spark):
     assert kept == {2}
 
 
+def test_word_ngrams_generalizes_bigrams(spark):
+    """word_ngrams(n=2) must equal word_bigrams on arbitrary text
+    (the chained zip_with fold vs the original two-slice zip), and
+    n=3 must produce the expected windows with the <n guard."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "one two"),
+            (3, "solo"),
+            (4, ""),
+            (5, "  x   y  z "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        T.word_bigrams(F.col("text")).alias("bi"),
+        T.word_ngrams(F.col("text"), 2).alias("n2"),
+        T.word_ngrams(F.col("text"), 3).alias("n3"),
+    ).collect()
+    for r in rows:
+        assert r.bi == r.n2, r.doc_id
+    got = {r.doc_id: r for r in rows}
+    assert got[1].n3 == ["a b c", "b c d"]
+    assert got[2].n3 == []
+    assert got[3].n3 == []
+    with pytest.raises(ValueError, match="n must be"):
+        T.word_ngrams(F.col("text"), 0)
+
+
+def test_top_ngram_stats_and_arrow_struct_parity(spark):
+    """The native explode route (oracle shape) and the Arrow
+    repetition_ngram_struct must agree for n=3 on hand-computable
+    docs; n=2 must also reproduce repetition_stats' columns."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),   # 3-grams: abc,bca,cab,abc,bca,cab -> top 2 of 6
+            (2, "x y"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    native = {r.doc_id: r for r in T.top_ngram_stats(df, 3).collect()}
+    assert (native[1].top3_count, native[1].total_3grams) == (2, 6)
+    assert (native[2].top3_count, native[2].total_3grams) == (0, 0)
+    assert (native[3].top3_count, native[3].total_3grams) == (0, 0)
+    st = T.repetition_ngram_struct(F.col("text"), 3)
+    arrow = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            st.getField("top_count").alias("t"),
+            st.getField("total").alias("n"),
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert (arrow[d].t, arrow[d].n) == (
+            native[d].top3_count,
+            native[d].total_3grams,
+        ), d
+
+
+def test_dup_ngram_char_fracs_overlap_aware(spark):
+    """The duplicate-n-gram char fraction counts each character ONCE
+    no matter how many duplicated n-grams cover it (the Gopher
+    definition), and is 0/1 at the extremes."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),    # every 2-gram duplicated -> 1.0
+            (2, "a a a b c d e"),  # only 'a a' dup: covers 'a a a' = 5 of 13
+            (3, "q w e r t y"),    # no dups -> 0.0
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fr = T.dup_ngram_char_fracs(F.col("text"), ns=(2,))
+    got = {r.doc_id: r.f[0] for r in df.select("doc_id", fr.alias("f")).collect()}
+    assert got[1] == 1.0
+    assert got[2] == pytest.approx(5 / 13, abs=1e-4)
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_gopher_repetition_filter_paper_rules(spark):
+    """The composed filter keeps a clean doc and drops docs failing
+    each rule family: duplicate lines, a dominant top-2-gram, and a
+    duplicated long n-gram run."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    clean = "alpha beta gamma delta\nepsilon zeta eta theta\niota kappa"
+    dup_lines = "same line here\nsame line here\nsame line here\nother"
+    top_heavy = " ".join(["spam ham"] * 30)        # one 2-gram dominates
+    long_dup = "a b c d e f g h " * 4 + "tail"     # 8-gram repeated
+    df = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, top_heavy), (4, long_dup)],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in T.gopher_repetition_filter(df).collect()}
+    assert kept == {1}
+    # disabling families re-admits their casualties
+    kept2 = {
+        r.doc_id
+        for r in T.gopher_repetition_filter(
+            df, max_top_ngram_share={}, max_dup_ngram_char_frac={}
+        ).collect()
+    }
+    assert 3 in kept2 and 4 in kept2 and 2 not in kept2
+
+
 def test_repetition_stats_arrow_parity(spark):
     """impl="arrow" (r11: repetition_2gram_struct — zero-shuffle
     per-doc column) must be byte-parity with the native explode+agg

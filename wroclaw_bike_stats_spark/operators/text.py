@@ -516,6 +516,202 @@ def repetition_2gram_struct(col: Column) -> Column:
     return rep_udf(col)
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Adjacent whitespace-token n-grams as an array column —
+    ``word_bigrams`` generalized: n-1 chained ``zip_with`` folds over
+    shifted ``slice`` views (the measured-fast form; the
+    sequence+element_at alternative is ~10× slower interpreted).
+    Docs with fewer than n tokens yield []."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    m = F.size(toks)
+    out = F.slice(toks, 1, m - (n - 1))
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, m - (n - 1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(m >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_stats(
+    df, n: int, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher's top-n-gram share signal for ANY n (Rae et al. 2021
+    gate the most-common-{2,3,4}-gram's character share at
+    0.20/0.18/0.16): per doc, the most common adjacent n-gram's count
+    and the total n-gram count — ``repetition_stats``' native 2-gram
+    route generalized (explode → two keyed aggregations with map-side
+    partial combine → join back; linear, SQL-mirrorable)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.max("_c").cast("long").alias(f"top{n}_count"),
+        F.sum("_c").cast("long").alias(f"total_{n}grams"),
+    )
+    return df.select(id_col).join(top, id_col, "left").select(
+        id_col,
+        F.coalesce(f"top{n}_count", F.lit(0)).alias(f"top{n}_count"),
+        F.coalesce(f"total_{n}grams", F.lit(0)).alias(f"total_{n}grams"),
+    )
+
+
+def dup_ngram_char_fracs(col: Column, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
+    """Gopher's duplicate-n-gram CHARACTER fractions (Rae et al.
+    2021 gate n=5..10 at 0.15/0.14/0.13/0.12/0.11/0.10): for each n,
+    the fraction of the document's characters covered by n-grams
+    that occur more than once — OVERLAP-AWARE (a character under two
+    different duplicated n-grams counts once: the paper's definition,
+    implemented as a boolean char mask, which is why this is not
+    expressible as a groupBy/count). One Arrow pandas_udf per row,
+    O(len × |ns|), returning ``array<double>`` aligned with ``ns``;
+    tokenization mirrors the native ``tokens()`` (ASCII \\s split,
+    space-only trim) like every Arrow twin in this module."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    ns = tuple(ns)
+
+    def _fracs(t) -> list:
+        ts = (t or "").strip(" ")
+        if ts == "":
+            return [0.0] * len(ns)
+        toks = ws.split(ts)
+        # char span of token i in the SPACE-JOINED form (the n-gram
+        # text the counts are over — offsets are deterministic even
+        # when the raw doc had runs of whitespace)
+        starts = []
+        pos = 0
+        for w in toks:
+            starts.append(pos)
+            pos += len(w) + 1
+        total = pos - 1  # no trailing space
+        out = []
+        for n in ns:
+            if len(toks) < n or total <= 0:
+                out.append(0.0)
+                continue
+            counts: dict = {}
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            mask = bytearray(total)
+            for i in range(len(toks) - n + 1):
+                if counts[tuple(toks[i : i + n])] > 1:
+                    a = starts[i]
+                    b = starts[i + n - 1] + len(toks[i + n - 1])
+                    for p in range(a, b):
+                        mask[p] = 1
+            out.append(round(sum(mask) / total, 4))
+        return out
+
+    def _batch(s):
+        return pd.Series([_fracs(t) for t in s])
+
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_batch, "array<double>")(col)
+
+
+def gopher_repetition_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_frac: float = 0.30,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_share: dict | None = None,
+    max_dup_ngram_char_frac: dict | None = None,
+):
+    """The COMPLETE Gopher repetition rule set as one filter (Rae et
+    al. 2021, Table A1): duplicate line/paragraph fractions and char
+    fractions (native ``_segment_dup_exprs``), top-{2,3,4}-gram
+    shares (Arrow ``repetition_2gram_struct``-family counts via
+    ``dup_ngram_char_fracs``' sibling path — computed here with the
+    zero-shuffle Arrow struct for n=2 and the same per-row Counter
+    for 3/4), and duplicate-n-gram char fractions for n=5..10
+    (overlap-aware mask). Defaults are the paper's thresholds; pass
+    ``{}`` to disable a family.
+
+    One narrow filter — every signal is a per-row column, so the
+    whole rule set composes into a single scan predicate with no
+    joins and no shuffles."""
+    if max_top_ngram_share is None:
+        max_top_ngram_share = {2: 0.20, 3: 0.18, 4: 0.16}
+    if max_dup_ngram_char_frac is None:
+        max_dup_ngram_char_frac = {
+            5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+        }
+    pred = F.lit(True)
+    line_f, line_cf, _ = _segment_dup_exprs(text_col, "\n")
+    para_f, para_cf, _ = _segment_dup_exprs(text_col, r"\n{2,}")
+    pred = (
+        pred
+        & (line_f <= max_dup_line_frac)
+        & (line_cf <= max_dup_line_char_frac)
+        & (para_f <= max_dup_para_frac)
+        & (para_cf <= max_dup_para_char_frac)
+    )
+    for n, bound in sorted(max_top_ngram_share.items()):
+        st = repetition_ngram_struct(F.col(text_col), n)
+        share = F.when(
+            st.getField("total") > 0,
+            st.getField("top_count").cast("double") / st.getField("total"),
+        ).otherwise(F.lit(0.0))
+        pred = pred & (share <= bound)
+    if max_dup_ngram_char_frac:
+        ns = tuple(sorted(max_dup_ngram_char_frac))
+        fr = dup_ngram_char_fracs(F.col(text_col), ns)
+        for idx, n in enumerate(ns):
+            pred = pred & (
+                F.element_at(fr, idx + 1) <= max_dup_ngram_char_frac[n]
+            )
+    return df.filter(pred)
+
+
+def repetition_ngram_struct(col: Column, n: int) -> Column:
+    """``repetition_2gram_struct`` generalized to any n: per-row
+    ``struct<top_count:long, total:long>`` of the most-common
+    adjacent n-gram — one Arrow pass, per-doc Counter, zero shuffle.
+    Tokenization mirrors ``tokens()`` exactly (the Arrow-twin
+    contract)."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _stats(t) -> tuple:
+        ts = (t or "").strip(" ")
+        toks = ws.split(ts) if ts != "" else []
+        if len(toks) < n:
+            return 0, 0
+        counts: dict = {}
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        return max(counts.values()), len(toks) - n + 1
+
+    def _rep(s):
+        return pd.DataFrame(
+            [_stats(t) for t in s], columns=["top_count", "total"]
+        )
+
+    _rep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(_rep, "struct<top_count:long,total:long>")(col)
+
+
 def segment_repetition_stats(
     df,
     text_col: str = "text",
