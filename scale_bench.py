@@ -1025,6 +1025,35 @@ def stream_day_curve(
 STREAM_DAY_GATE = 1.5
 
 
+def gopher_repetition_corpus(spark, sf_dir):
+    """The complete Gopher repetition rule set, NATIVE route (r12):
+    segment rules as scan-pushed expressions + one fused Arrow pass
+    for the n-gram signals. Catalyst pushes the whole predicate to
+    the scan — right on a many-file cluster layout, but serialized
+    by the local corpora's single-row-group files, so this row is
+    capped at sf10 (FAMILY_POINTS) and the arrow row below is the
+    scale route."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        gopher_repetition_filter,
+    )
+
+    return gopher_repetition_filter(_docs(spark, sf_dir)).select("doc_id")
+
+
+def gopher_repetition_arrow_corpus(spark, sf_dir):
+    """The same rule set through ONE short-circuiting Arrow pass with
+    the nondeterministic barrier pinning evaluation above a
+    repartition (min_parallelism) — the measured escape for
+    low-row-group inputs: sf10 140 s native → 15 s, sf100 76 s."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        gopher_repetition_filter,
+    )
+
+    return gopher_repetition_filter(
+        _docs(spark, sf_dir), impl="arrow", min_parallelism=64
+    ).select("doc_id")
+
+
 def pca_project_corpus(spark, sf_dir):
     """PCA fit + full-corpus projection (r12,
     operators/embedding_stats.py): the moments pass (one
@@ -1083,6 +1112,8 @@ FAMILY = {
     "stream_ingest_day_n": stream_ingest_day_n,
     "stream_ingest_emb_day_n": stream_ingest_emb_day_n,
     "pca_project_corpus": pca_project_corpus,
+    "gopher_repetition_corpus": gopher_repetition_corpus,
+    "gopher_repetition_arrow_corpus": gopher_repetition_arrow_corpus,
     "cc_fixpoint": cc_fixpoint,
 }
 # per-FAMILY-row sf points when not the default DEDUP_POINTS; salt
@@ -1100,6 +1131,10 @@ FAMILY_POINTS = {
     # cold-once (runs=1) like the other >5 min opt-in rows.
     "curate_full_corpus_realppl": ("sf0.1s", "sf1s", "sf10s")
     + (("sf100s",) if os.environ.get("SPARK_GRAFT_REALPPL_SF100") else ()),
+    # native route serialized by the local single-row-group files
+    # (~140 s at sf10, ~25 min projected at sf100) — the sf100 story
+    # is the arrow row; same capping rationale as neardup_components
+    "gopher_repetition_corpus": ("sf0.1", "sf1", "sf10"),
 }
 # incremental -> the full recompute it replaces (speedup target >= 5x
 # at the largest measured point)

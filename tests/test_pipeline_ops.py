@@ -385,6 +385,48 @@ def test_gopher_repetition_filter_paper_rules(spark):
     assert 3 in kept2 and 4 in kept2 and 2 not in kept2
 
 
+def test_gopher_repetition_filter_arrow_parity_and_barrier(spark):
+    """impl='arrow' must keep exactly the native route's rows (same
+    rules, one short-circuiting Python pass), and min_parallelism
+    must pin the UDF ABOVE the repartition exchange (the
+    nondeterministic barrier) — without it Catalyst pushes the filter
+    to the scan, which serializes low-row-group local inputs."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+    )
+    native = {r.doc_id for r in T.gopher_repetition_filter(docs).collect()}
+    arrow = {
+        r.doc_id
+        for r in T.gopher_repetition_filter(docs, impl="arrow").collect()
+    }
+    assert arrow == native
+    dropped = docs.count() - len(native)
+    assert dropped > 0, "vacuous: the injected dup line must drop docs"
+
+    barred = T.gopher_repetition_filter(
+        docs, impl="arrow", min_parallelism=4
+    )
+    assert {r.doc_id for r in barred.collect()} == native
+    plan = barred._jdf.queryExecution().executedPlan().toString()
+    eval_pos = plan.find("ArrowEvalPython")
+    exch_pos = plan.find("REPARTITION_BY_NUM")
+    assert eval_pos != -1 and exch_pos != -1
+    # parent-first plan text: the eval must print BEFORE (above) the
+    # repartition exchange it is meant to run on top of
+    assert eval_pos < exch_pos
+
+
 def test_repetition_stats_arrow_parity(spark):
     """impl="arrow" (r11: repetition_2gram_struct — zero-shuffle
     per-doc column) must be byte-parity with the native explode+agg

@@ -565,62 +565,135 @@ def top_ngram_stats(
     )
 
 
+def _rep_signals_one(
+    t, top_ns: tuple, mask_ns: tuple, ws, np
+) -> tuple:
+    """Per-doc repetition signals, ONE tokenize for every n:
+    (top_shares aligned with top_ns, dup-char fracs aligned with
+    mask_ns). The char-coverage union uses a diff-array (+1 at span
+    start, −1 past span end, coverage = positions with positive
+    prefix sum) — O(len) regardless of how many duplicated spans
+    overlap, instead of per-character mask writes."""
+    ts = (t or "").strip(" ")
+    if ts == "":
+        return [0.0] * len(top_ns), [0.0] * len(mask_ns)
+    toks = ws.split(ts)
+    m = len(toks)
+    shares = []
+    for n in top_ns:
+        if m < n:
+            shares.append(0.0)
+            continue
+        counts: dict = {}
+        for i in range(m - n + 1):
+            g = tuple(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        shares.append(round(max(counts.values()) / (m - n + 1), 4))
+    fracs = []
+    if mask_ns:
+        # token char offsets in the space-joined form (deterministic
+        # even when the raw doc had runs of whitespace)
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=m)
+        starts = np.zeros(m, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        ends = starts + lens
+        total = int(ends[-1])
+        for n in mask_ns:
+            if m < n or total <= 0:
+                fracs.append(0.0)
+                continue
+            counts = {}
+            for i in range(m - n + 1):
+                g = tuple(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            dup_idx = [
+                i
+                for i in range(m - n + 1)
+                if counts[tuple(toks[i : i + n])] > 1
+            ]
+            if not dup_idx:
+                fracs.append(0.0)
+                continue
+            diff = np.zeros(total + 1, dtype=np.int64)
+            a = starts[np.asarray(dup_idx)]
+            b = ends[np.asarray(dup_idx) + n - 1]
+            np.add.at(diff, a, 1)
+            np.add.at(diff, b, -1)
+            covered = int((np.cumsum(diff[:-1]) > 0).sum())
+            fracs.append(round(covered / total, 4))
+    return shares, fracs
+
+
+def gopher_repetition_signals(
+    col: Column,
+    top_ns: tuple = (2, 3, 4),
+    mask_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> Column:
+    """ALL of Gopher's n-gram repetition signals in ONE Arrow pass:
+    ``struct<top_shares:array<double>, dup_char_fracs:array<double>>``
+    — top-n-gram share for each n in ``top_ns`` and the
+    overlap-aware duplicate-n-gram character fraction for each n in
+    ``mask_ns``. Fused because the naive composition (one UDF per
+    signal) re-tokenized the document once per n — measured 9 Arrow
+    passes → 1 cut the composed filter 150 s → well under half at
+    sf10. Tokenization mirrors ``tokens()`` (the Arrow-twin
+    contract)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    top_ns, mask_ns = tuple(top_ns), tuple(mask_ns)
+
+    def _batch(s):
+        rows = [
+            _rep_signals_one(t, top_ns, mask_ns, ws, np) for t in s
+        ]
+        return pd.DataFrame(
+            {
+                "top_shares": [r[0] for r in rows],
+                "dup_char_fracs": [r[1] for r in rows],
+            }
+        )
+
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _batch,
+        "struct<top_shares:array<double>,dup_char_fracs:array<double>>",
+    )(col)
+
+
 def dup_ngram_char_fracs(col: Column, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
     """Gopher's duplicate-n-gram CHARACTER fractions (Rae et al.
     2021 gate n=5..10 at 0.15/0.14/0.13/0.12/0.11/0.10): for each n,
     the fraction of the document's characters covered by n-grams
     that occur more than once — OVERLAP-AWARE (a character under two
     different duplicated n-grams counts once: the paper's definition,
-    implemented as a boolean char mask, which is why this is not
-    expressible as a groupBy/count). One Arrow pandas_udf per row,
-    O(len × |ns|), returning ``array<double>`` aligned with ``ns``;
-    tokenization mirrors the native ``tokens()`` (ASCII \\s split,
-    space-only trim) like every Arrow twin in this module."""
-    import re as _re
+    which is why this is not expressible as a groupBy/count). Thin
+    wrapper over the fused ``gopher_repetition_signals`` pass."""
+    return gopher_repetition_signals(col, top_ns=(), mask_ns=ns).getField(
+        "dup_char_fracs"
+    )
 
-    import pandas as pd
 
-    ws = _re.compile(r"\s+", _re.ASCII)
-    ns = tuple(ns)
-
-    def _fracs(t) -> list:
-        ts = (t or "").strip(" ")
-        if ts == "":
-            return [0.0] * len(ns)
-        toks = ws.split(ts)
-        # char span of token i in the SPACE-JOINED form (the n-gram
-        # text the counts are over — offsets are deterministic even
-        # when the raw doc had runs of whitespace)
-        starts = []
-        pos = 0
-        for w in toks:
-            starts.append(pos)
-            pos += len(w) + 1
-        total = pos - 1  # no trailing space
-        out = []
-        for n in ns:
-            if len(toks) < n or total <= 0:
-                out.append(0.0)
-                continue
-            counts: dict = {}
-            for i in range(len(toks) - n + 1):
-                g = tuple(toks[i : i + n])
-                counts[g] = counts.get(g, 0) + 1
-            mask = bytearray(total)
-            for i in range(len(toks) - n + 1):
-                if counts[tuple(toks[i : i + n])] > 1:
-                    a = starts[i]
-                    b = starts[i + n - 1] + len(toks[i + n - 1])
-                    for p in range(a, b):
-                        mask[p] = 1
-            out.append(round(sum(mask) / total, 4))
-        return out
-
-    def _batch(s):
-        return pd.Series([_fracs(t) for t in s])
-
-    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_batch, "array<double>")(col)
+def _seg_fracs_py(ts: str, pat) -> tuple:
+    """Python mirror of ``_segment_dup_exprs`` for one doc: the
+    (dup_seg_frac, dup_seg_char_frac) pair under the compiled split
+    regex ``pat`` — same trim-spaces-only / drop-empty semantics, so
+    the arrow filter route is value-parity with the native
+    expressions (pinned in tests)."""
+    segs = [s.strip(" ") for s in pat.split(ts)]
+    segs = [s for s in segs if s != ""]
+    n = len(segs)
+    if n == 0:
+        return 0.0, 0.0
+    seen = set(segs)
+    dup_frac = 1.0 - len(seen) / n
+    chars = sum(len(s) for s in segs)
+    firsts = sum(len(s) for s in seen)
+    dup_char_frac = (chars - firsts) / chars if chars > 0 else 0.0
+    return dup_frac, dup_char_frac
 
 
 def gopher_repetition_filter(
@@ -633,26 +706,90 @@ def gopher_repetition_filter(
     max_dup_para_char_frac: float = 0.20,
     max_top_ngram_share: dict | None = None,
     max_dup_ngram_char_frac: dict | None = None,
+    impl: str = "native",
+    min_parallelism: int | None = None,
 ):
     """The COMPLETE Gopher repetition rule set as one filter (Rae et
     al. 2021, Table A1): duplicate line/paragraph fractions and char
-    fractions (native ``_segment_dup_exprs``), top-{2,3,4}-gram
-    shares (Arrow ``repetition_2gram_struct``-family counts via
-    ``dup_ngram_char_fracs``' sibling path — computed here with the
-    zero-shuffle Arrow struct for n=2 and the same per-row Counter
-    for 3/4), and duplicate-n-gram char fractions for n=5..10
-    (overlap-aware mask). Defaults are the paper's thresholds; pass
-    ``{}`` to disable a family.
+    fractions, top-{2,3,4}-gram shares, and duplicate-n-gram char
+    fractions for n=5..10 (overlap-aware mask). Defaults are the
+    paper's thresholds; pass ``{}`` to disable a family.
 
-    One narrow filter — every signal is a per-row column, so the
-    whole rule set composes into a single scan predicate with no
-    joins and no shuffles."""
+    ``impl`` routes the evaluation (the ``gopher_quality_filter``
+    precedent — byte-parity pinned in tests):
+
+    - ``"native"`` (default): segment rules as native expressions +
+      ONE fused Arrow pass for the n-gram signals, all conjoined into
+      a single Filter. Catalyst pushes this predicate to the SCAN —
+      exactly right at cluster scale (drop rows before any exchange;
+      parallelism comes from the source layout).
+    - ``"arrow"``: everything in ONE Arrow pass returning a boolean,
+      with per-doc short-circuit (cheap segment rules first, the
+      n-gram masks only for survivors).
+
+    ``min_parallelism`` (arrow route only): the scan-pushdown that is
+    right on a cluster SERIALIZES on a low-row-group local input —
+    measured: one 78 MB/1-row-group file ran the whole Python pass on
+    one core (122 s at 500k docs) because the filter was pushed below
+    an explicit repartition. When set, the input is repartitioned and
+    the filter UDF is marked nondeterministic, which pins its
+    evaluation ABOVE the exchange (deterministic predicates are
+    pushed through; nondeterministic ones are not — the documented
+    Catalyst contract used here as an optimizer barrier). Same
+    result set; plan shape pinned in tests."""
     if max_top_ngram_share is None:
         max_top_ngram_share = {2: 0.20, 3: 0.18, 4: 0.16}
     if max_dup_ngram_char_frac is None:
         max_dup_ngram_char_frac = {
             5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
         }
+    top_ns = tuple(sorted(max_top_ngram_share))
+    mask_ns = tuple(sorted(max_dup_ngram_char_frac))
+
+    if impl == "arrow":
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = _re.compile(r"\s+", _re.ASCII)
+        line_pat = _re.compile(r"\n")
+        para_pat = _re.compile(r"\n{2,}")
+        top_bounds = [max_top_ngram_share[n] for n in top_ns]
+        mask_bounds = [max_dup_ngram_char_frac[n] for n in mask_ns]
+
+        def _keep(t) -> bool:
+            ts = t or ""
+            lf, lcf = _seg_fracs_py(ts, line_pat)
+            if lf > max_dup_line_frac or lcf > max_dup_line_char_frac:
+                return False
+            pf, pcf = _seg_fracs_py(ts, para_pat)
+            if pf > max_dup_para_frac or pcf > max_dup_para_char_frac:
+                return False
+            if top_ns or mask_ns:
+                shares, fracs = _rep_signals_one(
+                    ts, top_ns, mask_ns, ws, np
+                )
+                for v, b in zip(shares, top_bounds):
+                    if v > b:
+                        return False
+                for v, b in zip(fracs, mask_bounds):
+                    if v > b:
+                        return False
+            return True
+
+        def _batch(s):
+            return pd.Series([_keep(t) for t in s])
+
+        _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        keep_udf = F.pandas_udf(_batch, "boolean")
+        if min_parallelism:
+            keep_udf = keep_udf.asNondeterministic()
+            df = df.repartition(min_parallelism)
+        return df.filter(keep_udf(F.col(text_col)))
+
+    if impl != "native":
+        raise ValueError(f"unknown impl {impl!r}")
     pred = F.lit(True)
     line_f, line_cf, _ = _segment_dup_exprs(text_col, "\n")
     para_f, para_cf, _ = _segment_dup_exprs(text_col, r"\n{2,}")
@@ -663,19 +800,21 @@ def gopher_repetition_filter(
         & (para_f <= max_dup_para_frac)
         & (para_cf <= max_dup_para_char_frac)
     )
-    for n, bound in sorted(max_top_ngram_share.items()):
-        st = repetition_ngram_struct(F.col(text_col), n)
-        share = F.when(
-            st.getField("total") > 0,
-            st.getField("top_count").cast("double") / st.getField("total"),
-        ).otherwise(F.lit(0.0))
-        pred = pred & (share <= bound)
-    if max_dup_ngram_char_frac:
-        ns = tuple(sorted(max_dup_ngram_char_frac))
-        fr = dup_ngram_char_fracs(F.col(text_col), ns)
-        for idx, n in enumerate(ns):
+    if top_ns or mask_ns:
+        # ONE fused Arrow pass for every n-gram signal (re-tokenizing
+        # per n was the composed filter's measured bottleneck)
+        sig = gopher_repetition_signals(
+            F.col(text_col), top_ns=top_ns, mask_ns=mask_ns
+        )
+        for idx, n in enumerate(top_ns):
             pred = pred & (
-                F.element_at(fr, idx + 1) <= max_dup_ngram_char_frac[n]
+                F.element_at(sig.getField("top_shares"), idx + 1)
+                <= max_top_ngram_share[n]
+            )
+        for idx, n in enumerate(mask_ns):
+            pred = pred & (
+                F.element_at(sig.getField("dup_char_fracs"), idx + 1)
+                <= max_dup_ngram_char_frac[n]
             )
     return df.filter(pred)
 
