@@ -178,6 +178,38 @@ def test_curate_rep_impl_routes_agree(spark, docs):
     assert 300001 not in {t[0] for t in a}, "vacuous: cap dropped nothing"
 
 
+def test_curate_repetition_rules_stage(spark, docs):
+    """repetition_rules (r12): the optional full Gopher repetition
+    stage drops a planted duplicate-line doc, equals the manual
+    composition (curate-without-stage then the standalone filter),
+    and the default None leaves the output byte-identical to
+    pre-r12."""
+    dup_lines = "same line text here\n" * 5 + "one two three four five six"
+    extra = spark.createDataFrame(
+        [(300002, dup_lines, "en", "web", 40)], docs.schema
+    )
+    corpus = docs.unionByName(extra)
+    kw = dict(min_tokens=5, scrub=False)
+
+    base = curate_corpus(corpus, None, **kw)
+    base_rows = {tuple(r) for r in base.collect()}
+    assert 300002 in {t[0] for t in base_rows}, "planted doc survives base"
+
+    staged = curate_corpus(corpus, None, repetition_rules={}, **kw)
+    staged_rows = {tuple(r) for r in staged.collect()}
+    assert 300002 not in {t[0] for t in staged_rows}
+    manual = {
+        tuple(r)
+        for r in T.gopher_repetition_filter(base).collect()
+    }
+    assert staged_rows == manual
+
+    arrow = curate_corpus(
+        corpus, None, repetition_rules={"impl": "arrow"}, **kw
+    )
+    assert {tuple(r) for r in arrow.collect()} == staged_rows
+
+
 def test_curate_ppl_band_and_span_strip(spark, docs):
     """Composition semantics: a doc outside the ppl band is dropped;
     a duplicated 13-token span planted in two surviving docs is

@@ -39,6 +39,7 @@ def curate_corpus(
     max_dup_word_frac: float = 0.9,
     max_top2gram_frac: float = 0.5,
     rep_impl: str = "auto",
+    repetition_rules: dict | None = None,
     gopher_bounds: dict | None = None,
     decontam_mode: str = "exact",
     decontam_n: int = 5,
@@ -112,6 +113,16 @@ def curate_corpus(
     per-row Arrow column (``text.repetition_2gram_struct`` — no
     shuffle, no join-back, byte-parity with native pinned in tests);
     ``"native"`` keeps the oracle-shape explode+agg+join branch.
+
+    ``repetition_rules`` (r12, default None = stage off, preserving
+    every existing gate's output): kwargs for
+    ``text.gopher_repetition_filter`` — the COMPLETE Gopher
+    repetition rule set (duplicate line/paragraph fractions + char
+    fractions, top-{2,3,4}-gram shares, duplicate-n-gram char
+    fractions) as one more narrow filter after the top-2-gram
+    stage. Pass ``{}`` for the paper's default thresholds, or e.g.
+    ``{"impl": "arrow", "min_parallelism": 64}`` for the
+    low-row-group-input escape (see the operator's docstring).
 
     ``persist_stages`` is the composed-pipeline scale switch: the
     self-referencing stages (the ``rep_impl="native"`` repetition
@@ -230,6 +241,14 @@ def curate_corpus(
         )
     else:
         raise ValueError(f"unknown rep_impl {rep_impl!r}")
+
+    # r12: the complete Gopher repetition rule set as one more
+    # narrow per-row filter (no join-back in either impl) — off by
+    # default so every existing gate's output is unchanged
+    if repetition_rules is not None:
+        out = T.gopher_repetition_filter(
+            out, text_col=text_col, id_col=id_col, **repetition_rules
+        )
 
     # perplexity band under the reference bigram LM (CCNet keeps a
     # band of exactly this signal). lm_impl="auto" resolves to the
