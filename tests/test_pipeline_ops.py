@@ -302,10 +302,12 @@ def test_word_ngrams_generalizes_bigrams(spark):
         T.word_ngrams(F.col("text"), 0)
 
 
-def test_top_ngram_stats_and_arrow_struct_parity(spark):
-    """The native explode route (oracle shape) and the Arrow
-    repetition_ngram_struct must agree for n=3 on hand-computable
-    docs; n=2 must also reproduce repetition_stats' columns."""
+def test_top_ngram_stats_and_char_fraction_signal(spark):
+    """top_ngram_stats (native explode route, the oracle shape)
+    returns hand-computable counts; gopher_repetition_signals
+    returns the PAPER's character fraction for the same docs —
+    count × gram chars / total chars, tie on count broken by the
+    longer gram."""
     from wroclaw_bike_stats_spark.operators import text as T
 
     df = spark.createDataFrame(
@@ -320,20 +322,18 @@ def test_top_ngram_stats_and_arrow_struct_parity(spark):
     assert (native[1].top3_count, native[1].total_3grams) == (2, 6)
     assert (native[2].top3_count, native[2].total_3grams) == (0, 0)
     assert (native[3].top3_count, native[3].total_3grams) == (0, 0)
-    st = T.repetition_ngram_struct(F.col("text"), 3)
-    arrow = {
-        r.doc_id: r
+    sig = T.gopher_repetition_signals(
+        F.col("text"), top_ns=(3,), mask_ns=()
+    )
+    got = {
+        r.doc_id: r.s[0]
         for r in df.select(
-            "doc_id",
-            st.getField("top_count").alias("t"),
-            st.getField("total").alias("n"),
+            "doc_id", sig.getField("top_shares").alias("s")
         ).collect()
     }
-    for d in (1, 2, 3):
-        assert (arrow[d].t, arrow[d].n) == (
-            native[d].top3_count,
-            native[d].total_3grams,
-        ), d
+    # doc 1: joined chars 15, best 3-gram count 2 × len 5 -> 10/15
+    assert got[1] == pytest.approx(10 / 15, abs=1e-4)
+    assert got[2] == 0.0 and got[3] == 0.0
 
 
 def test_dup_ngram_char_fracs_overlap_aware(spark):
@@ -365,7 +365,12 @@ def test_gopher_repetition_filter_paper_rules(spark):
     duplicated long n-gram run."""
     from wroclaw_bike_stats_spark.operators import text as T
 
-    clean = "alpha beta gamma delta\nepsilon zeta eta theta\niota kappa"
+    # long enough that no single count-1 n-gram is >16% of the chars
+    # (the paper applies these rules after its 50-word floor — a
+    # 10-token doc would trip the top-2-gram CHAR bound spuriously)
+    clean = "\n".join(
+        " ".join(f"w{i}x{j}" for j in range(12)) for i in range(5)
+    )
     dup_lines = "same line here\nsame line here\nsame line here\nother"
     top_heavy = " ".join(["spam ham"] * 30)        # one 2-gram dominates
     long_dup = "a b c d e f g h " * 4 + "tail"     # 8-gram repeated
@@ -425,6 +430,9 @@ def test_gopher_repetition_filter_arrow_parity_and_barrier(spark):
     # parent-first plan text: the eval must print BEFORE (above) the
     # repartition exchange it is meant to run on top of
     assert eval_pos < exch_pos
+    # and the knob cannot be silently dropped on the native route
+    with pytest.raises(ValueError, match="min_parallelism requires"):
+        T.gopher_repetition_filter(docs, min_parallelism=4)
 
 
 def test_repetition_stats_arrow_parity(spark):

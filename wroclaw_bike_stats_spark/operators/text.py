@@ -449,25 +449,13 @@ def dup_word_frac(col: Column) -> Column:
 
 
 def word_bigrams(col: Column) -> Column:
-    """Adjacent whitespace-token 2-grams as an array column.
-
-    ``zip_with`` over two ``slice`` views (tokens[0..n-2] zipped with
-    tokens[1..n-1]) — measured 10× faster at sf0.1 than the equivalent
-    ``transform(sequence(1, n-1), i -> element_at(..))`` form, whose
-    per-index element_at lookups dominate in interpreted evaluation.
-    The n<2 guard matters: ``slice`` with length n-1 = 0 would be fine,
-    but sequence-style forms degenerate and short docs should yield []
-    explicitly either way."""
-    toks = tokens(col)
-    n = F.size(toks)
-    return F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent whitespace-token 2-grams as an array column — the
+    n=2 case of ``word_ngrams`` (one definition; equality pinned in
+    tests). The zip_with-over-slices form is measured 10× faster at
+    sf0.1 than the ``transform(sequence(...), element_at(..))``
+    alternative, whose per-index lookups dominate interpreted
+    evaluation."""
+    return word_ngrams(col, 2)
 
 
 def repetition_2gram_struct(col: Column) -> Column:
@@ -569,47 +557,55 @@ def _rep_signals_one(
     t, top_ns: tuple, mask_ns: tuple, ws, np
 ) -> tuple:
     """Per-doc repetition signals, ONE tokenize for every n:
-    (top_shares aligned with top_ns, dup-char fracs aligned with
-    mask_ns). The char-coverage union uses a diff-array (+1 at span
-    start, −1 past span end, coverage = positions with positive
-    prefix sum) — O(len) regardless of how many duplicated spans
-    overlap, instead of per-character mask writes."""
+    (top-n-gram CHARACTER fractions aligned with top_ns, duplicate-
+    n-gram char fracs aligned with mask_ns). Both follow the paper's
+    character accounting (Rae et al. 2021 Table A1 gates "fraction
+    of characters in the most common n-gram" / "... in duplicated
+    n-grams", not count shares): the top signal is
+    count × ngram_chars / total_chars (tie on count → the longer
+    gram, deterministic), the dup signal a char-coverage UNION via a
+    diff-array (+1 at span start, −1 past span end, coverage =
+    positions with positive prefix sum) — O(len) regardless of how
+    many duplicated spans overlap."""
     ts = (t or "").strip(" ")
     if ts == "":
         return [0.0] * len(top_ns), [0.0] * len(mask_ns)
     toks = ws.split(ts)
     m = len(toks)
+    # total chars in the space-joined form (deterministic even when
+    # the raw doc had runs of whitespace)
+    total = sum(len(w) for w in toks) + (m - 1)
     shares = []
     for n in top_ns:
-        if m < n:
+        if m < n or total <= 0:
             shares.append(0.0)
             continue
+        grams = [tuple(toks[i : i + n]) for i in range(m - n + 1)]
         counts: dict = {}
-        for i in range(m - n + 1):
-            g = tuple(toks[i : i + n])
+        for g in grams:
             counts[g] = counts.get(g, 0) + 1
-        shares.append(round(max(counts.values()) / (m - n + 1), 4))
+        best = max(
+            counts.items(),
+            key=lambda kv: (kv[1], sum(len(w) for w in kv[0])),
+        )
+        glen = sum(len(w) for w in best[0]) + (n - 1)
+        shares.append(round(min(best[1] * glen / total, 1.0), 4))
     fracs = []
     if mask_ns:
-        # token char offsets in the space-joined form (deterministic
-        # even when the raw doc had runs of whitespace)
         lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=m)
         starts = np.zeros(m, dtype=np.int64)
         np.cumsum(lens[:-1] + 1, out=starts[1:])
         ends = starts + lens
-        total = int(ends[-1])
         for n in mask_ns:
             if m < n or total <= 0:
                 fracs.append(0.0)
                 continue
+            grams = [tuple(toks[i : i + n]) for i in range(m - n + 1)]
             counts = {}
-            for i in range(m - n + 1):
-                g = tuple(toks[i : i + n])
+            for g in grams:
                 counts[g] = counts.get(g, 0) + 1
             dup_idx = [
-                i
-                for i in range(m - n + 1)
-                if counts[tuple(toks[i : i + n])] > 1
+                i for i, g in enumerate(grams) if counts[g] > 1
             ]
             if not dup_idx:
                 fracs.append(0.0)
@@ -631,12 +627,13 @@ def gopher_repetition_signals(
 ) -> Column:
     """ALL of Gopher's n-gram repetition signals in ONE Arrow pass:
     ``struct<top_shares:array<double>, dup_char_fracs:array<double>>``
-    — top-n-gram share for each n in ``top_ns`` and the
-    overlap-aware duplicate-n-gram character fraction for each n in
-    ``mask_ns``. Fused because the naive composition (one UDF per
-    signal) re-tokenized the document once per n — measured 9 Arrow
-    passes → 1 cut the composed filter 150 s → well under half at
-    sf10. Tokenization mirrors ``tokens()`` (the Arrow-twin
+    — the top-n-gram CHARACTER fraction for each n in ``top_ns``
+    (chars inside occurrences of the most common n-gram / total
+    chars — the paper's accounting) and the overlap-aware
+    duplicate-n-gram character fraction for each n in ``mask_ns``.
+    Fused because the naive composition (one UDF per signal)
+    re-tokenized the document once per n — measured 9 Arrow passes
+    → 1. Tokenization mirrors ``tokens()`` (the Arrow-twin
     contract)."""
     import re as _re
 
@@ -699,7 +696,6 @@ def _seg_fracs_py(ts: str, pat) -> tuple:
 def gopher_repetition_filter(
     df,
     text_col: str = "text",
-    id_col: str = "doc_id",
     max_dup_line_frac: float = 0.30,
     max_dup_line_char_frac: float = 0.20,
     max_dup_para_frac: float = 0.30,
@@ -711,9 +707,14 @@ def gopher_repetition_filter(
 ):
     """The COMPLETE Gopher repetition rule set as one filter (Rae et
     al. 2021, Table A1): duplicate line/paragraph fractions and char
-    fractions, top-{2,3,4}-gram shares, and duplicate-n-gram char
+    fractions, top-{2,3,4}-gram CHARACTER fractions (the paper's
+    accounting — chars inside occurrences of the most common n-gram
+    over total chars, not a count share), and duplicate-n-gram char
     fractions for n=5..10 (overlap-aware mask). Defaults are the
-    paper's thresholds; pass ``{}`` to disable a family.
+    paper's thresholds; pass ``{}`` to disable a family. Compose
+    AFTER a word-count floor (``gopher_quality_filter``'s
+    ``min_words`` — the paper's own order): on very short docs even
+    a once-occurring n-gram can exceed the top-n-gram CHAR bounds.
 
     ``impl`` routes the evaluation (the ``gopher_quality_filter``
     precedent — byte-parity pinned in tests):
@@ -790,6 +791,14 @@ def gopher_repetition_filter(
 
     if impl != "native":
         raise ValueError(f"unknown impl {impl!r}")
+    if min_parallelism:
+        # silently accepting (and dropping) the knob would recreate
+        # the exact single-core trap it exists to escape
+        raise ValueError(
+            "min_parallelism requires impl='arrow' — the native "
+            "route's predicate is pushed to the scan by design, so "
+            "a repartition cannot raise its parallelism"
+        )
     pred = F.lit(True)
     line_f, line_cf, _ = _segment_dup_exprs(text_col, "\n")
     para_f, para_cf, _ = _segment_dup_exprs(text_col, r"\n{2,}")
@@ -817,38 +826,6 @@ def gopher_repetition_filter(
                 <= max_dup_ngram_char_frac[n]
             )
     return df.filter(pred)
-
-
-def repetition_ngram_struct(col: Column, n: int) -> Column:
-    """``repetition_2gram_struct`` generalized to any n: per-row
-    ``struct<top_count:long, total:long>`` of the most-common
-    adjacent n-gram — one Arrow pass, per-doc Counter, zero shuffle.
-    Tokenization mirrors ``tokens()`` exactly (the Arrow-twin
-    contract)."""
-    import re as _re
-
-    import pandas as pd
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-
-    def _stats(t) -> tuple:
-        ts = (t or "").strip(" ")
-        toks = ws.split(ts) if ts != "" else []
-        if len(toks) < n:
-            return 0, 0
-        counts: dict = {}
-        for i in range(len(toks) - n + 1):
-            g = tuple(toks[i : i + n])
-            counts[g] = counts.get(g, 0) + 1
-        return max(counts.values()), len(toks) - n + 1
-
-    def _rep(s):
-        return pd.DataFrame(
-            [_stats(t) for t in s], columns=["top_count", "total"]
-        )
-
-    _rep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
-    return F.pandas_udf(_rep, "struct<top_count:long,total:long>")(col)
 
 
 def segment_repetition_stats(
@@ -918,7 +895,6 @@ def _segment_dup_exprs(text_col: str, sep_pattern: str) -> tuple:
 def segment_repetition_filter(
     df,
     text_col: str = "text",
-    id_col: str = "doc_id",
     sep_pattern: str = "\n",
     max_dup_seg_frac: float = 0.30,
     max_dup_seg_char_frac: float = 0.20,

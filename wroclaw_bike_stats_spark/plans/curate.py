@@ -247,7 +247,7 @@ def curate_corpus(
     # default so every existing gate's output is unchanged
     if repetition_rules is not None:
         out = T.gopher_repetition_filter(
-            out, text_col=text_col, id_col=id_col, **repetition_rules
+            out, text_col=text_col, **repetition_rules
         )
 
     # perplexity band under the reference bigram LM (CCNet keeps a
