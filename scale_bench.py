@@ -1331,14 +1331,18 @@ def main() -> int:
         "cpus": int(cpus),
         "queries": summary,
     }
-    print(json.dumps(out))
     # the day-curve gate is a HARD check: a regression in the
     # per-batch ingest path (any resident-store-proportional term)
-    # fails the bench run, not just a number in the JSON
-    if any(not c["gate_ok"] for c in curves.values()):
-        print(json.dumps({"error": "stream_day_curve gate failed"}))
-        return 1
-    return 0
+    # fails the bench run, not just a number in the JSON. The
+    # failure is folded INTO the single results object (stdout stays
+    # one JSON line — last-line parsers must never read an error
+    # object as the result); the non-zero exit is the machine signal.
+    gate_failed = any(not c["gate_ok"] for c in curves.values())
+    if gate_failed:
+        out["error"] = "stream_day_curve gate failed"
+        print("stream_day_curve gate failed", file=sys.stderr)
+    print(json.dumps(out))
+    return 1 if gate_failed else 0
 
 
 if __name__ == "__main__":

@@ -93,14 +93,20 @@ def test_arrow_impl_matches_native(spark, docs):
     rule-for-rule parity with the native expressions, including the
     NULL/blank and unicode-ellipsis edges."""
     kw = dict(min_words=1, min_mean_word_len=1.0, min_stopwords=0)
-    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    nat = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="native", **kw).collect()
+    }
     arr = {
         r.doc_id
         for r in T.gopher_quality_filter(docs, impl="arrow", **kw).collect()
     }
     assert arr == nat
     kw2 = dict(min_words=5, min_mean_word_len=1.0)
-    nat2 = {r.doc_id for r in T.gopher_quality_filter(docs, **kw2).collect()}
+    nat2 = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="native", **kw2).collect()
+    }
     arr2 = {
         r.doc_id
         for r in T.gopher_quality_filter(docs, impl="arrow", **kw2).collect()
@@ -111,7 +117,10 @@ def test_arrow_impl_matches_native(spark, docs):
 def test_arrow_impl_matches_native_on_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     kw = dict(min_words=5, min_mean_word_len=1.0)
-    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    nat = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="native", **kw).collect()
+    }
     arr = {
         r.doc_id
         for r in T.gopher_quality_filter(docs, impl="arrow", **kw).collect()
@@ -143,7 +152,10 @@ def test_auto_impl_routing_and_parity(spark, docs):
     assert tracker.getJobIdsForGroup(None) == before
     # auto (-> arrow here) parity with the explicit routes
     auto = {r.doc_id for r in plan.collect()}
-    nat = {r.doc_id for r in T.gopher_quality_filter(docs, **kw).collect()}
+    nat = {
+        r.doc_id
+        for r in T.gopher_quality_filter(docs, impl="native", **kw).collect()
+    }
     assert auto == nat
     # scalar-only auto stays a native codegen filter (no Python eval)
     scalar_kw = dict(
@@ -178,3 +190,32 @@ def test_curate_gopher_routes_auto_but_caller_can_pin(spark, docs):
     nat_exec = pinned._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in auto_exec or "MapInPandas" in auto_exec
     assert "MapInPandas" not in nat_exec
+
+
+def test_default_impl_is_auto_and_routes_by_rule_shape(spark, docs):
+    """Round-13 default flip: gopher_quality_filter defaults to
+    impl='auto'. With HOF-binding bounds (the paper defaults are)
+    the DEFAULT call must put the Arrow pass in the plan — the
+    measured 3.4x escape from interpreted HOF evaluation — while
+    scalar-only bounds keep the default plan Python-free."""
+    hof_kw = dict(min_words=5, min_mean_word_len=1.0)  # HOF-binding
+    hof_plan = T.gopher_quality_filter(docs, **hof_kw)  # default impl
+    hof_exec = hof_plan._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in hof_exec or "MapInPandas" in hof_exec
+    scalar_kw = dict(
+        min_words=2,
+        min_mean_word_len=0.0,
+        max_mean_word_len=float("inf"),
+        min_alpha_word_frac=0.0,
+        min_stopwords=0,
+    )
+    scalar_plan = T.gopher_quality_filter(docs, **scalar_kw)  # default
+    scalar_exec = scalar_plan._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in scalar_exec and "MapInPandas" not in scalar_exec
+    # and the default-route result equals the pinned-native result
+    assert {r.doc_id for r in hof_plan.collect()} == {
+        r.doc_id
+        for r in T.gopher_quality_filter(
+            docs, impl="native", **hof_kw
+        ).collect()
+    }

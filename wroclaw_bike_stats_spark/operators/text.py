@@ -318,7 +318,7 @@ def gopher_quality_filter(
     min_stopwords: int = 2,
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
-    impl: str = "native",
+    impl: str = "auto",
 ):
     """Keep documents passing every Gopher rule (paper defaults; all
     bounds overridable — short-doc corpora need a lower word floor).
@@ -336,14 +336,18 @@ def gopher_quality_filter(
     arrow 55 s (3.4×); with bounds where most docs fail an early rule
     the arrow pass's per-doc short-circuit widens the gap (probe run:
     128 vs 30 s). Semantics identical (ASCII \\s+ split, same
-    rounding) — differential-tested; the native form stays the
-    default because it is the oracle-gated route and wins when most
-    rules are scalar.
+    rounding) — differential-tested.
 
-    ``impl="auto"`` routes by rule shape (``pick_gopher_impl``, no
-    probe job): Arrow when any token-level HOF rule is binding —
-    which the paper defaults are — native for scalar-only bounds.
-    ``curate_corpus`` uses this route for its Gopher stage."""
+    ``impl="auto"`` (the DEFAULT) routes by rule shape
+    (``pick_gopher_impl``, zero jobs): Arrow when any token-level HOF
+    rule is binding — which the paper defaults are — native for
+    scalar-only bounds. Default flipped from ``"native"`` in round 13:
+    the native route's scan-pushed predicate serializes on
+    single-row-group local inputs (measured 122 s on one core with 21
+    idle workers), and the binding rules are known at plan time, so
+    defaulting to the router removes the trap for callers composing
+    outside ``curate_corpus`` with no cost to anyone. Pass
+    ``impl="native"`` explicitly for the codegen-only oracle shape."""
     if impl == "auto":
         impl = pick_gopher_impl(
             min_mean_word_len, max_mean_word_len,
@@ -514,7 +518,11 @@ def word_ngrams(col: Column, n: int) -> Column:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(col)
     if n == 1:
-        return toks
+        # split("") yields [""] — guard so empty/whitespace-only docs
+        # honor the fewer-than-n-tokens-yield-[] contract at n=1 too
+        return F.when(token_count_ws(col) > 0, toks).otherwise(
+            F.array().cast("array<string>")
+        )
     m = F.size(toks)
     out = F.slice(toks, 1, m - (n - 1))
     for j in range(1, n):
@@ -761,11 +769,20 @@ def gopher_repetition_filter(
 
         def _keep(t) -> bool:
             ts = t or ""
+            # segment signals rounded to 4 like the n-gram signals
+            # (and the stats surfaces) — ONE boundary semantics for
+            # every rule family
             lf, lcf = _seg_fracs_py(ts, line_pat)
-            if lf > max_dup_line_frac or lcf > max_dup_line_char_frac:
+            if (
+                round(lf, 4) > max_dup_line_frac
+                or round(lcf, 4) > max_dup_line_char_frac
+            ):
                 return False
             pf, pcf = _seg_fracs_py(ts, para_pat)
-            if pf > max_dup_para_frac or pcf > max_dup_para_char_frac:
+            if (
+                round(pf, 4) > max_dup_para_frac
+                or round(pcf, 4) > max_dup_para_char_frac
+            ):
                 return False
             if top_ns or mask_ns:
                 shares, fracs = _rep_signals_one(
@@ -802,12 +819,14 @@ def gopher_repetition_filter(
     pred = F.lit(True)
     line_f, line_cf, _ = _segment_dup_exprs(text_col, "\n")
     para_f, para_cf, _ = _segment_dup_exprs(text_col, r"\n{2,}")
+    # segment signals rounded to 4 like the n-gram signals below (and
+    # the stats surfaces) — one boundary semantics across families
     pred = (
         pred
-        & (line_f <= max_dup_line_frac)
-        & (line_cf <= max_dup_line_char_frac)
-        & (para_f <= max_dup_para_frac)
-        & (para_cf <= max_dup_para_char_frac)
+        & (F.round(line_f, 4) <= max_dup_line_frac)
+        & (F.round(line_cf, 4) <= max_dup_line_char_frac)
+        & (F.round(para_f, 4) <= max_dup_para_frac)
+        & (F.round(para_cf, 4) <= max_dup_para_char_frac)
     )
     if top_ns or mask_ns:
         # ONE fused Arrow pass for every n-gram signal (re-tokenizing
@@ -906,9 +925,11 @@ def segment_repetition_filter(
     source of truth) — a pure narrow filter at the scan, never a
     join-back (the ``gopher_quality_filter`` discipline)."""
     dup_frac, dup_char_frac, _ = _segment_dup_exprs(text_col, sep_pattern)
+    # rounded to 4 exactly like the stats surface — filter-at-bound
+    # and stats-at-bound agree
     return df.filter(
-        (dup_frac <= max_dup_seg_frac)
-        & (dup_char_frac <= max_dup_seg_char_frac)
+        (F.round(dup_frac, 4) <= max_dup_seg_frac)
+        & (F.round(dup_char_frac, 4) <= max_dup_seg_char_frac)
     )
 
 

@@ -972,6 +972,13 @@ def ingest_embedding_batch(
 
     if admit_filter is not None:
         batch = admit_filter(batch)
+    # empty/fully-rejected batch: nothing to assign, and appending
+    # zero-row parquet parts to sem_pairs/ and assigned/ is exactly
+    # the file accretion compact_curation_store exists to fight —
+    # the stream runner guards, so direct callers must be guarded
+    # here too (r12 ADVICE)
+    if not batch.head(1):
+        return
     spark = batch.sparkSession
     cents = spark.read.parquet(_d(store_dir, "centroids"))
     assigned = spark.read.parquet(_d(store_dir, "assigned"))
