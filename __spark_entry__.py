@@ -1359,23 +1359,34 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint groups (hash-based — no SQL oracle).
+    """SimHash fingerprint groups — ORACLE-BACKED since r13.
 
-    The operator returns ``ids`` as ``array<bigint>``
-    (``sort_array(collect_list(_id))``, operators/dedup.py) — already
-    deterministic, but the driver's pandas canonicalizer sorts every
-    column and an array column is unhashable there (the r01/r11 gate
-    err). Emit the group membership as a comma-joined STRING so the
-    rows-only check gets a sortable, stable shape; semantics are
-    unchanged (same groups, same order inside each group).
+    Two r11/r12-ordered moves made this hash-checkable: (1) ``ids``
+    is emitted as a comma-joined STRING (r12 — the driver's pandas
+    canonicalizer can't sort an array column); (2) the fingerprint
+    runs on ``base_hash="md5"`` (r13), the one byte-level hash both
+    engines expose, so DuckDB reproduces the full Charikar pipeline
+    bit-for-bit: 2-token shingles (distinct, short docs → whole-doc
+    shingle), base hash = first 8 bytes of md5(shingle) big-endian,
+    bit b of the fingerprint = strict majority of bit b over the
+    doc's shingle hashes. The engine's production arm keeps the
+    vectorized pandas-siphash base hash — its contract gates are
+    ``simhash_recall`` / ``simhash_exactdup_consistency``; THIS gate
+    attests the grouping operator + the fingerprint pipeline on the
+    audit hash. Dedup key-grouping contract per the reference's
+    unique-index dedup (src/data_load_sqlite.py:213), generalized.
     """
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_dedup_groups(docs).select(
-        "simhash",
-        "n_docs",
-        F.array_join(
-            F.transform("ids", lambda x: x.cast("string")), ","
-        ).alias("ids"),
+    return (
+        D.simhash_dedup_groups(docs, base_hash="md5")
+        .select(
+            "simhash",
+            "n_docs",
+            F.array_join(
+                F.transform("ids", lambda x: x.cast("string")), ","
+            ).alias("ids"),
+        )
+        .orderBy("simhash")
     )
 
 
@@ -2146,6 +2157,34 @@ def q_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explained_le_total",
         "sign_pinned",
     )
+
+
+def q_semdedup_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB reduced-vector path END TO END (r12 VERDICT task 3):
+    fit PCA at k=8 on the embeddings (one mapInPandas moment pass),
+    project + whiten every vector (per-batch matmul, zero shuffle),
+    then SemDeDup on the 8-dim projections — same deterministic
+    centroid scheme as the raw-space gates (8 smallest ids, cosine
+    assignment, min-id keep), τ=0.8 tuned to the whitened space's
+    cosine range. The oracle recomputes the WHOLE composition
+    independently: model from a duckdb+numpy fit over the same
+    parquet (the geopy-oracle precedent — an independent stack, not
+    the engine), embedded as SQL literals keyed by a corpus
+    fingerprint; projection/assignment/pairs/keep in pure SQL over
+    those literals (_semdedup_pca_oracle)."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        fit_pca,
+        pca_project,
+    )
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=8, moments=_emb_moments_shared(spark, sf_dir))
+    proj = pca_project(emb, model, whiten=True, out_col="pvec")
+    kept = semdedup_keep(
+        proj, num_clusters=8, threshold=0.8, vec_col="pvec"
+    )
+    return kept.select("vec_id", "label").orderBy("vec_id")
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3034,6 +3073,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "semdedup_incremental": q_semdedup_incremental,
         "semdedup_keep": q_semdedup_keep,
+        "semdedup_pca_composed": q_semdedup_pca_composed,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_stats": q_semdedup_stats,
         "temperature_mix": q_temperature_mix,
@@ -3161,55 +3201,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
     "simhash_groups",
-    "bigram_lm_ppl_column",
-    "repetition_2gram_column",
-    "embedding_covariance",
-    "embedding_pca_invariants",
-    "segment_repetition",
-    "top_3gram_stats",
-    "pii_scrub",
-    "pricing_summary",
-    "promo_revenue_share",
-    "region_nation_revenue",
-    "repetition_stats",
-    "revenue_rank_by_nation",
-    "revenue_topk",
-    "rich_customers_by_nation",
-    "rollup_order_stats",
-    "running_customer_revenue",
-    "salted_join_skew",
-    "seq_packing",
-    "shipping_volume_nations",
-    "simhash_recall",
-    "skew_orders",
-    "status_change_events",
-    "string_funcs_part",
-    "suppliers_above_avg",
-    "table_diff_docs",
-    "top_transitions",
-    "topk_customers",
-    "union_distinct_users",
-    "user_first_last",
-    "user_traffic_fullouter",
-    "validate_orders",
-    "weighted_mix",
-    "neardup_route_auto",
-    "nb_scheme_consistency",
-    "banded_components_refinement",
-    "cms_heavy_hitters",
-    "corpus_shuffle",
-    "decontam_bloom",
-    "decontam_fuzzy",
-    "dsir_resample",
-    "fuzzy_contam_pairs",
-    "gopher_filter",
-    "gopher_stats",
-    "nb_lang_predict",
-    "ppl_buckets",
-    "semdedup_keep",
-    "semdedup_pairs",
-    "semdedup_stats",
-    "temperature_mix",
+    "semdedup_pca_composed",
     "token_budget",
     "ppl_pruned",
     "ppl_cms_bound",
@@ -3289,6 +3281,55 @@ _GATE_ORDER = [
     "simhash_neardup",
     "embedding_topk_ivf",
     "embedding_topk_ivf_indexed",
+    "neardup_route_auto",
+    "nb_scheme_consistency",
+    "banded_components_refinement",
+    "cms_heavy_hitters",
+    "corpus_shuffle",
+    "decontam_bloom",
+    "decontam_fuzzy",
+    "dsir_resample",
+    "fuzzy_contam_pairs",
+    "gopher_filter",
+    "gopher_stats",
+    "nb_lang_predict",
+    "ppl_buckets",
+    "semdedup_keep",
+    "semdedup_pairs",
+    "semdedup_stats",
+    "temperature_mix",
+    "bigram_lm_ppl_column",
+    "embedding_covariance",
+    "embedding_pca_invariants",
+    "pii_scrub",
+    "pricing_summary",
+    "promo_revenue_share",
+    "region_nation_revenue",
+    "repetition_stats",
+    "repetition_2gram_column",
+    "segment_repetition",
+    "top_3gram_stats",
+    "revenue_rank_by_nation",
+    "revenue_topk",
+    "rich_customers_by_nation",
+    "rollup_order_stats",
+    "running_customer_revenue",
+    "salted_join_skew",
+    "seq_packing",
+    "shipping_volume_nations",
+    "simhash_recall",
+    "skew_orders",
+    "status_change_events",
+    "string_funcs_part",
+    "suppliers_above_avg",
+    "table_diff_docs",
+    "top_transitions",
+    "topk_customers",
+    "union_distinct_users",
+    "user_first_last",
+    "user_traffic_fullouter",
+    "validate_orders",
+    "weighted_mix",
 ]
 # END GATE_ORDER
 # ^ generated — DO NOT edit by hand. Regenerate at every round-open:
@@ -3492,6 +3533,132 @@ sd_pairs AS (
 """
 
 
+_PCA_ORACLE_CACHE: dict = {}
+
+
+def _semdedup_pca_oracle() -> str | None:
+    """Oracle SQL for ``semdedup_pca_composed``: DuckDB projects every
+    embedding with a PCA model FIT INDEPENDENTLY of the engine
+    (duckdb read + numpy moments/eigh over the raw parquet — the
+    functions/distance.py geopy-oracle precedent: a third-party
+    reference stack, not the code under test) and runs the
+    assignment/pair/keep chain in pure SQL on the projections.
+
+    The model depends on the corpus, and the driver (sf0.01) and the
+    local differential (sf0.001) run the SAME static SQL string — so
+    both models are embedded as literals and selected by an exact
+    md5 fingerprint of the first vector, computed inside the query.
+    Returns None (gate degrades to rows-only) if the testdata dirs
+    are unavailable at build time."""
+    if "sql" in _PCA_ORACLE_CACHE:
+        return _PCA_ORACLE_CACHE["sql"]
+
+    def fit(sf_dir: str):
+        import duckdb
+        import numpy as np
+
+        con = duckdb.connect()
+        src = f"read_parquet('{sf_dir}/embeddings.parquet')"
+        rows = con.execute(
+            f"SELECT embedding FROM {src} ORDER BY vec_id"
+        ).fetchall()
+        fp = con.execute(
+            f"SELECT md5(CAST(embedding AS VARCHAR)) FROM {src} "
+            f"WHERE vec_id = (SELECT min(vec_id) FROM {src})"
+        ).fetchone()[0]
+        M = np.array([np.asarray(r[0], np.float64) for r in rows])
+        mu = M.mean(axis=0)
+        cov = (M - mu).T @ (M - mu) / len(M)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:8]
+        comps = vecs[:, order].T.copy()
+        for c in comps:  # sign pin: largest-|loading| coord positive
+            p = np.argmax(np.abs(c))
+            if c[p] < 0:
+                c *= -1.0
+        wcomps = comps / np.sqrt(vals[order] + 1e-9)[:, None]
+        return fp, mu, wcomps
+
+    def lit1(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def lit2(m):
+        return "[" + ", ".join(lit1(r) for r in m) + "]"
+
+    try:
+        fpa, mua, wca = fit("/root/testdata/sf0.001")
+        fpb, mub, wcb = fit("/root/testdata/sf0.01")
+    except Exception:
+        _PCA_ORACLE_CACHE["sql"] = None
+        return None
+    sql = f"""
+        WITH RECURSIVE
+        par AS (
+            SELECT CASE WHEN fp = '{fpa}' THEN {lit1(mua)}
+                        ELSE {lit1(mub)} END AS mean_v,
+                   CASE WHEN fp = '{fpa}' THEN {lit2(wca)}
+                        ELSE {lit2(wcb)} END AS wcomps
+            FROM (SELECT md5(CAST(embedding AS VARCHAR)) AS fp
+                  FROM embeddings
+                  WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+        ),
+        proj AS (
+            SELECT e.vec_id, e.label,
+                   list_transform(p.wcomps, c -> list_inner_product(
+                       list_transform(
+                           range(1, len(p.mean_v) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                - p.mean_v[i]),
+                       c)) AS pvec
+            FROM embeddings e CROSS JOIN par p
+        ),
+        pcent AS (
+            SELECT vec_id AS cid, pvec AS cvec FROM proj
+            ORDER BY vec_id LIMIT 8
+        ),
+        passign AS (
+            SELECT vec_id, cid FROM (
+                SELECT pr.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY pr.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        pr.pvec, c.cvec) DESC,
+                                    c.cid ASC) AS rn
+                FROM proj pr CROSS JOIN pcent c
+            ) WHERE rn = 1
+        ),
+        sd_pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM passign a
+            JOIN passign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN proj pa ON pa.vec_id = a.vec_id
+            JOIN proj pb ON pb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(pa.pvec, pb.pvec), 6)
+                  >= 0.8
+        ),
+        sd_edges AS (
+            SELECT id_a AS u, id_b AS v FROM sd_pairs
+            UNION ALL SELECT id_b AS u, id_a AS v FROM sd_pairs
+        ),
+        sd_walk(node, comp) AS (
+            SELECT u, u FROM sd_edges
+            UNION
+            SELECT e.v, w.comp FROM sd_walk w
+            JOIN sd_edges e ON e.u = w.node
+        ),
+        sd_comps AS (
+            SELECT node, min(comp) AS component_id
+            FROM sd_walk GROUP BY node
+        )
+        SELECT vec_id, label FROM proj
+        WHERE vec_id NOT IN (SELECT node FROM sd_comps
+                             WHERE node <> component_id)
+        ORDER BY vec_id
+    """
+    _PCA_ORACLE_CACHE["sql"] = sql
+    return sql
+
+
 _COMPONENTS_CTE = (
     _SHINGLES_CTE
     + """,
@@ -3523,7 +3690,7 @@ comps AS (SELECT node, min(comp) AS component_id FROM walk GROUP BY node)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -5947,7 +6114,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'status_known', status_known, n_rows FROM agg
             ORDER BY rule
         """,
-        # minhash_neardup / simhash_groups / embedding_topk_ivf:
-        # xxhash64-based or probe-order-dependent — intentionally no SQL
-        # oracle (driver records rows-only; cross-checked in tests/).
+        # SimHash groups on the md5 audit hash (q_simhash_groups):
+        # DuckDB reproduces the full Charikar pipeline — 2-token
+        # distinct shingles, first-8-bytes-of-md5 base hash, per-bit
+        # strict majority — then groups and comma-joins sorted ids.
+        # HUGEINT accumulates the unsigned fingerprint; the final CASE
+        # folds it to the two's-complement BIGINT Spark's long carries.
+        "simhash_groups": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 1], ' ') AS shingle
+                FROM tok,
+                     LATERAL unnest(
+                         range(1, greatest(len(toks) - 1, 1) + 1)
+                     ) AS t(i)
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(shingle), 1, 16))
+                            AS UBIGINT) AS hb
+                FROM sh
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       count(*) FILTER (((hb >> b) & 1) = 1) AS ones,
+                       count(*) AS n
+                FROM h CROSS JOIN range(64) AS t(b)
+                GROUP BY 1, 2
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN 2 * ones > n
+                                THEN CAST(1 AS HUGEINT) << b
+                                ELSE 0 END) AS fpu
+                FROM bits GROUP BY 1
+            ),
+            sfp AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN fpu >= 9223372036854775808
+                                 THEN fpu - 18446744073709551616
+                                 ELSE fpu END AS BIGINT) AS simhash
+                FROM fp
+            )
+            SELECT simhash,
+                   count(*) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS ids
+            FROM sfp
+            GROUP BY simhash
+            ORDER BY simhash
+        """,
+        # minhash_neardup / embedding_topk_ivf: xxhash64-based or
+        # probe-order-dependent — intentionally no SQL oracle (driver
+        # records rows-only; cross-checked in tests/).
     }
+    pca_sql = _semdedup_pca_oracle()
+    if pca_sql is not None:
+        out["semdedup_pca_composed"] = pca_sql
+    return out

@@ -169,6 +169,58 @@ def test_simhash_identical_docs_share_fingerprint(spark):
     assert groups[(1, 2)] != groups[(3,)]
 
 
+def test_simhash_md5_audit_arm_matches_pure_python(spark):
+    """base_hash='md5' (the SQL-reproducible audit arm behind the
+    simhash_groups oracle) must equal a from-scratch Python SimHash:
+    distinct 2-token shingles, first-8-bytes-of-md5 base hash,
+    per-bit strict majority — and group exact dups exactly like the
+    default fast arm."""
+    import hashlib
+    import re
+
+    def ref_simhash(text: str) -> int:
+        toks = re.split(
+            r"\s+", (text or "").strip(" ").lower(), flags=re.ASCII
+        )
+        shs = {
+            " ".join(toks[i : i + 2])
+            for i in range(max(len(toks) - 1, 1))
+        }
+        hs = [
+            int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+            )
+            for s in shs
+        ]
+        fp = 0
+        for b in range(64):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark execution"),
+        (4, "one"),
+        (5, "  padded   whitespace  run  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            D.simhash64(F.col("text"), 2, base_hash="md5").alias("h"),
+        ).collect()
+    }
+    assert got == {i: ref_simhash(t) for i, t in rows}
+    md5_groups = {
+        tuple(r["ids"])
+        for r in D.simhash_dedup_groups(df, base_hash="md5").collect()
+    }
+    assert (1, 2) in md5_groups and (3,) in md5_groups
+
+
 def test_ivf_recall_vs_bruteforce(emb):
     """IVF with nprobe=4 of 16 centroids on the synthetic corpus:
     measured recall ~0.83; assert a margin below to keep the test

@@ -1042,7 +1042,33 @@ def neardup_components(
     return connected_components(pairs, rebalance_edges=True)
 
 
-def _make_simhash_udf(shingle_n: int):
+def _md5_hash64_batch(shingles: list, np) -> "object":
+    """First 8 bytes (big-endian) of md5 per shingle, as uint64.
+
+    The CROSS-ENGINE base hash: md5 is the one byte-level hash both
+    Spark and DuckDB expose, so a SimHash built on it is reproducible
+    by the SQL oracle bit-for-bit (``'0x' || substr(md5(s),1,16)`` →
+    UBIGINT on the DuckDB side). Per-shingle hashlib loop — md5 has no
+    vectorized batch API here — so this is the AUDIT arm; the engine
+    default stays the whole-batch pandas siphash
+    (``_base_hash64_batch``)."""
+    import hashlib
+
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+            )
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def _make_simhash_udf(shingle_n: int, base_hash: str = "fast"):
     """Arrow-batched 64-bit SimHash (Charikar 2002): bit b of the
     fingerprint is the sign of the sum of ±1 votes from bit b of each
     shingle's base hash. Vectorized ACROSS the batch like
@@ -1050,9 +1076,16 @@ def _make_simhash_udf(shingle_n: int):
     position a segment-sum of that bit over each doc's shingles
     (``np.add.reduceat``), thresholded at strict majority
     (votes > 0 ⟺ 2·ones > n). The per-bit loop keeps peak memory at
-    O(|batch shingles|) instead of the (shingles × 64) bit matrix."""
+    O(|batch shingles|) instead of the (shingles × 64) bit matrix.
+
+    ``base_hash``: ``"fast"`` (default) = whole-batch pandas siphash;
+    ``"md5"`` = the SQL-reproducible audit arm (``_md5_hash64_batch``)
+    — same fingerprint pipeline, different base hash."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if base_hash not in ("fast", "md5"):
+        raise ValueError(f"unknown base_hash {base_hash!r}")
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
@@ -1061,7 +1094,10 @@ def _make_simhash_udf(shingle_n: int):
         if texts.empty:
             return pd.Series([], dtype="int64")
         all_sh, counts = _flat_shingles(texts, shingle_n)
-        base = _base_hash64_batch(all_sh, np)
+        if base_hash == "md5":
+            base = _md5_hash64_batch(all_sh, np)
+        else:
+            base = _base_hash64_batch(all_sh, np)
         cnt = np.asarray(counts, dtype=np.int64)
         offsets = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(cnt[:-1], out=offsets[1:])
@@ -1076,9 +1112,9 @@ def _make_simhash_udf(shingle_n: int):
     return simhash
 
 
-def simhash64(col, shingle_n: int = 2):
+def simhash64(col, shingle_n: int = 2, base_hash: str = "fast"):
     """64-bit SimHash fingerprint column (see ``_make_simhash_udf``)."""
-    return _make_simhash_udf(shingle_n)(col)
+    return _make_simhash_udf(shingle_n, base_hash)(col)
 
 
 def simhash_neardup_pairs(
@@ -1151,14 +1187,19 @@ def simhash_dedup_groups(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     sims: DataFrame | None = None,
+    base_hash: str = "fast",
 ) -> DataFrame:
     """Group docs by identical SimHash fingerprint (strictest form;
     ``simhash_neardup_pairs`` is the hamming-ball relaxation). Pass
-    precomputed ``sims`` — (_id, simhash) — to skip the UDF pass."""
+    precomputed ``sims`` — (_id, simhash) — to skip the UDF pass.
+    ``base_hash="md5"`` selects the SQL-reproducible audit hash
+    (see ``_make_simhash_udf``)."""
     if sims is None:
         sims = df.select(
             F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), shingle_n).alias("simhash"),
+            simhash64(F.col(text_col), shingle_n, base_hash).alias(
+                "simhash"
+            ),
         )
     return sims.groupBy("simhash").agg(
         F.sort_array(F.collect_list("_id")).alias("ids"),
