@@ -1725,6 +1725,42 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.select("doc_id", "text", "split").orderBy("doc_id")
 
 
+def q_curate_pipeline_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition with the FULL Gopher repetition rule set
+    ON (r12 VERDICT task 5 — the stage was off-by-default and only
+    standalone-gated): decontaminate → token/dup-word quality → top-
+    2-gram filter → gopher_repetition_filter({}) with the paper's 13
+    thresholds (duplicate line/paragraph [char] fractions, top-
+    {2,3,4}-gram CHARACTER shares, overlap-aware duplicate-n-gram
+    char fractions n=5..10) → exact dedup → hash split, ONE lazy
+    plan. The synthetic corpus is repetition-clean, so the gate
+    stages the signal (the pii_scrub/segment_repetition injection
+    precedent): docs with doc_id % 11 == 3 get their text doubled —
+    every n-gram then repeats, the mask family fires, and the stage
+    provably drops rows in the COMPOSED plan. The oracle chains the
+    same SQL fragments as CTEs, incl. the interval-union sweep for
+    the overlap-aware char coverage and the (count, char-len)
+    tie-break for the top gram — every signal rounded to 4 dp before
+    its bound, matching the engine's one-boundary-semantics rule."""
+    from wroclaw_bike_stats_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    eval_set = staged.filter(F.col("doc_id") % 50 == 0)
+    curated = curate_corpus(
+        staged, eval_set, scrub=False, repetition_rules={}
+    )
+    return curated.select("doc_id", "split").orderBy("doc_id")
+
+
 def _dsir_model(spark: SparkSession, sf_dir: str):
     """Shared DSIR fit: target = every 9th doc (≡1 mod 9), raw = the
     whole corpus (the paper's estimator), the portable md5-prefix
@@ -3059,6 +3095,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_scheme_consistency": q_nb_scheme_consistency,
         "banded_components_refinement": q_banded_components_refinement,
         "curate_pipeline_full": q_curate_pipeline_full,
+        "curate_pipeline_rep": q_curate_pipeline_rep,
         # --- latest driver row r07 (stalest oracle-backed; hit the
         #     two-round bound at r10 — gate_rotation.py's lead list) ---
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3202,6 +3239,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     "simhash_groups",
     "semdedup_pca_composed",
+    "curate_pipeline_rep",
     "token_budget",
     "ppl_pruned",
     "ppl_cms_bound",
@@ -4467,6 +4505,189 @@ def oracle_sql() -> dict[str, str]:
                                                         '\s+', ' ', 'g'))
                         ORDER BY doc_id) AS rn
                     FROM repq
+                ) WHERE rn = 1
+            )
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id * 2654435761) % 4294967296) % 100 AS b
+                  FROM dedup)
+            ORDER BY doc_id
+        """,
+        # curate_pipeline_rep: the curate_pipeline chain with the
+        # full Gopher repetition stage ON (staged doubled-text
+        # signal). The repetition block mirrors the engine's fused
+        # signals: segment dup fractions (line + paragraph), top-
+        # {2,3,4}-gram CHARACTER shares with the (count, char-len)
+        # tie-break, and the overlap-aware duplicate-n-gram char
+        # coverage n=5..10 via an interval-union window sweep over
+        # token start positions — every signal rounded to 4 dp
+        # before its bound.
+        "curate_pipeline_rep": r"""
+            WITH staged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 3
+                            THEN text || ' ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            decon AS (
+                SELECT doc_id, text FROM staged
+                WHERE md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                      NOT IN (
+                    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                    FROM staged WHERE doc_id % 50 = 0)
+            ),
+            tok AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM decon
+            ),
+            qual AS (
+                SELECT doc_id, text, toks,
+                       len(array_to_string(toks, ' ')) AS total
+                FROM tok
+                WHERE (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END)
+                          BETWEEN 10 AND 100000
+                  AND (CASE WHEN len(toks) > 0
+                       THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                  / len(toks)
+                       ELSE 0.0 END) <= 0.9
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                           AS g
+                FROM qual
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            rep AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot
+                    FROM gc GROUP BY 1),
+            repq AS (
+                SELECT q.doc_id, q.text, q.toks, q.total
+                FROM qual q LEFT JOIN rep ON q.doc_id = rep.doc_id
+                WHERE coalesce(CAST(rep.top2 AS DOUBLE) / rep.tot, 0.0) <= 0.5
+            ),
+            segv AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           list_filter(list_transform(
+                               string_split(text, chr(10)), s -> trim(s)),
+                               s -> s <> '') AS lsegs,
+                           list_filter(list_transform(
+                               string_split_regex(text, '\n{2,}'),
+                               s -> trim(s)), s -> s <> '') AS psegs
+                    FROM repq
+                )
+                WHERE round(CASE WHEN len(lsegs) > 0
+                      THEN 1.0 - CAST(len(list_distinct(lsegs)) AS DOUBLE)
+                                 / len(lsegs) ELSE 0.0 END, 4) > 0.30
+                   OR round(CASE WHEN coalesce(list_aggregate(
+                            list_transform(lsegs, s -> len(s)), 'sum'), 0) > 0
+                      THEN CAST(list_aggregate(list_transform(lsegs, s -> len(s)), 'sum')
+                                - list_aggregate(list_transform(
+                                      list_distinct(lsegs), s -> len(s)), 'sum')
+                                AS DOUBLE)
+                           / list_aggregate(list_transform(lsegs, s -> len(s)), 'sum')
+                      ELSE 0.0 END, 4) > 0.20
+                   OR round(CASE WHEN len(psegs) > 0
+                      THEN 1.0 - CAST(len(list_distinct(psegs)) AS DOUBLE)
+                                 / len(psegs) ELSE 0.0 END, 4) > 0.30
+                   OR round(CASE WHEN coalesce(list_aggregate(
+                            list_transform(psegs, s -> len(s)), 'sum'), 0) > 0
+                      THEN CAST(list_aggregate(list_transform(psegs, s -> len(s)), 'sum')
+                                - list_aggregate(list_transform(
+                                      list_distinct(psegs), s -> len(s)), 'sum')
+                                AS DOUBLE)
+                           / list_aggregate(list_transform(psegs, s -> len(s)), 'sum')
+                      ELSE 0.0 END, 4) > 0.20
+            ),
+            tp AS (
+                SELECT doc_id, i, len(toks[i]) AS L,
+                       coalesce(sum(len(toks[i]) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS s
+                FROM repq, LATERAL unnest(range(1, len(toks) + 1)) AS t(i)
+            ),
+            topg AS (
+                SELECT doc_id, nn,
+                       array_to_string(toks[i : i + nn - 1], ' ') AS g,
+                       len(array_to_string(toks[i : i + nn - 1], ' ')) AS glen
+                FROM repq, LATERAL unnest([2, 3, 4]) AS nv(nn),
+                     LATERAL unnest(range(1, greatest(len(toks) - nn + 1, 0)
+                                             + 1)) AS t(i)
+                WHERE len(toks) >= nn
+            ),
+            topc AS (SELECT doc_id, nn, g, glen, count(*) AS c
+                     FROM topg GROUP BY 1, 2, 3, 4),
+            topv AS (
+                SELECT tc.doc_id FROM (
+                    SELECT doc_id, nn,
+                           max_by(c, c * 1000000000 + glen) AS bc,
+                           max_by(glen, c * 1000000000 + glen) AS bl
+                    FROM topc GROUP BY doc_id, nn
+                ) tc JOIN repq r ON r.doc_id = tc.doc_id
+                WHERE r.total > 0
+                  AND round(least(CAST(bc * bl AS DOUBLE) / r.total, 1.0), 4)
+                      > (CASE tc.nn WHEN 2 THEN 0.20 WHEN 3 THEN 0.18
+                                    ELSE 0.16 END)
+            ),
+            mg AS (
+                SELECT tpa.doc_id, nv.nn,
+                       array_to_string(r.toks[tpa.i : tpa.i + nv.nn - 1], ' ')
+                           AS g,
+                       tpa.s AS gs, tpb.s + tpb.L AS ge
+                FROM repq r, LATERAL unnest([5, 6, 7, 8, 9, 10]) AS nv(nn),
+                     tp tpa, tp tpb
+                WHERE tpa.doc_id = r.doc_id AND tpb.doc_id = r.doc_id
+                  AND len(r.toks) >= nv.nn
+                  AND tpa.i <= len(r.toks) - nv.nn + 1
+                  AND tpb.i = tpa.i + nv.nn - 1
+            ),
+            mdup AS (
+                SELECT doc_id, nn, gs, ge
+                FROM (SELECT *, count(*) OVER (
+                          PARTITION BY doc_id, nn, g) AS c FROM mg)
+                WHERE c > 1
+            ),
+            sweep AS (
+                SELECT doc_id, nn, gs, ge,
+                       max(ge) OVER (PARTITION BY doc_id, nn
+                                     ORDER BY gs, ge
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prev_e
+                FROM mdup
+            ),
+            maskv AS (
+                SELECT cv.doc_id FROM (
+                    SELECT doc_id, nn,
+                           sum(greatest(0, ge - greatest(gs,
+                               coalesce(prev_e, 0)))) AS covered
+                    FROM sweep GROUP BY doc_id, nn
+                ) cv JOIN repq r ON r.doc_id = cv.doc_id
+                WHERE r.total > 0
+                  AND round(CAST(covered AS DOUBLE) / r.total, 4)
+                      > (CASE cv.nn WHEN 5 THEN 0.15 WHEN 6 THEN 0.14
+                                    WHEN 7 THEN 0.13 WHEN 8 THEN 0.12
+                                    WHEN 9 THEN 0.11 ELSE 0.10 END)
+            ),
+            repkeep AS (
+                SELECT doc_id, text FROM repq
+                WHERE doc_id NOT IN (SELECT doc_id FROM segv)
+                  AND doc_id NOT IN (SELECT doc_id FROM topv)
+                  AND doc_id NOT IN (SELECT doc_id FROM maskv)
+            ),
+            dedup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                        '\s+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+                    FROM repkeep
                 ) WHERE rn = 1
             )
             SELECT doc_id,

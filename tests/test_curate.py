@@ -481,3 +481,37 @@ def test_persist_stages_single_scan_per_branch(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     scratch.release()
+
+
+def test_repetition_stage_drops_doubled_docs_in_composition(spark):
+    """The curate_pipeline_rep gate's staging contract: doubling a
+    doc's text makes every n-gram repeat, so the FULL Gopher
+    repetition stage (repetition_rules={}) must drop exactly those
+    docs from the composed keep-set that the rep-OFF run keeps —
+    non-vacuity for the driver gate."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    off = {
+        r.doc_id
+        for r in curate_corpus(staged, None, scrub=False).collect()
+    }
+    on = {
+        r.doc_id
+        for r in curate_corpus(
+            staged, None, scrub=False, repetition_rules={}
+        ).collect()
+    }
+    assert on < off, "repetition stage must drop rows"
+    dropped = off - on
+    doubled = {r.doc_id for r in staged.filter("doc_id % 11 = 3").collect()}
+    # every doc the stage dropped that was doubled fired the mask
+    # family; at least one doubled doc must actually be dropped
+    assert dropped & doubled, "staged signal must fire"
