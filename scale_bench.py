@@ -736,8 +736,9 @@ def curate_full_corpus_realppl(spark, sf_dir):
     per doc here than on a real N× corpus — the measured cost is
     real (site volume is linear in N), but treat the strip fraction
     itself as an artifact of replication."""
+    from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
     from wroclaw_bike_stats_spark.operators.text import (
-        bigram_lm_score,
+        bigram_lm_ppl_column,
         collect_lm_assets,
     )
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
@@ -748,26 +749,35 @@ def curate_full_corpus_realppl(spark, sf_dir):
     )
     uni = spark.read.parquet(_p(sf_dir, "lm_uni"))
     bi = spark.read.parquet(_p(sf_dir, "lm_bi"))
-    # the model is collected+broadcast ONCE and shared by the
-    # quantile-band pass and the pipeline's ppl stage — a real CCNet
-    # run scores twice against one resident model, not two copies
+    # score ONCE (r13 — curate_corpus's ppl_precomputed hook): one
+    # Arrow pass attaches ppl as a column on the persisted corpus;
+    # the SAME scored frame feeds the CCNet band-endpoint quantiles
+    # AND the pipeline's band filter. The previous shape scored the
+    # full corpus for the band and then re-scored the survivors
+    # inside the plan — a second ~0.6-corpus Arrow pass whose values
+    # were identical by construction (byte-equality pinned in
+    # tests/test_curate.py).
     assets = collect_lm_assets(spark, uni, bi)
-    scored = bigram_lm_score(docs, uni, bi, impl="arrow",
-                             model_assets=assets)
-    lo, hi = scored.approxQuantile("ppl", [0.2, 0.8], 0.001)
+    scored = _sp(
+        docs.withColumn(
+            "_ppl_pre",
+            bigram_lm_ppl_column(F.col("text"), uni, bi,
+                                 spark=spark, model_assets=assets),
+        )
+    )
+    lo, hi = scored.approxQuantile("_ppl_pre", [0.2, 0.8], 0.001)
     return curate_corpus(
-        docs,
+        scored,
         eval_set,
         scrub=False,
         gopher_bounds=GOPHER_SCALE_BOUNDS,
-        lm=(uni, bi),
         min_ppl=lo,
         max_ppl=hi,
-        lm_assets=assets,
+        ppl_precomputed="_ppl_pre",
         strip_spans=True,
         span_k=13,
         persist_stages=True,
-    )
+    ).drop("_ppl_pre")
 
 
 # overlays created by THIS process, still potentially backing a

@@ -515,3 +515,55 @@ def test_repetition_stage_drops_doubled_docs_in_composition(spark):
     # every doc the stage dropped that was doubled fired the mask
     # family; at least one doubled doc must actually be dropped
     assert dropped & doubled, "staged signal must fire"
+
+
+def test_ppl_precomputed_byte_equals_inline_scoring(spark, docs):
+    """curate_corpus(ppl_precomputed=...) — the r13 score-once shape —
+    must produce byte-identical rows to the inline lm=(uni, bi) band
+    stage when the carried column comes from the same scorer."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        bigram_lm_ppl_column,
+        train_bigram_lm,
+    )
+
+    ref = docs.filter(F.col("doc_id") % 7 == 3)
+    uni, bi = train_bigram_lm(ref)
+    inline = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            docs, None, scrub=False, lm=(uni, bi),
+            min_ppl=23.0, max_ppl=40.0,
+        ).collect()
+    )
+    scored = docs.withColumn(
+        "_p", bigram_lm_ppl_column(
+            F.col("text"), uni, bi, spark=spark
+        )
+    )
+    pre = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            scored, None, scrub=False,
+            min_ppl=23.0, max_ppl=40.0, ppl_precomputed="_p",
+        ).drop("_p").collect()
+    )
+    assert pre == inline and len(inline) > 0
+
+
+def test_span_site_route_parity_in_composition(spark, docs):
+    """curate_corpus's strip defaults to the arrow site route (r13);
+    output must be byte-identical to the pinned-native plan shape."""
+    arrow = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            docs, None, scrub=False, strip_spans=True, span_k=5
+        ).collect()
+    )
+    native = sorted(
+        (r.doc_id, r.text, r.split)
+        for r in curate_corpus(
+            docs, None, scrub=False, strip_spans=True, span_k=5,
+            span_site_route="native",
+        ).collect()
+    )
+    assert arrow == native and len(arrow) > 0

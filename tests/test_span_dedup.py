@@ -371,3 +371,49 @@ def test_strip_rebuild_is_python_free(docs):
         .toString()
     )
     assert "EvalPython" not in plan, plan
+
+
+def test_arrow_site_route_matches_native(spark, docs):
+    """site_route='arrow' (_site_table_arrow — token-siphash
+    polynomial windows instead of the interpreted xxhash64-of-string
+    build) must produce the same strip output and the same
+    (id, pos) removable-site sets as the native route — window
+    EQUALITY is what both hashes encode; only the hash family
+    differs. Covers the fixture edges: NULL text, doc shorter than
+    k, exactly-k doc, intra-doc runs."""
+    nat = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(docs, k=K).collect()
+    }
+    arr = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(
+            docs, k=K, site_route="arrow"
+        ).collect()
+    }
+    assert arr == nat
+    _, rem_nat = S._dup_sites(docs, "text", "doc_id", K)
+    _, rem_arr = S._dup_sites(
+        docs, "text", "doc_id", K, site_route="arrow"
+    )
+    assert {(r["_id"], r["pos"]) for r in rem_arr.collect()} == {
+        (r["_id"], r["pos"]) for r in rem_nat.collect()
+    }
+    with pytest.raises(ValueError):
+        S.strip_duplicate_spans(docs, k=K, site_route="bogus")
+
+
+def test_arrow_site_route_matches_native_on_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nat = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(docs, k=5).collect()
+    }
+    arr = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow"
+        ).collect()
+    }
+    assert arr == nat
+    assert sum(1 for _, _, n in nat if n > 0) > 0  # non-vacuous

@@ -132,6 +132,97 @@ def _site_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _site_table_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Arrow twin of ``_site_table`` — same ``(_id, pos, h)`` contract
+    (one row per length-``k`` window start; docs shorter than ``k``
+    emit nothing) with the window hash vectorized instead of built as
+    a string: the native route's ``transform(sequence, ...)`` runs in
+    Spark's INTERPRETED HOF evaluator and materializes every window
+    via ``array_join(slice(...))`` — O(len·k) char copies per doc,
+    measured as 36.9 s of the 48.3 s full strip at the 500k-doc salt
+    point. Here each batch tokenizes once (ASCII ``\\s+`` on the
+    space-trimmed text — the exact ``tokens()`` split), hashes ALL
+    tokens in one C pass (``pd.util.hash_array``), and forms each
+    window hash as a degree-(k-1) polynomial in ``_POLY`` over its k
+    token hashes — the minhash-v3 move (dedup._shingle_hash_batch)
+    applied to span sites.
+
+    Both routes compare windows BY HASH ONLY, with the module-header
+    collision tolerance; the hash FAMILY differs (token-siphash
+    polynomial vs xxhash64-of-string), so the routes are equivalent,
+    not mixable: never probe a stored ``window_index`` (always
+    ``SPAN_SCHEME`` = xxhash64) with arrow sites — ``
+    _check_index_meta`` exists exactly for that, and this route is
+    used only where all sites come from one pass (the full-corpus
+    strip)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from wroclaw_bike_stats_spark.operators.dedup import _POLY
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"_id {id_type}, pos int, h long"
+    ws = _re.compile(r"\s+", _re.ASCII)
+    P = np.uint64(_POLY)
+
+    def emit(pdf_iter):
+        empty = pd.DataFrame(
+            {"_id": pd.Series([], dtype="object"),
+             "pos": pd.Series([], dtype="int32"),
+             "h": pd.Series([], dtype="int64")}
+        )
+        for pdf in pdf_iter:
+            toks_flat: list = []
+            tcounts: list = []
+            keep_ids: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                tk = ws.split((t or "").strip(" "))
+                if len(tk) >= k:
+                    toks_flat.extend(tk)
+                    tcounts.append(len(tk))
+                    keep_ids.append(i)
+            if not tcounts:
+                yield empty
+                continue
+            th = pd.util.hash_array(
+                np.asarray(toks_flat, dtype=object), categorize=False
+            )
+            tc = np.asarray(tcounts, dtype=np.int64)
+            ends = np.cumsum(tc)
+            starts = ends - tc
+            with np.errstate(over="ignore"):
+                poly = th.copy()
+                for j in range(1, k):
+                    poly = poly * P
+                    if j < len(th):
+                        poly[: len(th) - j] += th[j:]
+            poly = poly[: max(len(th) - (k - 1), 0)]
+            idx = np.arange(len(poly))
+            doc_of = np.repeat(np.arange(len(tc)), tc)[: len(poly)]
+            valid = idx <= ends[doc_of] - k  # window inside its doc
+            out_pos = (idx[valid] - starts[doc_of[valid]]).astype(
+                np.int32
+            )
+            out_ids = np.repeat(
+                np.asarray(keep_ids, dtype=object), tc - (k - 1)
+            )
+            yield pd.DataFrame(
+                {
+                    "_id": out_ids,
+                    "pos": out_pos,
+                    "h": poly[valid].astype(np.int64),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        emit, out_schema
+    )
+
+
 def _merge_spans(sites: DataFrame, k: int) -> DataFrame:
     """Gaps-and-islands merge of duplicate sites into maximal spans:
     (``_id``, ``span_start``, ``span_end``, ``n_sites``) with
@@ -174,7 +265,12 @@ def _non_canonical(annotated: DataFrame) -> DataFrame:
 
 
 def _dup_sites(
-    df: DataFrame, text_col: str, id_col: str, k: int, method: str = "window"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    method: str = "window",
+    site_route: str = "native",
 ) -> tuple[DataFrame, DataFrame]:
     """(all duplicate sites, removable duplicate sites): sites whose
     window content occurs >= 2 times corpus-wide; removable drops the
@@ -202,10 +298,21 @@ def _dup_sites(
 
     ``method="auto"`` probes first (``pick_span_method`` — one small
     sampled job) and takes whichever route the corpus's hottest
-    window content calls for."""
+    window content calls for.
+
+    ``site_route`` picks the site-table generator: ``"native"`` (the
+    codegen/oracle shape, and the ONLY route compatible with stored
+    ``window_index`` assets) or ``"arrow"``
+    (``_site_table_arrow`` — the measured fast path for one-shot
+    full-corpus runs)."""
     if method == "auto":
         method = pick_span_method(df, text_col, id_col, k)
-    sites = _site_table(df, text_col, id_col, k)
+    if site_route == "arrow":
+        sites = _site_table_arrow(df, text_col, id_col, k)
+    elif site_route == "native":
+        sites = _site_table(df, text_col, id_col, k)
+    else:
+        raise ValueError(f"unknown site_route {site_route!r}")
     if method == "window":
         w = Window.partitionBy("h")
         marked = (
@@ -574,6 +681,7 @@ def strip_duplicate_spans(
     k: int = 13,
     method: str = "window",
     keep_all: bool = False,
+    site_route: str = "native",
 ) -> DataFrame:
     """Remove duplicated spans, keeping the globally first occurrence
     of each window content (canonical = min ``(doc, pos)`` — stable
@@ -594,6 +702,13 @@ def strip_duplicate_spans(
     ``text_clean``/``n_removed`` (pipeline composition). Contract:
     ``id_col`` values must be UNIQUE; at most one NULL id is handled
     (null-safe rebuild join) — several NULL-id docs are
-    indistinguishable at the site level and collapse into one."""
-    _, removable = _dup_sites(df, text_col, id_col, k, method)
+    indistinguishable at the site level and collapse into one.
+
+    ``site_route="arrow"`` swaps the site table for the vectorized
+    Arrow generator (``_site_table_arrow`` — equal output, measured
+    multi-x faster; the one-shot full-corpus shape
+    ``plans/curate.py`` uses). The native default is the
+    oracle-differential shape and the only route valid against
+    stored window indexes."""
+    _, removable = _dup_sites(df, text_col, id_col, k, method, site_route)
     return _strip_with_sites(df, removable, text_col, id_col, k, keep_all)

@@ -50,9 +50,11 @@ def curate_corpus(
     lm_impl: str = "auto",
     lm_broadcast_model: bool = True,
     lm_assets=None,
+    ppl_precomputed: str | None = None,
     strip_spans: bool = False,
     span_k: int = 13,
     span_method: str = "window",
+    span_site_route: str = "arrow",
     scrub: bool = True,
     train_pct: int = 80,
     val_pct: int = 10,
@@ -123,6 +125,19 @@ def curate_corpus(
     stage. Pass ``{}`` for the paper's default thresholds, or e.g.
     ``{"impl": "arrow", "min_parallelism": 64}`` for the
     low-row-group-input escape (see the operator's docstring).
+
+    ``ppl_precomputed`` (r13) names an EXISTING ppl column on
+    ``docs`` to band-filter on instead of scoring inside the plan —
+    the score-once shape for callers that already paid a full-corpus
+    scoring pass for the band endpoints (CCNet computes its terciles
+    and its filter from ONE scored frame). Mutually exclusive in
+    effect with ``lm`` (takes precedence when both are set).
+
+    ``span_site_route`` (r13) picks the strip's site-table generator:
+    the default ``"arrow"`` is the vectorized
+    ``span_dedup._site_table_arrow`` (equal output; the native
+    interpreted window-string build measured as ~75% of strip cost);
+    pass ``"native"`` for the oracle-differential plan shape.
 
     ``persist_stages`` is the composed-pipeline scale switch: the
     self-referencing stages (the ``rep_impl="native"`` repetition
@@ -255,7 +270,20 @@ def curate_corpus(
     # Arrow one-pass scorer — model tables collected at construction
     # (the documented eager exception); "native" keeps the fully-lazy
     # broadcast-join plan with the vocab as a lazy 1-row aggregate.
-    if lm is not None and (max_ppl is not None or min_ppl is not None):
+    if ppl_precomputed is not None and (
+        max_ppl is not None or min_ppl is not None
+    ):
+        # score-ONCE reuse (r13): the caller already carries a ppl
+        # column on the input frame (CCNet's real shape — one scoring
+        # pass feeds both the band-endpoint quantiles and the band
+        # filter; scale_bench's realppl row scores 500k..5M docs once
+        # instead of full-corpus-for-band + survivors-again). Values
+        # are per-row constants, so filtering the carried column is
+        # byte-equal to re-scoring the survivors (pinned in tests).
+        out = T.apply_ppl_band(
+            out, F.col(ppl_precomputed), min_ppl, max_ppl
+        )
+    elif lm is not None and (max_ppl is not None or min_ppl is not None):
         uni, bi = lm
         resolved = lm_impl
         if resolved == "auto":
@@ -335,6 +363,14 @@ def curate_corpus(
                 k=span_k,
                 method=span_method,
                 keep_all=True,
+                # arrow by default (r13): the strip runs on survivors
+                # of THIS plan — all sites from one pass, no stored
+                # index in play — and the native site table's
+                # interpreted window-string build was measured as
+                # ~75% of the whole strip (36.9 of 48.3 s at the
+                # 500k-doc salt point). Pin "native" for the
+                # oracle-differential plan shape.
+                site_route=span_site_route,
             )
             .withColumn(text_col, F.col("text_clean"))
             .drop("text_clean", "n_removed")
