@@ -974,7 +974,12 @@ def stream_setup(spark, sf_dir: str, emb_mode: bool = False) -> tuple:
 
 
 def stream_day_curve(
-    spark, sf_dir, emb_mode: bool = False, n_days: int = 5, runs: int = 2
+    spark,
+    sf_dir,
+    emb_mode: bool = False,
+    n_days: int = 5,
+    runs: int = 2,
+    compact_after_day: int | None = None,
 ) -> dict:
     """Multi-day streaming-ingest cost curve as a GATED measurement
     (r12, promoting tools/probe_stream_days.py's single-run prose
@@ -992,7 +997,21 @@ def stream_day_curve(
     symlink overlay, the pristine store is never mutated, so every
     curve pass starts from identical resident state. Document ids
     interleave with the resident corpus → enforce_ascending_ids=False
-    (the documented first-ingested-wins span semantics)."""
+    (the documented first-ingested-wins span semantics).
+
+    ``compact_after_day`` (r13, the auto-compaction gate row): after
+    day k's TIMED ingest, force-compact the overlay store
+    (``maybe_compact_store`` with a 1-file threshold — every subdir
+    rewrites) OUTSIDE the timed window, so the curve proves the
+    day-(k+1)... ingest cost stays flat ACROSS a compaction boundary
+    — the compacted store must be a drop-in substrate for the
+    incremental probes, not just for offline readers. The compaction
+    itself is maintenance (amortized, policy-triggered), so it is
+    deliberately not part of any day's seconds."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        maybe_compact_store,
+    )
+
     pristine, subs, new, id_col, ingest, day_slice = stream_setup(
         spark, sf_dir, emb_mode
     )
@@ -1014,11 +1033,15 @@ def stream_day_curve(
             day_sec[k] = min(
                 day_sec[k], round(time.perf_counter() - start, 3)
             )
+            if compact_after_day is not None and k == compact_after_day:
+                maybe_compact_store(
+                    spark, overlay, max_files_per_sub=1, subs=subs
+                )
     ratio = (
         round(day_sec[-1] / day_sec[0], 2) if day_sec[0] else None
     )
     _sweep_own_overlays()
-    return {
+    out = {
         "day_sec": day_sec,
         "n_days": n_days,
         "runs": runs,
@@ -1026,6 +1049,9 @@ def stream_day_curve(
         "gate_max_ratio": STREAM_DAY_GATE,
         "gate_ok": ratio is not None and ratio <= STREAM_DAY_GATE,
     }
+    if compact_after_day is not None:
+        out["compact_after_day"] = compact_after_day
+    return out
 
 
 # store-accumulation gate: day-N ingest may cost at most this multiple
@@ -1303,13 +1329,20 @@ def main() -> int:
     # measured at the largest point so store accumulation has 1000×
     # resident data to show up against
     curves: dict[str, dict] = {}
-    for cname, emb in (
-        ("stream_day_curve", False),
-        ("stream_day_curve_emb", True),
+    for cname, emb, compact_after in (
+        ("stream_day_curve", False, None),
+        ("stream_day_curve_emb", True, None),
+        # r13: the same doc-side curve CROSSING a forced compaction
+        # after day 2 — proves the compacted store is a drop-in
+        # substrate for the incremental probes (days 4-5 ingest at
+        # day-1 cost against the rewritten store)
+        ("stream_day_curve_compact", False, 2),
     ):
         if only and cname not in only:
             continue
-        curves[cname] = stream_day_curve(spark, SF100, emb_mode=emb)
+        curves[cname] = stream_day_curve(
+            spark, SF100, emb_mode=emb, compact_after_day=compact_after
+        )
         print(f"# {cname} @ sf100: {curves[cname]}", flush=True)
     _cold()
 

@@ -1234,3 +1234,69 @@ def test_stream_end_to_end_with_stacked_scored_stages(spark, docs, tmp_path):
     )
     got_pairs = _pair_set(spark.read.parquet(os.path.join(store, "pairs")))
     assert got_pairs == want_pairs
+
+
+def test_runner_auto_compaction_preserves_view(spark, docs, tmp_path):
+    """run_curation_stream(compact_max_files=N) — the r13 policy hook:
+    a multi-day run whose store crosses the threshold mid-stream must
+    (a) actually compact (fewer data files per oversized subdir than
+    one-per-batch), and (b) leave kept_view and the pair store
+    byte-identical to an uncompacted run of the same drops —
+    compaction is maintenance, never semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        maybe_compact_store,
+    )
+
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    batches = _doc_batches(subset, n=4)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run(tag, compact_max_files):
+        input_dir = tmp_path / f"input_{tag}"
+        input_dir.mkdir()
+        for i, b in enumerate(batches):
+            pdf = b.orderBy("doc_id").toPandas()
+            path = str(input_dir / f"{i:02d}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf), path)
+            os.utime(path, (1_700_000_000 + i * 60,) * 2)
+        store = str(tmp_path / f"store_{tag}")
+        q = run_curation_stream(
+            spark, str(input_dir), store, schema,
+            str(tmp_path / f"ckpt_{tag}"),
+            threshold=THRESHOLD, span_k=SPAN_K,
+            compact_max_files=compact_max_files,
+        )
+        q.awaitTermination(300)
+        return store
+
+    plain = run("plain", None)
+    auto = run("auto", 2)  # crosses after batch 3 of 4
+
+    def n_files(store, sub):
+        d = os.path.join(store, sub)
+        return sum(
+            1 for f in os.listdir(d) if not f.startswith(("_", "."))
+        )
+
+    # the compacted store holds fewer parts than one-per-batch in at
+    # least one accreting subdir (docs/bands get one part per batch)
+    assert any(
+        n_files(auto, sub) < n_files(plain, sub)
+        for sub in ("docs", "bands")
+    )
+    # semantics identical
+    assert {
+        (r.doc_id, r.text) for r in kept_view(spark, auto).collect()
+    } == {
+        (r.doc_id, r.text) for r in kept_view(spark, plain).collect()
+    }
+    assert _pair_set(
+        spark.read.parquet(os.path.join(auto, "pairs"))
+    ) == _pair_set(spark.read.parquet(os.path.join(plain, "pairs")))
+    # idle threshold check is a no-op (nothing oversized now)
+    assert maybe_compact_store(spark, auto, max_files_per_sub=64) is None

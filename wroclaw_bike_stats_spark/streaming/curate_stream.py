@@ -100,6 +100,7 @@ __all__ = [
     "make_dsir_threshold_filter",
     "make_nb_class_filter",
     "make_ppl_band_filter",
+    "maybe_compact_store",
     "read_window_index_store",
     "run_curation_stream",
     "run_embedding_curation_stream",
@@ -862,6 +863,59 @@ def compact_curation_store(
     return report
 
 
+def maybe_compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    max_files_per_sub: int = 64,
+    target_rows_per_file: int = 5_000_000,
+    subs: tuple | None = None,
+) -> dict | None:
+    """Threshold policy over ``compact_curation_store`` (r12 VERDICT
+    task 6 — compaction was probe-measured but MANUAL): count the
+    data files in each present store subdir and compact exactly the
+    subdirs over ``max_files_per_sub``, leaving the rest untouched.
+    Zero jobs when nothing is oversized (one FS listing per subdir —
+    the same listing scan planning already pays). Returns the
+    compaction report, or None when no subdir crossed the threshold.
+
+    The default threshold is sized for the daily-drop shape: one
+    appended part per micro-batch per subdir means 64 files ≈ two
+    months of dailies — late enough that compaction is amortized,
+    early enough that scan planning never sees the ~365-file year
+    the operator's docstring warns about. Call between batches (the
+    stream runners' ``compact_max_files`` does) — never under a live
+    ingest; ``compact_curation_store``'s crash-self-heal covers a
+    kill mid-swap."""
+    jvm = spark._jvm
+
+    def _hp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hp(store_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    known = subs if subs is not None else (
+        "docs", "pairs", "bands", "winindex", "maxid",
+        "centroids", "assigned", "sem_pairs",
+    )
+    oversized = []
+    for sub in known:
+        p = _hp(_d(store_dir, sub))
+        if not fs.exists(p):
+            continue
+        n = sum(
+            1
+            for s in fs.listStatus(p)
+            if s.isFile()
+            and not s.getPath().getName().startswith(("_", "."))
+        )
+        if n > max_files_per_sub:
+            oversized.append(sub)
+    if not oversized:
+        return None
+    return compact_curation_store(
+        spark, store_dir, target_rows_per_file, subs=tuple(oversized)
+    )
+
+
 def run_curation_stream(
     spark: SparkSession,
     input_dir: str,
@@ -876,6 +930,7 @@ def run_curation_stream(
     admit_filter=None,
     enforce_ascending_ids: bool = True,
     broadcast_index_probe: bool = True,
+    compact_max_files: int | None = None,
 ):
     """Wire ``ingest_document_batch`` to a file-source stream: one
     input file per daily drop, ``maxFilesPerTrigger=1`` so each day
@@ -891,7 +946,17 @@ def run_curation_stream(
     ONCE from stored model assets (``make_ppl_band_filter``), never
     per batch. ``broadcast_index_probe`` passes through to every
     ingest — set False for a stream fed backfill-sized drops (see
-    ``ingest_document_batch``)."""
+    ``ingest_document_batch``).
+
+    ``compact_max_files`` (r13) arms the auto-compaction policy:
+    after each ingested batch, any store subdir that has accreted
+    more than this many data files is compacted in place
+    (``maybe_compact_store``) BETWEEN batches — the one point in a
+    foreachBatch stream where no ingest is live over the store. The
+    threshold check is one FS listing per subdir per batch; the
+    rewrite runs only when crossed, and a crash mid-swap self-heals
+    on the next call. Default None keeps the r12 manual-compaction
+    behavior."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -906,6 +971,11 @@ def run_curation_stream(
                 admit_filter=admit_filter,
                 broadcast_index_probe=broadcast_index_probe,
             )
+            if compact_max_files is not None:
+                maybe_compact_store(
+                    batch.sparkSession, store_dir,
+                    max_files_per_sub=compact_max_files,
+                )
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)
@@ -1033,6 +1103,7 @@ def run_embedding_curation_stream(
     num_clusters: int = 8,
     available_now: bool = True,
     admit_filter=None,
+    compact_max_files: int | None = None,
 ):
     """The embedding-side twin of ``run_curation_stream`` (round 11):
     wire ``ingest_embedding_batch`` to a file-source stream, one
@@ -1060,7 +1131,12 @@ def run_embedding_curation_stream(
     is by definition the admitted corpus) and rejected vectors never
     reach the pair graph. A first drop filtered down to nothing
     leaves the store uninitialized — bootstrap waits for the first
-    drop with survivors (same as an empty file)."""
+    drop with survivors (same as an empty file).
+
+    ``compact_max_files`` (r13): the doc runner's auto-compaction
+    policy, verbatim — between-batch threshold check over the
+    embedding store's subdirs (``sem_pairs``/``assigned`` are the
+    accreting ones here)."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
 
     stream = (
@@ -1103,6 +1179,10 @@ def run_embedding_curation_stream(
             )
         if not bootstrapped:
             bootstrapped.append(True)
+        if compact_max_files is not None:
+            maybe_compact_store(
+                spark, store_dir, max_files_per_sub=compact_max_files
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_ingest)
