@@ -927,9 +927,12 @@ def q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher rule conjunction as a pure scan-pushed filter
-    (word floor lowered for the short synthetic docs; same bounds in
-    the oracle)."""
+    """The Gopher rule conjunction through the DEFAULT route (r13:
+    ``impl="auto"`` → the Arrow pass here, since the word-length/
+    stopword bounds are HOF-binding) — the gate attests what callers
+    actually get; the native scan-pushed shape stays byte-parity
+    pinned in tests/test_gopher_quality.py. Word floor lowered for
+    the short synthetic docs; same bounds in the oracle."""
     docs = _t(spark, sf_dir, "documents")
     return (
         T.gopher_quality_filter(docs, min_words=5, min_mean_word_len=1.0)

@@ -567,3 +567,45 @@ def test_span_site_route_parity_in_composition(spark, docs):
         ).collect()
     )
     assert arrow == native and len(arrow) > 0
+
+
+def test_fused_quality_stage_byte_parity(spark, docs):
+    """fuse_quality=True (the r13 one-Arrow-pass Gopher+repetition
+    conjunction) must keep exactly the rows the two-stage plan keeps,
+    across HOF-binding bounds (arrow route) and with the fused plan
+    containing ONE MapInPandas for the pair of stages."""
+    bounds = dict(min_words=5, min_mean_word_len=1.0)
+    fused = curate_corpus(
+        docs, None, scrub=False, gopher_bounds=bounds,
+        max_top2gram_frac=0.4,
+    )
+    twostage = curate_corpus(
+        docs, None, scrub=False, gopher_bounds=bounds,
+        max_top2gram_frac=0.4, fuse_quality=False,
+    )
+    a = sorted((r.doc_id, r.text, r.split) for r in fused.collect())
+    b = sorted((r.doc_id, r.text, r.split) for r in twostage.collect())
+    assert a == b and len(a) > 0
+    fused_exec = fused._jdf.queryExecution().executedPlan().toString()
+    two_exec = twostage._jdf.queryExecution().executedPlan().toString()
+    # the fused plan's ONLY Python stage is the MapInPandas pass (no
+    # ArrowEvalPython — the rep predicate moved inside it); the
+    # unfused plan runs the gopher MapInPandas AND the rep
+    # ArrowEvalPython as separate Python stages
+    assert "MapInPandas" in fused_exec
+    assert "ArrowEvalPython" not in fused_exec
+    assert "MapInPandas" in two_exec and "ArrowEvalPython" in two_exec
+    # scalar-only bounds resolve the gopher stage to native -> no
+    # fusion, rep stays on its column route; still equal keep-sets
+    scalar = dict(
+        min_words=2, min_mean_word_len=0.0,
+        max_mean_word_len=float("inf"),
+        min_alpha_word_frac=0.0, min_stopwords=0,
+    )
+    nat = curate_corpus(
+        docs, None, scrub=False, gopher_bounds=scalar,
+        max_top2gram_frac=0.4,
+    )
+    assert "MapInPandas" not in (
+        nat._jdf.queryExecution().executedPlan().toString()
+    )

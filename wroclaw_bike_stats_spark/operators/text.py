@@ -379,21 +379,23 @@ def gopher_quality_filter(
     )
 
 
-def _gopher_filter_arrow(
-    df, text_col, min_words, max_words, min_mean_word_len,
-    max_mean_word_len, max_symbol_word_ratio, min_alpha_word_frac,
-    min_stopwords, max_bullet_line_frac, max_ellipsis_line_frac,
+def _make_gopher_passes(
+    min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_word_ratio, min_alpha_word_frac, min_stopwords,
+    max_bullet_line_frac, max_ellipsis_line_frac,
 ):
-    """Arrow-batched Gopher rule pass (see gopher_quality_filter
-    docstring for when this wins). Tokenization = ASCII \\s+ over the
-    space-trimmed text — the exact split the native `tokens()` and
-    the DuckDB oracles use; per-doc short-circuit in rule order."""
+    """Per-doc Gopher rule closure shared by ``_gopher_filter_arrow``
+    and the fused composed-pipeline pass (``fused_gopher_rep_filter``)
+    — ONE implementation of the Python rule semantics, so the fused
+    route cannot drift from the parity-pinned standalone route.
+    Tokenization = ASCII \\s+ over the space-trimmed text — the exact
+    split the native ``tokens()`` and the DuckDB oracles use; per-doc
+    short-circuit in rule order."""
     import re as _re
 
     stop = set(GOPHER_STOPWORDS)
     ws = _re.compile(r"\s+", _re.ASCII)
     alpha_re = _re.compile(r"[a-zA-Z]")
-    cols = df.columns
 
     def passes(t) -> bool:
         t = t or ""
@@ -433,9 +435,87 @@ def _gopher_filter_arrow(
         )
         return round(n_ell / nl, 6) <= max_ellipsis_line_frac
 
+    return passes
+
+
+def _gopher_filter_arrow(
+    df, text_col, min_words, max_words, min_mean_word_len,
+    max_mean_word_len, max_symbol_word_ratio, min_alpha_word_frac,
+    min_stopwords, max_bullet_line_frac, max_ellipsis_line_frac,
+):
+    """Arrow-batched Gopher rule pass (see gopher_quality_filter
+    docstring for when this wins); per-doc rules from
+    ``_make_gopher_passes``."""
+    cols = df.columns
+    passes = _make_gopher_passes(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, min_alpha_word_frac, min_stopwords,
+        max_bullet_line_frac, max_ellipsis_line_frac,
+    )
+
     def emit(pdf_iter):
         for pdf in pdf_iter:
             mask = [passes(t) for t in pdf[text_col]]
+            yield pdf[mask]
+
+    return df.mapInPandas(emit, df.schema)[cols]
+
+
+def fused_gopher_rep_filter(
+    df,
+    text_col: str = "text",
+    gopher_kwargs: dict | None = None,
+    max_top2gram_frac: float = 0.5,
+):
+    """The composed pipeline's Gopher stage AND top-2-gram repetition
+    stage as ONE Arrow pass (r13): both are pure per-row predicates,
+    so their conjunction is the same keep-set as running them
+    sequentially — but sequential composition pays one Arrow
+    serialization + one tokenization of the surviving corpus PER
+    stage (the sf100s realppl stage split put the pipeline's stacked
+    per-row passes at 307 s of 633 — the dominant term after the r13
+    strip/score-once moves). Per-doc short-circuit in stage order:
+    Gopher rules first (``_make_gopher_passes`` — the same closure
+    the standalone arrow route runs), then the 2-gram share with
+    ``repetition_2gram_struct``'s exact semantics (< 2 tokens → no
+    signal → keep; share compared unrounded, IEEE-equal to the
+    column route's Spark-side division). Byte-parity with the
+    two-stage composition pinned in tests/test_curate.py."""
+    import re as _re
+
+    gk = dict(gopher_kwargs or {})
+    passes = _make_gopher_passes(
+        gk.get("min_words", 50),
+        gk.get("max_words", 100_000),
+        gk.get("min_mean_word_len", 3.0),
+        gk.get("max_mean_word_len", 10.0),
+        gk.get("max_symbol_word_ratio", 0.1),
+        gk.get("min_alpha_word_frac", 0.8),
+        gk.get("min_stopwords", 2),
+        gk.get("max_bullet_line_frac", 0.9),
+        gk.get("max_ellipsis_line_frac", 0.3),
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    cols = df.columns
+
+    def keep(t) -> bool:
+        if not passes(t):
+            return False
+        ts = (t or "").strip(" ")
+        toks = ws.split(ts) if ts != "" else []
+        if len(toks) < 2:
+            return True  # total_2grams <= 0 → the stage keeps
+        counts: dict = {}
+        prev = toks[0]
+        for w in toks[1:]:
+            g = (prev, w)
+            counts[g] = counts.get(g, 0) + 1
+            prev = w
+        return max(counts.values()) / (len(toks) - 1) <= max_top2gram_frac
+
+    def emit(pdf_iter):
+        for pdf in pdf_iter:
+            mask = [keep(t) for t in pdf[text_col]]
             yield pdf[mask]
 
     return df.mapInPandas(emit, df.schema)[cols]

@@ -55,6 +55,7 @@ def curate_corpus(
     span_k: int = 13,
     span_method: str = "window",
     span_site_route: str = "arrow",
+    fuse_quality: bool = True,
     scrub: bool = True,
     train_pct: int = 80,
     val_pct: int = 10,
@@ -139,6 +140,16 @@ def curate_corpus(
     interpreted window-string build measured as ~75% of strip cost);
     pass ``"native"`` for the oracle-differential plan shape.
 
+    ``fuse_quality`` (r13, default True): when the Gopher stage
+    resolves to its arrow route AND the repetition stage is on its
+    arrow/auto route, both per-row predicates run as ONE Arrow pass
+    (``text.fused_gopher_rep_filter``) instead of two — a conjunction
+    of per-row filters has the same keep-set either way, but the
+    sequential form pays one Arrow serialization + tokenization of
+    the surviving corpus per stage (the sf100s stage split's
+    dominant term). ``False`` restores the two-stage plan shape
+    (byte-parity pinned in tests).
+
     ``persist_stages`` is the composed-pipeline scale switch: the
     self-referencing stages (the ``rep_impl="native"`` repetition
     branch, ppl band, span strip) each derive a signal frame FROM
@@ -204,11 +215,37 @@ def curate_corpus(
     # optional Gopher rule conjunction (Rae et al. 2021 §A1.1) — a
     # narrow per-row filter either way; impl="auto" routes token-level
     # HOF rules through the Arrow pass (measured 3.4× at sf100,
-    # pick_gopher_impl) unless the caller pins an impl
+    # pick_gopher_impl) unless the caller pins an impl.
+    # r13 FUSION: when the Gopher stage resolves to arrow AND the
+    # repetition stage is on its arrow/auto route, both predicates
+    # run in ONE Arrow pass (fused_gopher_rep_filter) — sequential
+    # composition paid one Arrow serialization + one tokenization of
+    # the surviving corpus per stage (the sf100s realppl stage split:
+    # the stacked per-row passes were the dominant 307 s term). Same
+    # keep-set (a conjunction of per-row predicates), pinned in tests.
+    _fused_rep = False
     if gopher_bounds is not None:
-        out = T.gopher_quality_filter(
-            out, text_col=text_col, **{"impl": "auto", **gopher_bounds}
-        )
+        gb = dict(gopher_bounds)
+        g_impl = gb.pop("impl", "auto")
+        if g_impl == "auto":
+            g_impl = T.pick_gopher_impl(
+                gb.get("min_mean_word_len", 3.0),
+                gb.get("max_mean_word_len", 10.0),
+                gb.get("min_alpha_word_frac", 0.8),
+                gb.get("min_stopwords", 2),
+            )
+        if fuse_quality and g_impl == "arrow" and rep_impl in (
+            "auto", "arrow"
+        ):
+            out = T.fused_gopher_rep_filter(
+                out, text_col=text_col, gopher_kwargs=gb,
+                max_top2gram_frac=max_top2gram_frac,
+            )
+            _fused_rep = True
+        else:
+            out = T.gopher_quality_filter(
+                out, text_col=text_col, impl=g_impl, **gb
+            )
 
     # repetition filter: top-2-gram share. rep_impl routes it (r11,
     # the gopher/LM impl precedent):
@@ -219,7 +256,9 @@ def curate_corpus(
     #   "native" — the oracle-shape explode+agg frame joined back
     #     onto the survivors (the original self-referencing branch —
     #     persist the survivor frame first at scale).
-    if rep_impl in ("auto", "arrow"):
+    if _fused_rep:
+        pass  # already applied inside the fused pass above
+    elif rep_impl in ("auto", "arrow"):
         st = T.repetition_2gram_struct(F.col(text_col))
         out = (
             out.withColumn("_rep", st)
