@@ -234,6 +234,38 @@ def main(path: str) -> int:
         "(curate_pipeline[_full], repetition_stats, bigram_lm_ppl)",
         "re-attested against DuckDB at sf0.01 after each change.",
         "",
+        "ROUND-13: two structural cuts to the composed realppl row,",
+        "both byte-equality-pinned (tests/test_curate.py,",
+        "tests/test_span_dedup.py): (1) the span strip's site table",
+        "moved off the interpreted window-string build — the native",
+        "transform(sequence, xxhash64(array_join(slice))) was 36.9 s",
+        "of the 48.3 s strip at sf10s — onto one vectorized Arrow",
+        "pass (token hashes once per batch, window hash = _POLY",
+        "polynomial; span_dedup._site_table_arrow; strip 48.3 →",
+        "18.8 s at sf10s); (2) the CCNet band went score-ONCE",
+        "(curate_corpus ppl_precomputed: one scoring pass feeds both",
+        "the [p20,p80] endpoints and the band filter) and the Gopher",
+        "+ top-2-gram predicates fused into ONE Arrow pass",
+        "(text.fused_gopher_rep_filter — each sequential per-row",
+        "stage paid its own Arrow serialization + tokenization of",
+        "the surviving corpus). realppl: sf10s 78.3 → 53.3 s, sf100s",
+        "657.5 → 563.5 s, rows identical at every point. A stage",
+        "split of the NEW sf100s shape (single cold runs): score-",
+        "once+quantile 162 s, pipeline-sans-strip 307 s, strip",
+        "residual ~140 s — the remaining 1000× cost is the linear",
+        "per-row pipeline + the 2.1B-site shuffle, not LM scoring",
+        "(the r12 task-7 premise — 'the composed path skips the",
+        "stored-asset scorer' — was stale: lm_impl='auto' has routed",
+        "it through the broadcast-asset Arrow scorer since r11).",
+        "The compaction policy became a GATED curve:",
+        "stream_day_curve_compact force-compacts the overlay store",
+        "after day 2 and days 4-5 must stay inside the flat-curve",
+        "bound (first attempt FAILED at 2.07× and caught a real",
+        "sizing bug — rows-only compaction rewrote the 5M-row docs",
+        "subdir into one ~0.5 GB file, collapsing later ingests'",
+        "scan parallelism; compact_curation_store now sizes output",
+        "files by BYTES (~128 MB units) first, rows second).",
+        "",
         "stream_ingest_day_n (late round 11) is the COMPOSED streaming",
         "ingest — curate_stream.ingest_document_batch over the stored 2%",
         "day-N batch against a pristine resident store (docs/bands/",
@@ -293,7 +325,12 @@ def main(path: str) -> int:
     def cell(v, suffix=""):
         return f"{v}{suffix}" if v is not None else "—"
 
+    curves = {n: r for n, r in q.items() if "day_sec" in r}
     for name, r in q.items():
+        if "sf0.1_sec" not in r:
+            # gated ingest curves (own section below) and probe-shaped
+            # records (e.g. compaction_probe) are not sf-curve rows
+            continue
         ok = True
         for tag in ("sf1", "sf10", "sf100"):
             ratio = r.get(RATIO_OF[tag])
@@ -376,6 +413,29 @@ def main(path: str) -> int:
             f"| {cell(sps['sf100'], '×')} "
             f"| ≥{target}× @{best_pt}: {best}× {'✓' if ok else '✗'} |"
         )
+    if curves:
+        lines += [
+            "",
+            "## Gated multi-day ingest curves (sf100 store, per-day "
+            "seconds = min over runs)",
+            "",
+            "| curve | day seconds | day-N/day-1 | gate (≤) | ok |",
+            "|---|---|---|---|---|",
+        ]
+        for name, r in curves.items():
+            ok = bool(r.get("gate_ok"))
+            ok_all &= ok
+            extra = (
+                f" (compacted after day {r['compact_after_day']})"
+                if "compact_after_day" in r
+                else ""
+            )
+            lines.append(
+                f"| {name}{extra} | {r['day_sec']} "
+                f"| {r.get('dayN_over_day1')}× "
+                f"| {r.get('gate_max_ratio')}× "
+                f"| {'✓' if ok else '✗'} |"
+            )
     lines += [
         "",
         f"Overall: {'ALL TARGETS MET' if ok_all else 'TARGETS MISSED — see ✗ rows'}"

@@ -744,6 +744,7 @@ def compact_curation_store(
     store_dir: str,
     target_rows_per_file: int = 5_000_000,
     subs: tuple | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Compact a curation store's append-accreted subdirs in place —
     the maintenance counterpart of ``operators/maintenance.py``'s
@@ -801,6 +802,13 @@ def compact_curation_store(
             if s.isFile() and not s.getPath().getName().startswith(("_", "."))
         )
 
+    def _n_bytes(p: str) -> int:
+        return sum(
+            s.getLen()
+            for s in fs.listStatus(_hp(p))
+            if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+        )
+
     known = (
         "docs", "pairs", "bands", "winindex", "maxid",
         "centroids", "assigned", "sem_pairs",
@@ -829,6 +837,7 @@ def compact_curation_store(
         if df is None:
             continue
         files_before = _n_files(path)
+        bytes_before = _n_bytes(path)
         if sub == "winindex":
             df = read_window_index_store(spark, store_dir)
         # persist across the sizing count and the rewrite — without
@@ -837,9 +846,23 @@ def compact_curation_store(
         df = df.persist()
         try:
             n = df.count()
-            df.repartition(
-                max(1, math.ceil(n / target_rows_per_file))
-            ).write.mode("overwrite").parquet(tmp)
+            # Size output files by BYTES first, rows second (r13): the
+            # original rows-only sizing rewrote a 5M-row docs subdir
+            # into ONE ~0.5 GB file, and the sf100 compact day-curve
+            # gate caught the consequence — subsequent ingests' corpus
+            # text scans dropped to single-digit parallelism (tasks
+            # split at row-group granularity within one writer's
+            # output) and day-5 ingest ran 2.07x day-1. Input parquet
+            # bytes approximate output bytes (same codec), so
+            # ceil(bytes / target_file_bytes) keeps every file a
+            # ~128 MB scan-parallel unit; the rows bound stays as a
+            # secondary cap for very wide rows.
+            nparts = max(
+                1,
+                math.ceil(bytes_before / target_file_bytes),
+                math.ceil(n / target_rows_per_file),
+            )
+            df.repartition(nparts).write.mode("overwrite").parquet(tmp)
         finally:
             df.unpersist()
         if not fs.rename(_hp(path), _hp(trash)):
