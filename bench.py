@@ -222,6 +222,10 @@ def main() -> None:
          "/root/repo/BENCH_ANCHOR_r10.json", "vs_r10"),
         ("SPARK_GRAFT_BENCH_ANCHOR_R11",
          "/root/repo/BENCH_ANCHOR_r11.json", "vs_r11"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R12",
+         "/root/repo/BENCH_ANCHOR_r12.json", "vs_r12"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R13",
+         "/root/repo/BENCH_ANCHOR_r13.json", "vs_r13"),
     ):
         anchor = _load_anchor(os.environ.get(env, path))
         if anchor:
