@@ -1352,13 +1352,20 @@ def q_neardup_route_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (xxhash64-based — no SQL oracle;
-    the jaccard-verified subset is cross-checked against
-    q_ngram_jaccard in tests). Scratch persists (signature/candidate
-    tables) stay alive across repeat runs — Spark's plan-keyed cache
-    serves them — and are dropped at ``release_shared()``."""
+    """MinHash-LSH near-dup pairs — ORACLE-BACKED since r13 via the
+    ``base_hash="md5"`` audit arm (the simhash move applied to
+    MinHash): shingle base hash = first 8 bytes of md5(shingle), so
+    DuckDB replays the ENTIRE pipeline — signatures under the same
+    seeded affine permutation constants (scheme literals in the SQL),
+    banded candidates by 4-value slice equality, exact-Jaccard verify
+    of candidates only. The fast v3 token-polynomial arm stays the
+    engine default; its subset+recall contract is the oracle-backed
+    minhash_recall gate. Scratch persists are dropped at
+    ``release_shared()``."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, threshold=0.5)
+    return D.minhash_dedup_pairs(
+        docs, threshold=0.5, base_hash="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1394,11 +1401,17 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-ball SimHash near-dup pairs (no SQL oracle — hash-
-    based; EXACT recall vs brute force is asserted in
-    tests/test_dedup_similarity.py via the pigeonhole guarantee)."""
+    """Hamming-ball SimHash near-dup pairs — ORACLE-BACKED since r13
+    via the md5 audit arm (the simhash_groups move): banding recall
+    is pigeonhole-EXACT (4 bands ≥ hamming 3 + 1), so the banded
+    engine result equals the O(n²) hamming join DuckDB runs over the
+    same SQL-reproduced fingerprints. The fast pandas-siphash arm
+    stays the engine default; ITS banded-equals-bruteforce contract
+    is the simhash_recall gate."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+    return D.simhash_neardup_pairs(
+        docs, max_hamming=3, bands=4, base_hash="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2227,12 +2240,19 @@ def q_semdedup_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k (no SQL oracle; recall vs brute
-    force asserted in tests/test_dedup_similarity.py::
-    test_ivf_recall_vs_bruteforce — measured 0.83 at sf0.001)."""
+    """IVF-probed approximate top-k — ORACLE-BACKED since r13: the
+    whole pipeline is deterministic (centroids = 16 smallest ids,
+    cosine assignment and probe selection with id tie-breaks, rank by
+    6-dp-rounded sim then neighbor id) and ``similarity.cosine`` is
+    bit-compatible with DuckDB's ``list_cosine_similarity``, so the
+    oracle replays assignment → probe → score → rank in pure SQL.
+    Recall vs brute force is separately asserted in
+    tests/test_dedup_similarity.py (measured 0.83 at sf0.001)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk_ivf(emb, queries, k=10, num_centroids=16, nprobe=4)
+    return SIM.cosine_topk_ivf(
+        emb, queries, k=10, num_centroids=16, nprobe=4
+    ).orderBy("query_id", "rank")
 
 
 def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,9 +2295,14 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
         ivf_write_index(assigned, index_path)
     queries = emb.filter(F.col("vec_id") < 5)
+    # ORACLE-BACKED since r13: identical contract to q_embedding_
+    # topk_ivf (same deterministic centroids/probes/ranking — the
+    # index changes the PHYSICAL read path, not the result), so the
+    # same SQL oracle attests that the partition-pruned route
+    # returns exactly the unindexed route's rows.
     return cosine_topk_ivf_indexed(
         spark, index_path, centroids, queries, k=10, nprobe=4
-    )
+    ).orderBy("query_id", "rank")
 
 
 def _sem_shared(spark: SparkSession, sf_dir: str):
@@ -3243,6 +3268,10 @@ _GATE_ORDER = [
     "simhash_groups",
     "semdedup_pca_composed",
     "curate_pipeline_rep",
+    "simhash_neardup",
+    "minhash_neardup",
+    "embedding_topk_ivf",
+    "embedding_topk_ivf_indexed",
     "token_budget",
     "ppl_pruned",
     "ppl_cms_bound",
@@ -3318,10 +3347,6 @@ _GATE_ORDER = [
     "order_priority_late",
     "user_count_hll",
     "value_quantiles_approx",
-    "minhash_neardup",
-    "simhash_neardup",
-    "embedding_topk_ivf",
-    "embedding_topk_ivf_indexed",
     "neardup_route_auto",
     "nb_scheme_consistency",
     "banded_components_refinement",
@@ -3572,6 +3597,72 @@ sd_pairs AS (
           >= 0.4
 )
 """
+
+
+# Full Charikar SimHash in SQL on the md5 audit hash (the
+# base_hash="md5" engine arm): 2-token distinct shingles → base hash
+# = first 8 bytes of md5(shingle) big-endian ('0x'||hex → UBIGINT) →
+# bit b of the fingerprint = strict majority of bit b over the doc's
+# shingle hashes (HUGEINT accumulation) → two's-complement fold to
+# the BIGINT Spark's long carries. Shared by the simhash_groups and
+# simhash_neardup oracles — ONE definition of the fingerprint.
+_SIMHASH_MD5_CTE = """
+tok AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i : i + 1], ' ') AS shingle
+    FROM tok,
+         LATERAL unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS t(i)
+),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 16)) AS UBIGINT) AS hb
+    FROM sh
+),
+bits AS (
+    SELECT doc_id, b,
+           count(*) FILTER (((hb >> b) & 1) = 1) AS ones,
+           count(*) AS n
+    FROM h CROSS JOIN range(64) AS t(b)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN 2 * ones > n
+                    THEN CAST(1 AS HUGEINT) << b
+                    ELSE 0 END) AS fpu
+    FROM bits GROUP BY 1
+),
+sfp AS (
+    SELECT doc_id,
+           CAST(CASE WHEN fpu >= 9223372036854775808
+                     THEN fpu - 18446744073709551616
+                     ELSE fpu END AS BIGINT) AS simhash
+    FROM fp
+)
+"""
+
+
+def _minhash_perm_values() -> str:
+    """The MinHash audit oracle's permutation constants as SQL VALUES
+    rows — the SAME seeded stream the engine UDF draws (seed 42,
+    a odd in [1, 2^63), b in [0, 2^63)); scheme parameters, not
+    data, so embedding them keeps the oracle independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, 2**63, size=32, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=32, dtype=np.uint64)
+    return ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(32)
+    )
+
+
+_MINHASH_PERM_VALUES = _minhash_perm_values()
 
 
 _PCA_ORACLE_CACHE: dict = {}
@@ -6344,48 +6435,8 @@ def oracle_sql() -> dict[str, str]:
         # strict majority — then groups and comma-joins sorted ids.
         # HUGEINT accumulates the unsigned fingerprint; the final CASE
         # folds it to the two's-complement BIGINT Spark's long carries.
-        "simhash_groups": """
-            WITH tok AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+')
-                           AS toks
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(toks[i : i + 1], ' ') AS shingle
-                FROM tok,
-                     LATERAL unnest(
-                         range(1, greatest(len(toks) - 1, 1) + 1)
-                     ) AS t(i)
-            ),
-            h AS (
-                SELECT doc_id,
-                       CAST(('0x' || substr(md5(shingle), 1, 16))
-                            AS UBIGINT) AS hb
-                FROM sh
-            ),
-            bits AS (
-                SELECT doc_id, b,
-                       count(*) FILTER (((hb >> b) & 1) = 1) AS ones,
-                       count(*) AS n
-                FROM h CROSS JOIN range(64) AS t(b)
-                GROUP BY 1, 2
-            ),
-            fp AS (
-                SELECT doc_id,
-                       sum(CASE WHEN 2 * ones > n
-                                THEN CAST(1 AS HUGEINT) << b
-                                ELSE 0 END) AS fpu
-                FROM bits GROUP BY 1
-            ),
-            sfp AS (
-                SELECT doc_id,
-                       CAST(CASE WHEN fpu >= 9223372036854775808
-                                 THEN fpu - 18446744073709551616
-                                 ELSE fpu END AS BIGINT) AS simhash
-                FROM fp
-            )
+        "simhash_groups": f"""
+            WITH {_SIMHASH_MD5_CTE}
             SELECT simhash,
                    count(*) AS n_docs,
                    string_agg(CAST(doc_id AS VARCHAR), ','
@@ -6394,10 +6445,147 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY simhash
             ORDER BY simhash
         """,
-        # minhash_neardup / embedding_topk_ivf: xxhash64-based or
-        # probe-order-dependent — intentionally no SQL oracle (driver
-        # records rows-only; cross-checked in tests/).
+        # simhash_neardup on the md5 audit arm: banding recall is
+        # pigeonhole-EXACT (4 bands, hamming <= 3), so the banded
+        # engine result must equal this O(n^2) hamming join — fine at
+        # oracle scale, and exactly why the gate is now hash-checked
+        # instead of rows-only.
+        "simhash_neardup": f"""
+            WITH {_SIMHASH_MD5_CTE}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash))
+                        AS INTEGER) AS hamming
+            FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        # user_count_hll / value_quantiles_approx: the ESTIMATES of
+        # Spark's HLL++ / Greenwald-Khanna sketches are
+        # implementation-defined — intentionally rows-only; their
+        # error contracts are the oracle-backed hll_bounds /
+        # approx_quantile_bounds gates.
     }
+    # minhash_neardup on the md5 audit arm: full pipeline replay —
+    # signatures = min over shingles of (a_i*h + b_i) mod 2^64 under
+    # the engine's seeded permutation constants (embedded below as
+    # scheme literals — parameters, not data), candidates = banded
+    # 4-value slice equality, then the ngram_jaccard verify CTE shape.
+    # HUGEINT bound: a < 2^63 and h < 2^64 keep a*h + b < 2^127 - 1.
+    out["minhash_neardup"] = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        shs AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i : i + 2], ' ') AS shingle
+            FROM tok,
+                 LATERAL unnest(range(1, greatest(len(toks) - 2, 1) + 1))
+                     AS t(i)
+        ),
+        hh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 16)) AS UBIGINT)
+                       AS h
+            FROM shs
+        ),
+        perm(i, a, b) AS (VALUES {_MINHASH_PERM_VALUES}),
+        sigs AS (
+            SELECT doc_id, i,
+                   min(CAST((CAST(a AS HUGEINT) * h + b)
+                            % 18446744073709551616 AS UBIGINT)) AS m
+            FROM hh CROSS JOIN perm GROUP BY doc_id, i
+        ),
+        bnd AS (
+            SELECT doc_id, i // 4 AS band_idx,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+            FROM sigs GROUP BY doc_id, i // 4
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bnd x JOIN bnd y
+              ON x.band_idx = y.band_idx AND x.key = y.key
+             AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_common
+            FROM cand c
+            JOIN shs p ON p.doc_id = c.id_a
+            JOIN shs q ON q.doc_id = c.id_b AND q.shingle = p.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY id_a, id_b
+    """
+    # IVF top-k (both the unindexed and the partition-pruned-index
+    # routes return the same rows): centroids = 16 smallest ids,
+    # cosine assignment and probe with id tie-breaks, rank by
+    # 6-dp-rounded sim then neighbor id — fully deterministic, and
+    # similarity.cosine is bit-compatible with DuckDB's
+    # list_cosine_similarity (the _SEMDEDUP_CTE precedent).
+    _ivf_sql = """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               c.cvec) DESC,
+                               c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        ),
+        probe AS (
+            SELECT query_id, q_vec, cid FROM (
+                SELECT q.query_id, q.q_vec, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               q.q_vec, c.cvec) DESC,
+                               c.cid ASC) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), p.q_vec), 6)
+                       AS cosine_sim
+            FROM iassign a
+            JOIN probe p ON p.cid = a.cid
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    out["embedding_topk_ivf"] = _ivf_sql
+    out["embedding_topk_ivf_indexed"] = _ivf_sql
     pca_sql = _semdedup_pca_oracle()
     if pca_sql is not None:
         out["semdedup_pca_composed"] = pca_sql

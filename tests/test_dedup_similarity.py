@@ -763,3 +763,26 @@ def test_shingle_hash_batch_flat_tokens_shorter_than_n():
     h2, c2 = D._shingle_hash_batch(["tiny doc", long_doc], 13, np)
     assert list(c2) == [1, 30 - 12]
     assert h2[0] == h1[0]
+
+
+def test_minhash_md5_audit_arm_contract(docs):
+    """base_hash='md5' (the SQL-reproducible audit arm behind the r13
+    minhash_neardup oracle) must satisfy the same LSH contract as the
+    fast v3 arm: verified pairs are a subset of exact Jaccard pairs
+    with identical jaccard values, at >= 0.9 recall."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    md5 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(
+            docs, shingle_n=3, threshold=0.5, base_hash="md5"
+        ).collect()
+    }
+    assert set(md5) <= set(exact)
+    assert len(md5) / len(exact) >= 0.9
+    for k, v in md5.items():
+        assert exact[k] == v
+    with pytest.raises(ValueError):
+        D.minhash_dedup_pairs(docs, base_hash="bogus")

@@ -530,7 +530,10 @@ def _shingle_hash_batch(texts, n: int, np):
     return out, out_counts
 
 
-def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
+def _make_minhash_udf(
+    num_hashes: int, shingle_n: int, seed: int = 42,
+    base_hash: str = "fast",
+):
     """Arrow-batched MinHash signatures, vectorized ACROSS the batch.
 
     One token-hash pass + polynomial shingle combination
@@ -542,9 +545,21 @@ def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     is semantically similar but runs in Spark's INTERPRETED
     higher-order-function evaluator: num_hashes × |shingles|
     expression evals per row. Narrow map either way — no shuffle.
+
+    ``base_hash="md5"`` is the SQL-reproducible AUDIT arm (the simhash
+    precedent): the shingle base hash becomes the first 8 bytes of
+    md5(shingle string) over the DISTINCT lowercased shingles
+    (``_flat_shingles``; min over a multiset equals min over its set,
+    so set-vs-multiset is immaterial here) — DuckDB reproduces the
+    whole signature with the same permutation constants (the seeded
+    a/b stream, embedded as scheme literals in the oracle). The fast
+    v3 token-polynomial arm stays the engine default.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if base_hash not in ("fast", "md5"):
+        raise ValueError(f"unknown base_hash {base_hash!r}")
 
     @pandas_udf("array<long>")
     def signatures(texts: pd.Series) -> pd.Series:
@@ -555,7 +570,12 @@ def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int = 42):
         rng = np.random.default_rng(seed)
         a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
         b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
-        base, counts = _shingle_hash_batch(texts, shingle_n, np)
+        if base_hash == "md5":
+            all_sh, counts = _flat_shingles(texts, shingle_n)
+            base = _md5_hash64_batch(all_sh, np)
+            counts = np.asarray(counts, dtype=np.int64)
+        else:
+            base, counts = _shingle_hash_batch(texts, shingle_n, np)
         # every doc yields >= 1 shingle, so offsets are strictly
         # within bounds and reduceat segments are non-empty
         offsets = np.zeros(len(counts), dtype=np.int64)
@@ -576,6 +596,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    base_hash: str = "fast",
 ) -> DataFrame:
     """k-permutation MinHash signature per doc as one array column
     (see ``_make_minhash_udf`` for the vectorization rationale).
@@ -586,7 +607,14 @@ def minhash_signatures(
     stored signature table carries its own provenance and
     ``minhash_incremental_pairs`` can validate compatibility with a
     zero-job schema check instead of inferring from data shape."""
-    sig = _make_minhash_udf(num_hashes, shingle_n)(F.col(text_col))
+    sig = _make_minhash_udf(num_hashes, shingle_n, base_hash=base_hash)(
+        F.col(text_col)
+    )
+    # the md5 audit arm stamps its own scheme so a stored table from
+    # one arm can never silently feed the other's incremental probe
+    scheme = (
+        MINHASH_SCHEME if base_hash == "fast" else "shingle-md5-affine-audit"
+    )
     return df.select(
         F.col(id_col).alias("_id"),
         sig.alias(
@@ -595,7 +623,7 @@ def minhash_signatures(
                 "minhash_num_hashes": num_hashes,
                 "minhash_shingle_n": shingle_n,
                 "minhash_seed": 42,
-                "minhash_scheme": MINHASH_SCHEME,
+                "minhash_scheme": scheme,
                 "minhash_hash_probe": _pandas_hash_probe(),
             },
         ),
@@ -685,6 +713,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     broadcast_candidates: bool = True,
     signatures: DataFrame | None = None,
+    base_hash: str = "fast",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact-Jaccard verification of CANDIDATES ONLY.
@@ -713,7 +742,9 @@ def minhash_dedup_pairs(
         )
         sigs = signatures
     else:
-        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_n, base_hash
+        )
     # The candidate set feeds three downstream consumers (the two id
     # projections and the pair join); without persistence the whole
     # signature+banding pipeline would re-execute for each. Candidate
@@ -1125,6 +1156,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     sims: DataFrame | None = None,
+    base_hash: str = "fast",
 ) -> DataFrame:
     """Hamming-ball SimHash near-dup: (a<b) pairs whose fingerprints
     differ in ≤ ``max_hamming`` bits.
@@ -1135,7 +1167,11 @@ def simhash_neardup_pairs(
     (4 bands, max_hamming 3) the candidate join has EXACT recall, not
     probabilistic (asserted against brute force in tests). Candidates
     come from an equi-join on (band_idx, chunk value); verification is
-    ``bit_count(a XOR b)`` — one narrow expression.
+    ``bit_count(a XOR b)`` — one narrow expression. ``base_hash`` (only
+    read when ``sims`` is None) selects the fingerprint's base hash —
+    ``"md5"`` is the SQL-reproducible audit arm, and because recall is
+    pigeonhole-EXACT the banded result under it equals the O(n²)
+    hamming join a SQL oracle runs (the simhash_neardup gate).
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -1150,7 +1186,9 @@ def simhash_neardup_pairs(
         # ``sims`` — (_id, simhash) — so the UDF pass runs once.
         sims = df.select(
             F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), shingle_n).alias("simhash"),
+            simhash64(F.col(text_col), shingle_n, base_hash).alias(
+                "simhash"
+            ),
         )
     chunks = F.array(
         *[
