@@ -2217,8 +2217,12 @@ def q_semdedup_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     project + whiten every vector (per-batch matmul, zero shuffle),
     then SemDeDup on the 8-dim projections — same deterministic
     centroid scheme as the raw-space gates (8 smallest ids, cosine
-    assignment, min-id keep), τ=0.8 tuned to the whitened space's
-    cosine range. The oracle recomputes the WHOLE composition
+    assignment, min-id keep), τ=0.9 tuned to the whitened space's
+    cosine range (r13 late fix: τ=0.8 PERCOLATED at the bench sf —
+    in whitened 8-dim space high cosines are dense enough that 2000
+    vectors collapsed into giant components, 32/2000 kept and a
+    27 s long-diameter CC fixpoint; at 0.9 every test sf keeps a
+    meaningful majority and the pair graph stays sparse). The oracle recomputes the WHOLE composition
     independently: model from a duckdb+numpy fit over the same
     parquet (the geopy-oracle precedent — an independent stack, not
     the engine), embedded as SQL literals keyed by a corpus
@@ -2234,7 +2238,7 @@ def q_semdedup_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_pca(emb, k=8, moments=_emb_moments_shared(spark, sf_dir))
     proj = pca_project(emb, model, whiten=True, out_col="pvec")
     kept = semdedup_keep(
-        proj, num_clusters=8, threshold=0.8, vec_col="pvec"
+        proj, num_clusters=8, threshold=0.9, vec_col="pvec"
     )
     return kept.select("vec_id", "label").orderBy("vec_id")
 
@@ -3766,7 +3770,7 @@ def _semdedup_pca_oracle() -> str | None:
             JOIN proj pa ON pa.vec_id = a.vec_id
             JOIN proj pb ON pb.vec_id = b.vec_id
             WHERE round(list_cosine_similarity(pa.pvec, pb.pvec), 6)
-                  >= 0.8
+                  >= 0.9
         ),
         sd_edges AS (
             SELECT id_a AS u, id_b AS v FROM sd_pairs
