@@ -3269,56 +3269,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
-    "simhash_groups",
-    "semdedup_pca_composed",
-    "curate_pipeline_rep",
-    "simhash_neardup",
-    "minhash_neardup",
-    "embedding_topk_ivf",
-    "embedding_topk_ivf_indexed",
-    "token_budget",
-    "ppl_pruned",
-    "ppl_cms_bound",
-    "dsir_scheme_consistency",
-    "hll_bounds",
-    "skew_safe_distinct",
-    "approx_quantile_bounds",
-    "ivf_recall",
-    "simhash_exactdup_consistency",
-    "pivot_priority_status",
-    "distinct_event_dates",
-    "latest_event_date",
-    "range_reagg_busiest",
-    "group_quota_cap_sparse",
-    "chunk_documents",
-    "span_dup_detect",
-    "span_dup_stats",
-    "span_strip",
-    "span_strip_incremental",
-    "bigram_lm_ppl",
-    "range_series_daily",
-    "range_hist_avg",
-    "range_reagg_routes",
-    "asof_last_purchase",
-    "range_join_error_window",
-    "tumbling_window_agg",
-    "sessionize",
-    "cube_event_stats",
-    "value_quantiles",
-    "dedup_exact",
-    "curate_pipeline_full",
-    "semdedup_incremental",
-    "incremental_neardup_recall",
-    "text_stats",
-    "lang_id",
-    "quality_scores",
-    "doc_fingerprint",
-    "ngram_jaccard",
-    "profile_orders",
-    "lineitem_stats",
-    "tfidf_top_terms",
-    "term_df",
-    "neardup_components",
     "neardup_dedup_keep",
     "embedding_topk",
     "embedding_neardup",
@@ -3400,6 +3350,56 @@ _GATE_ORDER = [
     "user_traffic_fullouter",
     "validate_orders",
     "weighted_mix",
+    "curate_pipeline_full",
+    "curate_pipeline_rep",
+    "semdedup_incremental",
+    "semdedup_pca_composed",
+    "token_budget",
+    "ppl_pruned",
+    "ppl_cms_bound",
+    "dsir_scheme_consistency",
+    "incremental_neardup_recall",
+    "hll_bounds",
+    "skew_safe_distinct",
+    "approx_quantile_bounds",
+    "ivf_recall",
+    "simhash_exactdup_consistency",
+    "pivot_priority_status",
+    "distinct_event_dates",
+    "latest_event_date",
+    "range_reagg_busiest",
+    "group_quota_cap_sparse",
+    "chunk_documents",
+    "span_dup_detect",
+    "span_dup_stats",
+    "span_strip",
+    "span_strip_incremental",
+    "bigram_lm_ppl",
+    "range_series_daily",
+    "range_hist_avg",
+    "range_reagg_routes",
+    "asof_last_purchase",
+    "range_join_error_window",
+    "tumbling_window_agg",
+    "sessionize",
+    "cube_event_stats",
+    "value_quantiles",
+    "dedup_exact",
+    "text_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "profile_orders",
+    "lineitem_stats",
+    "tfidf_top_terms",
+    "term_df",
+    "neardup_components",
+    "minhash_neardup",
+    "simhash_groups",
+    "simhash_neardup",
+    "embedding_topk_ivf",
+    "embedding_topk_ivf_indexed",
 ]
 # END GATE_ORDER
 # ^ generated — DO NOT edit by hand. Regenerate at every round-open:
