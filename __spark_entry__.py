@@ -2259,6 +2259,46 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _cached_ivf_index(sf_dir: str, tag: str, assigned) -> str:
+    """Materialize (once per corpus VERSION) and return the path of a
+    centroid-partitioned IVF index for ``assigned``. The cache key
+    embeds a fingerprint of the source parquet (size + mtime), so
+    rewriting the corpus at the same path invalidates the index
+    instead of serving stale postings; stale fingerprints of the same
+    (corpus, tag) are pruned on rebuild. ``tag`` separates index
+    FAMILIES over the same corpus (raw-space vs PCA-projected)."""
+    import os
+
+    from wroclaw_bike_stats_spark.operators.similarity import ivf_write_index
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        fingerprint = "nosrc"
+    # '.' joins the family tag so one family's prune prefix can never
+    # match another's directories ("sf0.01.raw-" vs "sf0.01.pca-")
+    stem = f"{sf_name}.{tag or 'raw'}"
+    cache_root = "/root/repo/.ivf_index_cache"
+    index_path = os.path.join(cache_root, f"{stem}-{fingerprint}")
+    if not os.path.isdir(index_path):
+        # Prune stale fingerprints of the same corpus before building
+        # the new index — each rewrite would otherwise leave its
+        # unreachable predecessor on disk forever.
+        import shutil
+
+        if os.path.isdir(cache_root):
+            for d in os.listdir(cache_root):
+                if d.startswith(f"{stem}-") and d != f"{stem}-{fingerprint}":
+                    shutil.rmtree(
+                        os.path.join(cache_root, d), ignore_errors=True
+                    )
+        ivf_write_index(assigned, index_path)
+    return index_path
+
+
 def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a MATERIALIZED centroid-partitioned index — the
     true 100 TB read path: the probe set becomes a literal IN-list the
@@ -2276,28 +2316,9 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_write_index,
     )
 
-    sf_name = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{st.st_size}-{st.st_mtime_ns}"
-    except OSError:
-        fingerprint = "nosrc"
-    cache_root = "/root/repo/.ivf_index_cache"
-    index_path = os.path.join(cache_root, f"{sf_name}-{fingerprint}")
     emb = _t(spark, sf_dir, "embeddings")
     centroids, assigned = ivf_assign(emb, num_centroids=16)
-    if not os.path.isdir(index_path):
-        # Prune stale fingerprints of the same corpus before building
-        # the new index — each rewrite would otherwise leave its
-        # unreachable predecessor on disk forever.
-        import shutil
-
-        if os.path.isdir(cache_root):
-            for d in os.listdir(cache_root):
-                if d.startswith(f"{sf_name}-") and d != f"{sf_name}-{fingerprint}":
-                    shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
-        ivf_write_index(assigned, index_path)
+    index_path = _cached_ivf_index(sf_dir, "", assigned)
     queries = emb.filter(F.col("vec_id") < 5)
     # ORACLE-BACKED since r13: identical contract to q_embedding_
     # topk_ivf (same deterministic centroids/probes/ranking — the
@@ -2307,6 +2328,113 @@ def q_embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf_indexed(
         spark, index_path, centroids, queries, k=10, nprobe=4
     ).orderBy("query_id", "rank")
+
+
+def q_ivf_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the 100 TB reduced-vector path (r13 VERDICT
+    task 4; `semdedup_pca_composed` attests project→whiten→dedup):
+    fit PCA at k=8 (shared moment pass), project + whiten every
+    vector, then approximate top-k through the MATERIALIZED
+    centroid-partitioned IVF index built over the 8-dim projections —
+    the physical shape a 1000-executor ANN service would run (probe
+    list becomes a literal partition filter; index cached per corpus
+    version under the '.pca' family tag). Fully deterministic
+    (16 smallest-id centroids, cosine assignment/probe with id
+    tie-breaks, rank on 6-dp-rounded sim), so the oracle replays the
+    ENTIRE composition: independent duckdb+numpy PCA refit as
+    fingerprint-keyed literals (_pca_proj_cte) + the IVF
+    assignment→probe→score→rank chain in pure SQL over those
+    projections. Recall vs RAW-space brute force is asserted in
+    tests/test_dedup_similarity.py."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        fit_pca,
+        pca_project,
+    )
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        cosine_topk_ivf_indexed,
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=8, moments=_emb_moments_shared(spark, sf_dir))
+    proj = pca_project(emb, model, whiten=True, out_col="pvec").select(
+        "vec_id", "pvec"
+    )
+    centroids, assigned = ivf_assign(proj, num_centroids=16, vec_col="pvec")
+    index_path = _cached_ivf_index(sf_dir, "pca", assigned)
+    queries = proj.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf_indexed(
+        spark,
+        index_path,
+        centroids,
+        queries,
+        k=10,
+        nprobe=4,
+        vec_col="pvec",
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_pca_oracle() -> str | None:
+    """Oracle SQL for ``ivf_pca_composed``: the shared PCA-refit
+    projection CTE (_pca_proj_cte — an INDEPENDENT duckdb+numpy
+    model as fingerprint-keyed literals) feeding the deterministic
+    IVF replay (the ``embedding_topk_ivf`` oracle's chain, run on
+    pvec instead of the raw embedding)."""
+    cte = _pca_proj_cte()
+    if cte is None:
+        return None
+    return f"""
+        WITH RECURSIVE
+        {cte},
+        cent AS (
+            SELECT vec_id AS cid, pvec AS cvec FROM proj
+            ORDER BY vec_id LIMIT 16
+        ),
+        iassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT pr.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY pr.vec_id
+                           ORDER BY list_cosine_similarity(
+                               pr.pvec, c.cvec) DESC,
+                               c.cid ASC) AS rn
+                FROM proj pr CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, pvec AS q_vec
+            FROM proj WHERE vec_id < 5
+        ),
+        probe AS (
+            SELECT query_id, q_vec, cid FROM (
+                SELECT q.query_id, q.q_vec, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               q.q_vec, c.cvec) DESC,
+                               c.cid ASC) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(
+                       pr.pvec, p.q_vec), 6) AS cosine_sim
+            FROM iassign a
+            JOIN probe p ON p.cid = a.cid
+            JOIN proj pr ON pr.vec_id = a.vec_id
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
 
 
 def _sem_shared(spark: SparkSession, sf_dir: str):
@@ -2776,12 +2904,18 @@ def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity under an add-0.1-smoothed bigram LM trained on the
     doc_id % 7 == 3 reference slice. Broadcast count-table joins +
     one groupBy(doc); unseen tokens need no UNK mapping (their
-    lookups miss to the smoothed floor)."""
+    lookups miss to the smoothed floor). impl="native" is explicit
+    since round 14 (the library default flipped to auto→arrow under
+    broadcast_model=True): this gate keeps the lazy join-plan route
+    oracle-attested while the sibling `bigram_lm_ppl_column` gate
+    attests the arrow scorer core callers now get by default."""
     from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
 
     docs = _t(spark, sf_dir, "documents")
     uni, bi = _ref_lm_shared(spark, sf_dir)
-    return bigram_lm_score(docs, uni, bi, alpha=0.1).orderBy("doc_id")
+    return bigram_lm_score(docs, uni, bi, alpha=0.1, impl="native").orderBy(
+        "doc_id"
+    )
 
 
 def q_bigram_lm_ppl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2875,10 +3009,15 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics: duplicate-word fraction and
-    most-common-2-gram share, explode + keyed agg (linear, no per-row
-    quadratic HOF — operators/text.py repetition_stats)."""
+    most-common-2-gram share, pinned to the NATIVE explode + keyed
+    agg route (linear, no per-row quadratic HOF — operators/text.py
+    repetition_stats). impl="native" is explicit since round 14 (the
+    library default flipped to auto→arrow): this gate keeps the
+    SQL-differential frame route oracle-attested while the sibling
+    `repetition_2gram_column` gate attests the arrow core callers
+    now get by default."""
     docs = _t(spark, sf_dir, "documents")
-    return T.repetition_stats(docs).orderBy("doc_id")
+    return T.repetition_stats(docs, impl="native").orderBy("doc_id")
 
 
 def q_repetition_2gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3143,6 +3282,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_incremental": q_semdedup_incremental,
         "semdedup_keep": q_semdedup_keep,
         "semdedup_pca_composed": q_semdedup_pca_composed,
+        "ivf_pca_composed": q_ivf_pca_composed,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_stats": q_semdedup_stats,
         "temperature_mix": q_temperature_mix,
@@ -3269,6 +3409,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
+    "ivf_pca_composed",  # NEW r14
     "neardup_dedup_keep",
     "embedding_topk",
     "embedding_neardup",
@@ -3672,22 +3813,18 @@ _MINHASH_PERM_VALUES = _minhash_perm_values()
 _PCA_ORACLE_CACHE: dict = {}
 
 
-def _semdedup_pca_oracle() -> str | None:
-    """Oracle SQL for ``semdedup_pca_composed``: DuckDB projects every
-    embedding with a PCA model FIT INDEPENDENTLY of the engine
-    (duckdb read + numpy moments/eigh over the raw parquet — the
-    functions/distance.py geopy-oracle precedent: a third-party
-    reference stack, not the code under test) and runs the
-    assignment/pair/keep chain in pure SQL on the projections.
-
-    The model depends on the corpus, and the driver (sf0.01) and the
-    local differential (sf0.001) run the SAME static SQL string — so
-    both models are embedded as literals and selected by an exact
-    md5 fingerprint of the first vector, computed inside the query.
-    Returns None (gate degrades to rows-only) if the testdata dirs
-    are unavailable at build time."""
-    if "sql" in _PCA_ORACLE_CACHE:
-        return _PCA_ORACLE_CACHE["sql"]
+def _pca_proj_cte() -> str | None:
+    """The shared ``par`` + ``proj`` oracle CTE text: DuckDB selects
+    an INDEPENDENTLY refit PCA model (duckdb read + numpy
+    moments/eigh over the raw parquet — the geopy-oracle precedent)
+    by an md5 fingerprint of the corpus's first vector, then projects
+    + whitens every embedding in pure SQL over the embedded literals.
+    One source of truth for every PCA-composed oracle
+    (``semdedup_pca_composed``, ``ivf_pca_composed``). Returns None
+    (those gates degrade to rows-only) if the testdata dirs are
+    unavailable at build time."""
+    if "cte" in _PCA_ORACLE_CACHE:
+        return _PCA_ORACLE_CACHE["cte"]
 
     def fit(sf_dir: str):
         import duckdb
@@ -3725,10 +3862,9 @@ def _semdedup_pca_oracle() -> str | None:
         fpa, mua, wca = fit("/root/testdata/sf0.001")
         fpb, mub, wcb = fit("/root/testdata/sf0.01")
     except Exception:
-        _PCA_ORACLE_CACHE["sql"] = None
+        _PCA_ORACLE_CACHE["cte"] = None
         return None
-    sql = f"""
-        WITH RECURSIVE
+    cte = f"""
         par AS (
             SELECT CASE WHEN fp = '{fpa}' THEN {lit1(mua)}
                         ELSE {lit1(mub)} END AS mean_v,
@@ -3747,7 +3883,34 @@ def _semdedup_pca_oracle() -> str | None:
                                 - p.mean_v[i]),
                        c)) AS pvec
             FROM embeddings e CROSS JOIN par p
-        ),
+        )"""
+    _PCA_ORACLE_CACHE["cte"] = cte
+    return cte
+
+
+def _semdedup_pca_oracle() -> str | None:
+    """Oracle SQL for ``semdedup_pca_composed``: DuckDB projects every
+    embedding with a PCA model FIT INDEPENDENTLY of the engine
+    (duckdb read + numpy moments/eigh over the raw parquet — the
+    functions/distance.py geopy-oracle precedent: a third-party
+    reference stack, not the code under test) and runs the
+    assignment/pair/keep chain in pure SQL on the projections.
+
+    The model depends on the corpus, and the driver (sf0.01) and the
+    local differential (sf0.001) run the SAME static SQL string — so
+    both models are embedded as literals and selected by an exact
+    md5 fingerprint of the first vector, computed inside the query.
+    Returns None (gate degrades to rows-only) if the testdata dirs
+    are unavailable at build time."""
+    if "sql" in _PCA_ORACLE_CACHE:
+        return _PCA_ORACLE_CACHE["sql"]
+    cte = _pca_proj_cte()
+    if cte is None:
+        _PCA_ORACLE_CACHE["sql"] = None
+        return None
+    sql = f"""
+        WITH RECURSIVE
+        {cte},
         pcent AS (
             SELECT vec_id AS cid, pvec AS cvec FROM proj
             ORDER BY vec_id LIMIT 8
@@ -6593,4 +6756,7 @@ def oracle_sql() -> dict[str, str]:
     pca_sql = _semdedup_pca_oracle()
     if pca_sql is not None:
         out["semdedup_pca_composed"] = pca_sql
+    ivf_pca_sql = _ivf_pca_oracle()
+    if ivf_pca_sql is not None:
+        out["ivf_pca_composed"] = ivf_pca_sql
     return out

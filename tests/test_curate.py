@@ -569,6 +569,21 @@ def test_span_site_route_parity_in_composition(spark, docs):
     assert arrow == native and len(arrow) > 0
 
 
+def test_fused_gopher_kwargs_validated(spark, docs):
+    """A misspelled Gopher bound must raise like the unfused path
+    (gopher_quality_filter(**gk) -> TypeError), not silently run the
+    fused stage with paper defaults (ADVICE r13)."""
+    from wroclaw_bike_stats_spark.operators.text import (
+        fused_gopher_rep_filter,
+    )
+
+    with pytest.raises(TypeError, match="min_word"):
+        fused_gopher_rep_filter(docs, gopher_kwargs={"min_word": 50})
+    # valid keys still pass through
+    ok = fused_gopher_rep_filter(docs, gopher_kwargs={"min_words": 1})
+    assert ok.count() >= 0
+
+
 def test_fused_quality_stage_byte_parity(spark, docs):
     """fuse_quality=True (the r13 one-Arrow-pass Gopher+repetition
     conjunction) must keep exactly the rows the two-stage plan keeps,

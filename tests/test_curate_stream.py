@@ -1300,3 +1300,39 @@ def test_runner_auto_compaction_preserves_view(spark, docs, tmp_path):
     ) == _pair_set(spark.read.parquet(os.path.join(plain, "pairs")))
     # idle threshold check is a no-op (nothing oversized now)
     assert maybe_compact_store(spark, auto, max_files_per_sub=64) is None
+
+
+def test_maybe_compact_byte_trigger(spark, docs, tmp_path):
+    """r14 byte trigger (ADVICE r13: count-only policy let a subdir
+    of few near-GB files never compact): a subdir whose average file
+    exceeds oversize_factor x target_file_bytes must compact — and
+    the rewrite SPLITS it into ~ceil(bytes/target) right-sized
+    files — while the same layout under a generous byte target stays
+    a no-op."""
+    from wroclaw_bike_stats_spark.streaming.curate_stream import (
+        maybe_compact_store,
+    )
+
+    store = str(tmp_path / "bstore")
+    sub = os.path.join(store, "docs")
+    docs.limit(500).coalesce(1).write.parquet(sub)  # ONE multi-KB file
+
+    # neither trigger: 1 file < 64, and avg size << 128 MB default
+    assert maybe_compact_store(spark, store, max_files_per_sub=64) is None
+    # byte trigger: avg file >> 1 KiB * factor -> compact AND split
+    rep = maybe_compact_store(
+        spark, store, max_files_per_sub=64, target_file_bytes=1024
+    )
+    assert rep is not None and "docs" in rep
+    assert rep["docs"]["files_before"] == 1
+    assert rep["docs"]["files_after"] > 1
+    # maintenance, never semantics
+    assert spark.read.parquet(sub).count() == 500
+    # healthy again under a target the split satisfies
+    assert (
+        maybe_compact_store(
+            spark, store, max_files_per_sub=64,
+            target_file_bytes=10 * 1024 * 1024,
+        )
+        is None
+    )

@@ -233,6 +233,42 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(bfp & ivfp) / len(bfp) >= 0.6
 
 
+def test_ivf_pca_composed_recall(emb):
+    """The r14 `ivf_pca_composed` gate's recall rows: top-k through
+    IVF over whitened k=8 PCA projections, measured against (a) the
+    PCA-space brute force — isolates the probe path's loss, measured
+    0.945 — and (b) the RAW-space brute force, the end-to-end number
+    a 100 TB reduced-vector ANN service actually delivers. On this
+    synthetic near-isotropic corpus an 8-of-64-dim projection keeps
+    little neighbor structure (measured 0.15 — a property of the
+    DATA, not the operator; real embedding spectra are far more
+    concentrated), so the floor only pins against regressions. Both
+    floors sit under the measured values by a stability margin."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        fit_pca,
+        pca_project,
+    )
+
+    model = fit_pca(emb, k=8)
+    proj = pca_project(emb, model, whiten=True, out_col="pvec").select(
+        "vec_id", "pvec"
+    )
+    pq = proj.filter(F.col("vec_id") < 20)
+    ivf = SIM.cosine_topk_ivf(
+        proj, pq, k=10, num_centroids=16, nprobe=4, vec_col="pvec"
+    )
+    ivfp = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+
+    bf_pca = SIM.cosine_topk_bruteforce(proj, pq, k=10, vec_col="pvec")
+    pcap = {(r["query_id"], r["neighbor_id"]) for r in bf_pca.collect()}
+    assert len(pcap & ivfp) / len(pcap) >= 0.8  # probe-path recall
+
+    q_raw = emb.filter(F.col("vec_id") < 20)
+    bf_raw = SIM.cosine_topk_bruteforce(emb, q_raw, k=10)
+    rawp = {(r["query_id"], r["neighbor_id"]) for r in bf_raw.collect()}
+    assert len(rawp & ivfp) / len(rawp) >= 0.08  # end-to-end floor
+
+
 def _within_cluster_objective(emb, centroids):
     assigned = SIM.assign_to_centroids(emb, centroids)
     return (

@@ -106,14 +106,15 @@ def test_model_counts_merge_as_monoid(spark):
 
 
 def test_score_plan_is_broadcast_and_python_free(spark, model):
-    """Both model count-table joins are broadcast; no Python in the
-    plan. (The final doc-coverage join legitimately shuffles by doc
-    id — `scored` is corpus-sized at scale — so no blanket
+    """The NATIVE route (pinned — the library default is auto→arrow
+    since r14): both model count-table joins are broadcast; no Python
+    in the plan. (The final doc-coverage join legitimately shuffles by
+    doc id — `scored` is corpus-sized at scale — so no blanket
     SortMergeJoin assertion.)"""
     uni, bi = model
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     plan = (
-        T.bigram_lm_score(docs, uni, bi)
+        T.bigram_lm_score(docs, uni, bi, impl="native")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -381,21 +382,26 @@ def test_lm_impl_auto_routing(spark, model):
     assert T.pick_lm_impl(True) == "arrow"
     assert T.pick_lm_impl(False) == "native"
 
-    native = {tuple(r) for r in T.bigram_lm_score(docs, uni, bi).collect()}
+    native = {
+        tuple(r)
+        for r in T.bigram_lm_score(docs, uni, bi, impl="native").collect()
+    }
     auto = {
         tuple(r)
         for r in T.bigram_lm_score(docs, uni, bi, impl="auto").collect()
     }
     assert auto == native
     # auto in the broadcast regime IS the arrow plan: no join, no
-    # exchange
-    plan = (
-        T.bigram_lm_score(docs, uni, bi, impl="auto")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Join" not in plan and "Exchange" not in plan
+    # exchange. Round 14: "auto" is also the DEFAULT — assert the
+    # bare call gets the same plan shape.
+    for kw in ({"impl": "auto"}, {}):
+        plan = (
+            T.bigram_lm_score(docs, uni, bi, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan
 
     # corpus-scale regime: auto keeps the native join route
     plan_na = (
@@ -442,4 +448,24 @@ def test_half_up4_decimal_ties_match_spark(spark):
     naive = np.floor(np.asarray(vals) * 1e4 + 0.5) / 1e4
     assert any(n != want[v] for v, n in zip(vals, naive)), (
         "battery has no binary-crossing tie; strengthen it"
+    )
+
+    # the scalar twin (_half_up4_s — the repetition filter's segment
+    # rounding, ADVICE r13) must match the same battery, including
+    # the dyadic halves where Python round() (HALF_EVEN) diverges
+    from wroclaw_bike_stats_spark.operators.text import _half_up4_s
+
+    dyadic = [1 / 32, 3 / 32, 5 / 32, 1 / 16]  # 0.03125 -> 0.0313 ...
+    sdf2 = spark.createDataFrame(
+        [(v,) for v in vals + dyadic], "x double"
+    ).select("x", F.round(F.col("x"), 4).alias("r"))
+    want2 = {r.x: r.r for r in sdf2.collect()}
+    bad_s = [
+        (v, _half_up4_s(v), want2[v])
+        for v in vals + dyadic
+        if _half_up4_s(v) != want2[v]
+    ]
+    assert not bad_s, bad_s[:5]
+    assert round(1 / 32, 4) != _half_up4_s(1 / 32), (
+        "battery no longer distinguishes HALF_EVEN - strengthen it"
     )

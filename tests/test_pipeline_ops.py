@@ -410,7 +410,10 @@ def test_gopher_repetition_filter_arrow_parity_and_barrier(spark):
             F.expr("substring(text, 41)"),
         ).alias("text"),
     )
-    native = {r.doc_id for r in T.gopher_repetition_filter(docs).collect()}
+    native = {
+        r.doc_id
+        for r in T.gopher_repetition_filter(docs, impl="native").collect()
+    }
     arrow = {
         r.doc_id
         for r in T.gopher_repetition_filter(docs, impl="arrow").collect()
@@ -432,7 +435,68 @@ def test_gopher_repetition_filter_arrow_parity_and_barrier(spark):
     assert eval_pos < exch_pos
     # and the knob cannot be silently dropped on the native route
     with pytest.raises(ValueError, match="min_parallelism requires"):
-        T.gopher_repetition_filter(docs, min_parallelism=4)
+        T.gopher_repetition_filter(docs, impl="native", min_parallelism=4)
+
+
+def test_gopher_repetition_filter_default_auto_routing(spark):
+    """Round-14 default flip: gopher_repetition_filter defaults to
+    impl='auto' (pick_gopher_rep_impl). With any n-gram family
+    binding (the paper defaults) the DEFAULT call runs the one-pass
+    Arrow route — per-doc short-circuit, min_parallelism escape
+    available; with segment-only bounds the plan stays Python-free
+    native codegen. Default-route rows == pinned-native rows."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    assert T.pick_gopher_rep_impl((2, 3, 4), (5,)) == "arrow"
+    assert T.pick_gopher_rep_impl((), ()) == "native"
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    dflt = T.gopher_repetition_filter(docs)  # default impl="auto"
+    dflt_exec = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in dflt_exec or "MapInPandas" in dflt_exec
+    pinned = {
+        r.doc_id
+        for r in T.gopher_repetition_filter(docs, impl="native").collect()
+    }
+    assert {r.doc_id for r in dflt.collect()} == pinned
+    # segment-only bounds: the default plan must be Python-free
+    seg = T.gopher_repetition_filter(
+        docs, max_top_ngram_share={}, max_dup_ngram_char_frac={}
+    )
+    seg_exec = seg._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in seg_exec and "MapInPandas" not in seg_exec
+    # min_parallelism now composes with the DEFAULT (auto->arrow) call
+    barred = T.gopher_repetition_filter(docs, min_parallelism=4)
+    assert {r.doc_id for r in barred.collect()} == pinned
+
+
+def test_repetition_stats_default_auto_is_arrow(spark):
+    """Round-14 default flip: repetition_stats defaults to
+    impl='auto' -> the zero-shuffle arrow struct route (no Exchange
+    from the gram stream in the plan), byte-equal to the pinned
+    native explode+agg route."""
+    from wroclaw_bike_stats_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dflt = T.repetition_stats(docs)  # default impl="auto"
+    dflt_exec = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in dflt_exec
+    assert "Exchange" not in dflt_exec
+    native = T.repetition_stats(docs, impl="native")
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, native.collect())
+    )
 
 
 def test_repetition_stats_arrow_parity(spark):

@@ -677,7 +677,7 @@ def minhash_band_table(signatures: DataFrame, bands: int = 8) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame, bands: int = 8, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs agreeing on ALL rows
     of any band become candidate pairs.
@@ -687,8 +687,25 @@ def minhash_lsh_candidates(
     (band_idx, band_hash) — linear in corpus size, never quadratic.
     Self-join within buckets is quadratic only in bucket size, which
     the hash bounds for non-duplicate content.
+
+    ``max_bucket_size``: opt-in percolation guard
+    (``density_guard.check_bucket_sizes``) — one eager agg that
+    refuses BEFORE the self-join if any (band_idx, band_hash) bucket
+    exceeds the bound (a B-row bucket is B(B-1)/2 candidate pairs).
+    Default ``None`` = off: zero plan change for gated paths.
     """
     banded = _band_table(signatures, bands)
+    if max_bucket_size is not None:
+        from wroclaw_bike_stats_spark.operators.density_guard import (
+            check_bucket_sizes,
+        )
+
+        check_bucket_sizes(
+            banded,
+            ["band_idx", "band_hash"],
+            max_bucket_size,
+            "minhash_lsh_candidates",
+        )
     left = banded.select(
         F.col("band_idx"), F.col("band_hash"), F.col("_id").alias("id_a")
     )
@@ -1157,9 +1174,13 @@ def simhash_neardup_pairs(
     bands: int = 4,
     sims: DataFrame | None = None,
     base_hash: str = "fast",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-ball SimHash near-dup: (a<b) pairs whose fingerprints
-    differ in ≤ ``max_hamming`` bits.
+    differ in ≤ ``max_hamming`` bits. ``max_bucket_size``: opt-in
+    percolation guard — refuses before the chunk self-join if any
+    (band_idx, chunk) bucket exceeds the bound (see
+    ``density_guard.check_bucket_sizes``); ``None`` = off.
 
     Pigeonhole banding: split the 64-bit fingerprint into ``bands``
     chunks; two fingerprints within hamming distance ≤ bands-1 MUST
@@ -1199,6 +1220,17 @@ def simhash_neardup_pairs(
     banded = sims.select(
         "_id", F.posexplode(chunks).alias("band_idx", "chunk")
     )
+    if max_bucket_size is not None:
+        from wroclaw_bike_stats_spark.operators.density_guard import (
+            check_bucket_sizes,
+        )
+
+        check_bucket_sizes(
+            banded,
+            ["band_idx", "chunk"],
+            max_bucket_size,
+            "simhash_neardup_pairs",
+        )
     cands = (
         banded.alias("l")
         .join(banded.alias("r"), ["band_idx", "chunk"])

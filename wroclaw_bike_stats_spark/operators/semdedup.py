@@ -54,6 +54,12 @@ from wroclaw_bike_stats_spark.operators.components import (
     connected_components,
     keep_canonical,
 )
+from wroclaw_bike_stats_spark.operators.density_guard import (
+    DEFAULT_MAX_PAIRS_PER_NODE,
+    DEFAULT_PERCOLATION_FRAC,
+    check_cluster_density,
+    check_component_percolation,
+)
 from wroclaw_bike_stats_spark.operators.similarity import (
     _cosine_verify,
     _make_cosine_udf,
@@ -117,14 +123,29 @@ _GRAM_BLOCK = 4096
 
 
 def _cluster_pairs_matmul(
-    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
+    percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
 ) -> DataFrame:
     """Upper-triangle cosine pairs ≥ threshold per cluster group, as
     BLOCKED Gram tiles (see _GRAM_BLOCK). Emits (id_a, id_b,
     cosine_sim) with id_a < id_b; cosine rounded to 6 dp BEFORE
     thresholding — the family-wide convention
     (`similarity._cosine_verify`) so every route and the DuckDB
-    oracles agree at the boundary."""
+    oracles agree at the boundary.
+
+    Circuit breakers (``density_guard``, both in-task, zero extra
+    jobs): ``max_pairs_per_node`` is the hard anti-quadratic cap —
+    the task aborts tile by tile, before the full Gram is paid, once
+    emitted pairs exceed the bound; ``percolation_frac`` is the
+    shape-aware check — a giant sparse component (a τ below the
+    space's duplicate boundary chaining the cluster together, the
+    round-13 episode) refuses before the pair table is materialized
+    and before connected-components walks it. ``None`` disables
+    either."""
     import numpy as np
 
     id_type = assigned.schema[id_col].dataType.simpleString()
@@ -146,6 +167,7 @@ def _cluster_pairs_matmul(
             En = E / norms
         ids = pdf[id_col].to_numpy()
         out_a, out_b, out_s = [], [], []
+        n_emitted = 0
         for i0 in range(0, n, B):
             for j0 in range(i0, n, B):
                 Si = np.round(En[i0 : i0 + B] @ En[j0 : j0 + B].T, 6)
@@ -160,10 +182,18 @@ def _cluster_pairs_matmul(
                 out_a.append(ids[i0 + iu[hit]])
                 out_b.append(ids[j0 + ju[hit]])
                 out_s.append(Si[iu[hit], ju[hit]])
+                n_emitted += int(hit.sum())
+                check_cluster_density(
+                    n_emitted, n, max_pairs_per_node, "semdedup_pairs"
+                )
+        ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        check_component_percolation(
+            ia.tolist(), ib.tolist(), n, "semdedup_pairs", percolation_frac
+        )
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
+                "id_a": ia,
+                "id_b": ib,
                 "cosine_sim": np.concatenate(out_s),
             }
         )
@@ -180,16 +210,34 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     pair_method: str = "cluster_matmul",
     assigned: DataFrame | None = None,
+    max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
+    percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
 ) -> DataFrame:
     """All within-cluster (a<b) pairs with cosine ≥ threshold:
     (id_a, id_b, cosine_sim). Pass a precomputed ``assigned`` (from
-    ``semdedup_assign``) to reuse the cluster stage across calls."""
+    ``semdedup_assign``) to reuse the cluster stage across calls.
+
+    ``max_pairs_per_node`` / ``percolation_frac``: the matmul route's
+    circuit breakers (see ``_cluster_pairs_matmul`` /
+    ``density_guard``) — refuse in-task, pre-materialization, when a
+    cluster emits near-quadratically or its pair graph percolates
+    into a giant sparse component; ``None`` disables. The relational
+    ``pair_method="join"`` differential route is unguarded (its
+    candidate table is already explicit); use
+    ``density_guard.estimate_pair_density`` for a pre-flight there."""
     if assigned is None:
         _, assigned = semdedup_assign(
             corpus, num_clusters, refine_iters, id_col, vec_col
         )
     if pair_method == "cluster_matmul":
-        return _cluster_pairs_matmul(assigned, threshold, id_col, vec_col)
+        return _cluster_pairs_matmul(
+            assigned,
+            threshold,
+            id_col,
+            vec_col,
+            max_pairs_per_node,
+            percolation_frac,
+        )
     if pair_method == "join":
         a = assigned.select(F.col(id_col).alias("id_a"), "centroid_id")
         b = assigned.select(F.col(id_col).alias("id_b"), "centroid_id")
@@ -212,6 +260,8 @@ def semdedup_keep(
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
+    percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
 ) -> DataFrame:
     """SemDeDup closure: the corpus with every duplicate group
     collapsed to one representative (rows absent from the pair graph
@@ -242,6 +292,8 @@ def semdedup_keep(
             vec_col=vec_col,
             pair_method=pair_method,
             assigned=assigned,
+            max_pairs_per_node=max_pairs_per_node,
+            percolation_frac=percolation_frac,
         )
     comps = connected_components(
         pairs, src="id_a", dst="id_b", rebalance_edges=True
@@ -282,6 +334,8 @@ def semdedup_incremental_pairs(
     old_vectors: DataFrame | None = None,
     pair_method: str = "cluster_matmul",
     new_assigned: DataFrame | None = None,
+    max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
+    percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
 ) -> DataFrame:
     """Day-N incremental SemDeDup: duplicate pairs INVOLVING at least
     one NEW vector (new↔new and new↔old; old↔old was resolved when the
@@ -387,6 +441,7 @@ def semdedup_incremental_pairs(
         ids = pdf[id_col].to_numpy()
         En_new, ids_new = En[is_new], ids[is_new]
         out_a, out_b, out_s = [], [], []
+        n_emitted = 0
         for i0 in range(0, len(ids_new), B):
             ri = ids_new[i0 : i0 + B]
             for j0 in range(0, n, B):
@@ -406,12 +461,27 @@ def semdedup_incremental_pairs(
                 out_a.append(np.minimum(a, b))
                 out_b.append(np.maximum(a, b))
                 out_s.append(S[iu, ju])
+                n_emitted += len(iu)
+                check_cluster_density(
+                    n_emitted,
+                    n,
+                    max_pairs_per_node,
+                    "semdedup_incremental_pairs",
+                )
         if not out_a:
             return empty
+        ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        check_component_percolation(
+            ia.tolist(),
+            ib.tolist(),
+            n,
+            "semdedup_incremental_pairs",
+            percolation_frac,
+        )
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
+                "id_a": ia,
+                "id_b": ib,
                 "cosine_sim": np.concatenate(out_s),
             }
         )

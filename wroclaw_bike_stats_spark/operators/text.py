@@ -306,6 +306,20 @@ def pick_gopher_impl(
     return "arrow" if hof_binding else "native"
 
 
+def pick_gopher_rep_impl(top_ns, mask_ns) -> str:
+    """Route selection for ``gopher_repetition_filter(impl="auto")``
+    — same contract as ``pick_gopher_impl``: zero jobs, the winner is
+    a property of WHICH rule families are binding. When any n-gram
+    family is binding (the paper defaults bind both), even the
+    "native" route carries the fused Arrow signal pass inside its
+    scan-pushed predicate — so it inherits the measured
+    single-row-group serialization trap with none of the arrow
+    route's per-doc short-circuit or ``min_parallelism`` escape;
+    route arrow. With segment-only bounds the predicate is pure
+    codegen and the native scan-pushed filter is strictly right."""
+    return "arrow" if (top_ns or mask_ns) else "native"
+
+
 def gopher_quality_filter(
     df,
     text_col: str = "text",
@@ -461,6 +475,23 @@ def _gopher_filter_arrow(
     return df.mapInPandas(emit, df.schema)[cols]
 
 
+#: The Gopher bound names gopher_quality_filter accepts — the
+#: validation surface for fused_gopher_rep_filter's dict form.
+_GOPHER_BOUND_NAMES = frozenset(
+    {
+        "min_words",
+        "max_words",
+        "min_mean_word_len",
+        "max_mean_word_len",
+        "max_symbol_word_ratio",
+        "min_alpha_word_frac",
+        "min_stopwords",
+        "max_bullet_line_frac",
+        "max_ellipsis_line_frac",
+    }
+)
+
+
 def fused_gopher_rep_filter(
     df,
     text_col: str = "text",
@@ -484,6 +515,17 @@ def fused_gopher_rep_filter(
     import re as _re
 
     gk = dict(gopher_kwargs or {})
+    # fail like the unfused path: gopher_quality_filter(**gk) raises
+    # TypeError on an unknown bound — silently defaulting a misspelled
+    # key here would run the fused stage with paper bounds the caller
+    # never chose (ADVICE r13)
+    unknown = set(gk) - _GOPHER_BOUND_NAMES
+    if unknown:
+        raise TypeError(
+            f"fused_gopher_rep_filter: unknown gopher_kwargs "
+            f"{sorted(unknown)}; valid bounds: "
+            f"{sorted(_GOPHER_BOUND_NAMES)}"
+        )
     passes = _make_gopher_passes(
         gk.get("min_words", 50),
         gk.get("max_words", 100_000),
@@ -593,7 +635,9 @@ def word_ngrams(col: Column, n: int) -> Column:
     ``word_bigrams`` generalized: n-1 chained ``zip_with`` folds over
     shifted ``slice`` views (the measured-fast form; the
     sequence+element_at alternative is ~10× slower interpreted).
-    Docs with fewer than n tokens yield []."""
+    Docs with fewer than n tokens yield []; NULL text normalizes to
+    [] for EVERY n (NULL has zero tokens < n — one contract across
+    n=1 and n≥2, pinned in tests)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(col)
@@ -762,6 +806,32 @@ def dup_ngram_char_fracs(col: Column, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column
     )
 
 
+def _half_up4_s(x: float) -> float:
+    """Scalar twin of ``_half_up4``: HALF_UP round to 4 dp matching
+    Spark's ``F.round`` (BigDecimal shortest-decimal HALF_UP) on a
+    single non-negative float. Python's builtin ``round`` is
+    HALF_EVEN — at exactly-representable dyadic halves (e.g.
+    1/32 = 0.03125 → 0.0312 vs Spark's 0.0313) it diverges from the
+    native expressions and the DuckDB oracles, which is why the arrow
+    filter route must NOT use it for bound comparisons (ADVICE r13).
+    Fast path is the fp shortcut; tie-suspect values re-round exactly
+    through ``decimal.Decimal(repr(x))`` — the ``_half_up4`` kernel's
+    scheme, scalarized."""
+    import math
+
+    scaled = x * 1e4
+    frac = scaled - math.floor(scaled)
+    if abs(frac - 0.5) < max(1e-6, 8 * (math.ulp(scaled) if scaled else 1e-300)):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+    return math.floor(scaled + 0.5) / 1e4
+
+
 def _seg_fracs_py(ts: str, pat) -> tuple:
     """Python mirror of ``_segment_dup_exprs`` for one doc: the
     (dup_seg_frac, dup_seg_char_frac) pair under the compiled split
@@ -790,7 +860,7 @@ def gopher_repetition_filter(
     max_dup_para_char_frac: float = 0.20,
     max_top_ngram_share: dict | None = None,
     max_dup_ngram_char_frac: dict | None = None,
-    impl: str = "native",
+    impl: str = "auto",
     min_parallelism: int | None = None,
 ):
     """The COMPLETE Gopher repetition rule set as one filter (Rae et
@@ -805,9 +875,13 @@ def gopher_repetition_filter(
     a once-occurring n-gram can exceed the top-n-gram CHAR bounds.
 
     ``impl`` routes the evaluation (the ``gopher_quality_filter``
-    precedent — byte-parity pinned in tests):
+    precedent — byte-parity pinned in tests). ``"auto"`` (the DEFAULT
+    since round 14 — one consistent family policy) resolves through
+    the zero-job ``pick_gopher_rep_impl``: arrow when any n-gram
+    family is binding (the paper defaults), native for segment-only
+    bounds.
 
-    - ``"native"`` (default): segment rules as native expressions +
+    - ``"native"``: segment rules as native expressions +
       ONE fused Arrow pass for the n-gram signals, all conjoined into
       a single Filter. Catalyst pushes this predicate to the SCAN —
       exactly right at cluster scale (drop rows before any exchange;
@@ -835,6 +909,9 @@ def gopher_repetition_filter(
     top_ns = tuple(sorted(max_top_ngram_share))
     mask_ns = tuple(sorted(max_dup_ngram_char_frac))
 
+    if impl == "auto":
+        impl = pick_gopher_rep_impl(top_ns, mask_ns)
+
     if impl == "arrow":
         import re as _re
 
@@ -854,14 +931,14 @@ def gopher_repetition_filter(
             # every rule family
             lf, lcf = _seg_fracs_py(ts, line_pat)
             if (
-                round(lf, 4) > max_dup_line_frac
-                or round(lcf, 4) > max_dup_line_char_frac
+                _half_up4_s(lf) > max_dup_line_frac
+                or _half_up4_s(lcf) > max_dup_line_char_frac
             ):
                 return False
             pf, pcf = _seg_fracs_py(ts, para_pat)
             if (
-                round(pf, 4) > max_dup_para_frac
-                or round(pcf, 4) > max_dup_para_char_frac
+                _half_up4_s(pf) > max_dup_para_frac
+                or _half_up4_s(pcf) > max_dup_para_char_frac
             ):
                 return False
             if top_ns or mask_ns:
@@ -1014,7 +1091,7 @@ def segment_repetition_filter(
 
 
 def repetition_stats(
-    df, text_col: str = "text", id_col: str = "doc_id", impl: str = "native"
+    df, text_col: str = "text", id_col: str = "doc_id", impl: str = "auto"
 ):
     """Gopher-style repetition metrics per document: most-common-2-gram
     share and duplicate-word fraction.
@@ -1022,16 +1099,20 @@ def repetition_stats(
     ``impl`` routes the 2-gram mode computation (the
     ``gopher_quality_filter(impl=...)`` precedent):
 
-    - ``"native"`` (default — the oracle-gated SQL-differential
-      shape): explode → two keyed aggregations → join back. Linear
-      work with map-side partial aggregation on (doc, gram), but it
-      shuffles the gram stream twice and re-references ``df``.
-    - ``"arrow"`` / ``"auto"``: ``repetition_2gram_struct`` — one
-      zero-shuffle Arrow pass, no join-back (the stat is per-doc, so
-      unlike Gopher there is no rule-dependent regime: the arrow
-      route wins whenever Python workers are warm, measured 4.7×
-      at sf10 — SCALING.md r11 note). Byte-parity with native is
-      pinned in tests.
+    - ``"native"``: the SQL-differential shape (the
+      ``repetition_stats`` driver gate pins it explicitly): explode →
+      two keyed aggregations → join back. Linear work with map-side
+      partial aggregation on (doc, gram), but it shuffles the gram
+      stream twice and re-references ``df``.
+    - ``"arrow"`` / ``"auto"`` (the DEFAULT since round 14 — one
+      consistent family policy with ``gopher_quality_filter``; the
+      stat is per-doc, so there is no rule-dependent regime and no
+      probe is needed): ``repetition_2gram_struct`` — one
+      zero-shuffle Arrow pass, no join-back, measured 4.7× over
+      native at sf10 (SCALING.md r11 note), and it dodges the native
+      route's double gram shuffle. Byte-parity with native is pinned
+      in tests; the arrow core is oracle-attested by the
+      ``repetition_2gram_column`` gate.
 
     Docs with <2 tokens get top2_count=0/total_2grams=0 either way.
     """
@@ -1178,7 +1259,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.1,
     broadcast_model: bool = True,
-    impl: str = "native",
+    impl: str = "auto",
     model_assets=None,
 ):
     """Per-document cross-entropy under the reference bigram LM:
@@ -1205,14 +1286,17 @@ def bigram_lm_score(
     action, so scoring composes into a single plan.
 
     ``impl`` selects the execution route (round 10, the
-    ``gopher_quality_filter(impl=...)`` precedent): ``"native"``
-    (default — the oracle-gated join plan above), ``"arrow"`` (the
-    ONE-pass ``bigram_lm_score_arrow``; requires the
+    ``gopher_quality_filter(impl=...)`` precedent): ``"auto"`` (the
+    DEFAULT since round 14 — ``pick_lm_impl``, zero-job, routes on
+    the model regime the caller already declared: arrow under
+    ``broadcast_model=True``, native otherwise; ``plans/curate.py``'s
+    ppl stage always used this), ``"native"`` (the join plan above —
+    the ``bigram_lm_ppl`` driver gate pins it explicitly), or
+    ``"arrow"`` (the ONE-pass ``bigram_lm_score_arrow``; requires the
     model-fits-one-heap regime and EAGERLY collects the count tables
-    at call time, so it is rejected under ``broadcast_model=False``),
-    or ``"auto"`` (``pick_lm_impl`` — zero-job, routes on the model
-    regime the caller already declared; ``plans/curate.py``'s ppl
-    stage uses this). ``model_assets`` (``collect_lm_assets``) lets a
+    at call time, so it is rejected under ``broadcast_model=False``;
+    its scorer core is oracle-attested by the ``bigram_lm_ppl_column``
+    gate). ``model_assets`` (``collect_lm_assets``) lets a
     caller scoring repeatedly against ONE standing model skip the
     arrow route's per-call collect+broadcast; only that route
     consumes it (the native joins read the DataFrames directly)."""

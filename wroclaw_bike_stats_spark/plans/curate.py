@@ -275,7 +275,9 @@ def curate_corpus(
         if persist_stages:
             out = scratch.persist(out)
         rep = T.repetition_stats(
-            out, text_col=text_col, id_col=id_col
+            # the caller chose rep_impl="native" — pin it through
+            # (the library default flipped to auto→arrow in r14)
+            out, text_col=text_col, id_col=id_col, impl="native"
         ).select(
             id_col,
             F.when(

@@ -892,20 +892,39 @@ def maybe_compact_store(
     max_files_per_sub: int = 64,
     target_rows_per_file: int = 5_000_000,
     subs: tuple | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    oversize_factor: float = 2.0,
 ) -> dict | None:
     """Threshold policy over ``compact_curation_store`` (r12 VERDICT
-    task 6 — compaction was probe-measured but MANUAL): count the
-    data files in each present store subdir and compact exactly the
-    subdirs over ``max_files_per_sub``, leaving the rest untouched.
+    task 6 — compaction was probe-measured but MANUAL): inspect each
+    present store subdir's file listing and compact exactly the
+    subdirs that trip EITHER trigger, leaving the rest untouched.
     Zero jobs when nothing is oversized (one FS listing per subdir —
     the same listing scan planning already pays). Returns the
-    compaction report, or None when no subdir crossed the threshold.
+    compaction report, or None when no subdir crossed a threshold.
 
-    The default threshold is sized for the daily-drop shape: one
-    appended part per micro-batch per subdir means 64 files ≈ two
-    months of dailies — late enough that compaction is amortized,
-    early enough that scan planning never sees the ~365-file year
-    the operator's docstring warns about. Call between batches (the
+    Two triggers per subdir (r14 — file COUNT alone let 65 tiny
+    files compact while 50 near-GB files never did):
+
+    - **too many files**: ``n_files > max_files_per_sub``. Sized for
+      the daily-drop shape: one appended part per micro-batch per
+      subdir means 64 files ≈ two months of dailies — late enough
+      that compaction is amortized, early enough that scan planning
+      never sees the ~365-file year the operator's docstring warns
+      about.
+    - **files too big**: ``total_bytes > n_files · target_file_bytes
+      · oversize_factor`` — the average file is over
+      ``oversize_factor``× the target, so the layout is under-split
+      for byte-parallel scanning (the r13 single-0.5 GB-file bug
+      class, caught by the gated day-curve); compaction re-splits to
+      ``ceil(bytes / target_file_bytes)`` right-sized units. The
+      factor's slack keeps a subdir that is only marginally over
+      target from churning through rewrite after rewrite.
+
+    ``target_file_bytes`` is forwarded to
+    ``compact_curation_store`` — the byte-based sizing knob the r13
+    fix made the primary dimension (ADVICE r13: it was previously
+    unreachable from the policy path). Call between batches (the
     stream runners' ``compact_max_files`` does) — never under a live
     ingest; ``compact_curation_store``'s crash-self-heal covers a
     kill mid-swap."""
@@ -924,18 +943,25 @@ def maybe_compact_store(
         p = _hp(_d(store_dir, sub))
         if not fs.exists(p):
             continue
-        n = sum(
-            1
-            for s in fs.listStatus(p)
-            if s.isFile()
-            and not s.getPath().getName().startswith(("_", "."))
-        )
-        if n > max_files_per_sub:
+        n = nbytes = 0
+        for s in fs.listStatus(p):
+            if s.isFile() and not s.getPath().getName().startswith(
+                ("_", ".")
+            ):
+                n += 1
+                nbytes += s.getLen()
+        if n > max_files_per_sub or (
+            n > 0 and nbytes > n * target_file_bytes * oversize_factor
+        ):
             oversized.append(sub)
     if not oversized:
         return None
     return compact_curation_store(
-        spark, store_dir, target_rows_per_file, subs=tuple(oversized)
+        spark,
+        store_dir,
+        target_rows_per_file,
+        subs=tuple(oversized),
+        target_file_bytes=target_file_bytes,
     )
 
 
@@ -954,6 +980,7 @@ def run_curation_stream(
     enforce_ascending_ids: bool = True,
     broadcast_index_probe: bool = True,
     compact_max_files: int | None = None,
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """Wire ``ingest_document_batch`` to a file-source stream: one
     input file per daily drop, ``maxFilesPerTrigger=1`` so each day
@@ -979,7 +1006,10 @@ def run_curation_stream(
     threshold check is one FS listing per subdir per batch; the
     rewrite runs only when crossed, and a crash mid-swap self-heals
     on the next call. Default None keeps the r12 manual-compaction
-    behavior."""
+    behavior. ``compact_target_file_bytes`` (r14, ADVICE r13) tunes
+    the policy's byte trigger AND the compacted output's file sizing
+    — streaming callers on stores with non-default file-size targets
+    previously could only reach the rows knob."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -998,6 +1028,7 @@ def run_curation_stream(
                 maybe_compact_store(
                     batch.sparkSession, store_dir,
                     max_files_per_sub=compact_max_files,
+                    target_file_bytes=compact_target_file_bytes,
                 )
 
     writer = (
@@ -1127,6 +1158,7 @@ def run_embedding_curation_stream(
     available_now: bool = True,
     admit_filter=None,
     compact_max_files: int | None = None,
+    compact_target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """The embedding-side twin of ``run_curation_stream`` (round 11):
     wire ``ingest_embedding_batch`` to a file-source stream, one
@@ -1204,7 +1236,9 @@ def run_embedding_curation_stream(
             bootstrapped.append(True)
         if compact_max_files is not None:
             maybe_compact_store(
-                spark, store_dir, max_files_per_sub=compact_max_files
+                spark, store_dir,
+                max_files_per_sub=compact_max_files,
+                target_file_bytes=compact_target_file_bytes,
             )
 
     writer = (
