@@ -2519,6 +2519,222 @@ def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("centroid_id")
 
 
+def _mm_payload(d: int) -> tuple[str, bytes]:
+    """Deterministic real-format fixture payload for asset id ``d``
+    (the staged-signal precedent: inject a fully-specified signal so
+    the WHOLE decode path is exercised). d < 32 → 24-bit BI_RGB BMP,
+    width 4+d%3 × height 3+d%2, pixel (x,y,channel c∈R,G,B) value
+    ``(d*7 + y*11 + x*5 + c*3) % 256``, stored bottom-up for even d
+    and top-down (negative height) for odd d — both orientations of
+    ``decode_bmp`` are driven. d in [32,64) → PCM WAV, mono, 8 kHz,
+    64+d samples: 16-bit for d < 48 with sample
+    ``((d*31 + i*17) % 4096 - 2048) * 8``, 8-bit unsigned for d ≥ 48
+    with sample ``(d*13 + i*29) % 256`` — both integer widths of
+    ``decode_wav`` are driven."""
+    import io
+    import struct
+    import wave
+
+    if d < 32:
+        w, h = 4 + d % 3, 3 + d % 2
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                # stored BGR
+                for c in (2, 1, 0):
+                    row.append((d * 7 + y * 11 + x * 5 + c * 3) % 256)
+            row.extend(b"\x00" * (stride - w * 3))
+            rows.append(bytes(row))
+        top_down = d % 2 == 1
+        body = b"".join(rows if top_down else rows[::-1])
+        hdr_h = -h if top_down else h
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body),
+                2835, 2835, 0, 0,
+            )
+        )
+        return "image", header + body
+    n = 64 + d
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setframerate(8000)
+        if d < 48:
+            wv.setsampwidth(2)
+            frames = b"".join(
+                struct.pack("<h", ((d * 31 + i * 17) % 4096 - 2048) * 8)
+                for i in range(n)
+            )
+        else:
+            wv.setsampwidth(1)
+            frames = bytes((d * 13 + i * 29) % 256 for i in range(n))
+        wv.writeframes(frames)
+    return "audio", buf.getvalue()
+
+
+def _mm_expected_features(d: int) -> list[float]:
+    """INDEPENDENT expectation for asset ``d``: features re-derived
+    with numpy straight from the ``_mm_payload`` SPEC (pixel/sample
+    value formulas) — never by parsing the payload bytes and never by
+    calling the engine decoders. If ``decode_bmp``/``decode_wav``
+    misparse anything (stride, bottom-up flip, sample width), the
+    spec-derived numbers diverge and the gate goes red. Rounded to
+    9 dp with the BigDecimal HALF_UP semantics (``F.round``'s) so
+    last-ulp float noise between the two derivations can't flip a
+    digit."""
+    import numpy as np
+
+    def r9(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    if d < 32:
+        w, h = 4 + d % 3, 3 + d % 2
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        chans = [
+            ((d * 7 + ys * 11 + xs * 5 + c * 3) % 256).astype(np.float64)
+            for c in (0, 1, 2)
+        ]
+        rgb = np.stack(chans, axis=-1)
+        means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+        gray = rgb.mean(axis=2)
+        feats = [
+            float(w), float(h), means[0], means[1], means[2],
+            gray.std() / 255.0, w / h, gray.mean() / 255.0,
+        ]
+    else:
+        n = 64 + d
+        i = np.arange(n)
+        if d < 48:
+            x = (((d * 31 + i * 17) % 4096 - 2048) * 8) / 32768.0
+        else:
+            x = (((d * 13 + i * 29) % 256) - 128.0) / 128.0
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        feats = [
+            8000.0, float(n), n / 8000.0,
+            float(np.sqrt(np.mean(x * x))), float(np.abs(x).max()),
+            zc, float(x.mean()), float(x.std()),
+        ]
+    return [r9(f) for f in feats]
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end to end (r13 VERDICT task 7; the
+    `multimodal_bytes` gate attests metadata/byte plumbing only):
+    deterministic real-format payloads — 24-bit BMPs in both storage
+    orientations, PCM WAVs in both integer widths (`_mm_payload`) —
+    flow through `extract_features`'s Arrow mapInPandas with a real
+    decoder dispatch (`decode_image_real` / `decode_audio_real`,
+    operators/multimodal.py). One asset per corpus doc_id < 64, so
+    the fixture rides the corpus like every gate. Output explodes
+    the 8-dim feature vector to scalar rows (HALF_UP 9 dp); the
+    oracle recomputes n_bytes in SQL over the embedded payload BLOBs
+    and carries sha256 + spec-derived feature expectations as
+    literals (`_mm_expected_features` — an independent numpy
+    derivation from the pixel/sample formulas, the PCA-refit-literal
+    precedent)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wroclaw_bike_stats_spark.operators.multimodal import (
+        decode_audio_real,
+        decode_image_real,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") < 64).select("doc_id").collect()
+    )
+    rows = []
+    for d in ids:
+        media, payload = _mm_payload(int(d))
+        rows.append((int(d), media, bytearray(payload)))
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    assets = spark.createDataFrame(rows, schema)
+
+    def _decode(b: bytes) -> list:
+        if bytes(b[:2]) == b"BM":
+            return decode_image_real(bytes(b))
+        return decode_audio_real(bytes(b))
+
+    feats = extract_features(assets, decode_fn=_decode)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+        F.posexplode(
+            F.transform("feature", lambda x: F.round(x, 9))
+        ).alias("f_idx", "f_val"),
+    ).orderBy("asset_id", "f_idx")
+
+
+def _multimodal_decode_oracle() -> str:
+    """Oracle SQL for ``multimodal_decode``: per-asset payload BLOBs
+    embedded as hex (n_bytes COMPUTED in SQL via
+    octet_length(unhex(...))), sha256 computed independently by the
+    oracle builder over those bytes (DuckDB's md5/sha256 accept only
+    VARCHAR — a blob→varchar cast mangles bytes, so the digest rides
+    as a literal), and the 8 feature expectations re-derived from the
+    fixture SPEC by ``_mm_expected_features``."""
+    import hashlib
+
+    arows, frows = [], []
+    for d in range(64):
+        media, payload = _mm_payload(d)
+        sha = hashlib.sha256(payload).hexdigest()
+        arows.append(
+            f"({d}, '{media}', '{payload.hex()}', '{sha}')"
+        )
+        for i, v in enumerate(_mm_expected_features(d)):
+            frows.append(f"({d}, {i}, {v!r})")
+    return f"""
+        WITH fixture(asset_id, media_type, payload_hex, sha) AS (
+            VALUES {", ".join(arows)}
+        ),
+        feats(asset_id, f_idx, f_val) AS (
+            VALUES {", ".join(frows)}
+        ),
+        present AS (
+            SELECT doc_id FROM documents WHERE doc_id < 64
+        )
+        SELECT a.asset_id,
+               a.media_type,
+               CAST(octet_length(unhex(a.payload_hex)) AS BIGINT)
+                   AS n_bytes,
+               a.sha AS sha256,
+               CAST(f.f_idx AS INTEGER) AS f_idx,
+               CAST(f.f_val AS DOUBLE) AS f_val
+        FROM fixture a
+        JOIN present p ON p.doc_id = a.asset_id
+        JOIN feats f ON f.asset_id = a.asset_id
+        ORDER BY a.asset_id, f.f_idx
+    """
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → bytes payload; byte length +
     digest computed on the binary column (decode stays stubbed —
@@ -3283,6 +3499,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": q_semdedup_keep,
         "semdedup_pca_composed": q_semdedup_pca_composed,
         "ivf_pca_composed": q_ivf_pca_composed,
+        "multimodal_decode": q_multimodal_decode,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_stats": q_semdedup_stats,
         "temperature_mix": q_temperature_mix,
@@ -3410,6 +3627,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
     "ivf_pca_composed",  # NEW r14
+    "multimodal_decode",  # NEW r14
     "neardup_dedup_keep",
     "embedding_topk",
     "embedding_neardup",
@@ -6759,4 +6977,5 @@ def oracle_sql() -> dict[str, str]:
     ivf_pca_sql = _ivf_pca_oracle()
     if ivf_pca_sql is not None:
         out["ivf_pca_composed"] = ivf_pca_sql
+    out["multimodal_decode"] = _multimodal_decode_oracle()
     return out

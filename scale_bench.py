@@ -1073,7 +1073,11 @@ def gopher_repetition_corpus(spark, sf_dir):
         gopher_repetition_filter,
     )
 
-    return gopher_repetition_filter(_docs(spark, sf_dir)).select("doc_id")
+    # impl pinned: this row documents the NATIVE route; the library
+    # default flipped to auto→arrow in r14
+    return gopher_repetition_filter(
+        _docs(spark, sf_dir), impl="native"
+    ).select("doc_id")
 
 
 def gopher_repetition_arrow_corpus(spark, sf_dir):

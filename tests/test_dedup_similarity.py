@@ -334,7 +334,10 @@ def test_ivf_index_cache_invalidated_by_corpus_rewrite(spark, tmp_path):
     shutil.copy(src, dst)
 
     cache_root = "/root/repo/.ivf_index_cache"
-    prefix = os.path.basename(str(sf_dir)) + "-"
+    # r14: cache keys are family-tagged — "<sf>.raw-<fp>" for the
+    # raw-space index, "<sf>.pca-<fp>" for the projected one — so one
+    # family's prune prefix can never match the other's directories
+    prefix = os.path.basename(str(sf_dir)) + ".raw-"
 
     def _index_dirs():
         if not os.path.isdir(cache_root):

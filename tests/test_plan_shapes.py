@@ -122,6 +122,7 @@ BNLJ_ALLOWED = {
     "embedding_topk": "5 broadcast query vectors × corpus",
     "embedding_topk_ivf": "broadcast query vectors + probe literals",
     "embedding_topk_ivf_indexed": "broadcast query vectors + probe literals",
+    "ivf_pca_composed": "broadcast query vectors + probe literals over the PCA projection (same IVF probe shape as embedding_topk_ivf_indexed)",
     # deliberate brute-force verification sides
     "simhash_recall": "O(n²) hamming brute force IS the check",
     "ivf_recall": "exact brute-force side of the recall check",

@@ -417,3 +417,67 @@ def test_arrow_site_route_matches_native_on_corpus(spark):
     }
     assert arr == nat
     assert sum(1 for _, _, n in nat if n > 0) > 0  # non-vacuous
+
+
+def test_merge_route_arrow_matches_window(spark):
+    """r14 sort-free span merge (_merged_spans_arrow): identical
+    (doc, text_clean, n_removed) to the WindowExec gaps-and-islands
+    route, on a corpus staged so every doc strips something; and the
+    min_parallelism repartition escape changes nothing but the plan."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(" "),
+            F.substring("text", 1, 60), F.lit(" "),
+            F.expr("substring(text, 61)"),
+        ).alias("text"),
+    )
+    win = sorted(
+        map(tuple, S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow", merge_route="window"
+        ).collect())
+    )
+    arr = sorted(
+        map(tuple, S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow", merge_route="arrow"
+        ).collect())
+    )
+    assert arr == win
+    assert sum(1 for _, _, n in win if n > 0) > 0
+    # the arrow merge plan carries NO sort-based window over sites
+    plan = (
+        S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow", merge_route="arrow"
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    # the dup-detection window (keyed by h) remains; the span MERGE
+    # must be a hash aggregate, never a WindowExec keyed by _id
+    assert "windowspecdefinition(_id" not in plan, plan
+    assert "windowspecdefinition(h" in plan, plan
+    barred = sorted(
+        map(tuple, S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow", min_parallelism=4
+        ).collect())
+    )
+    assert barred == win
+    with pytest.raises(ValueError):
+        S.strip_duplicate_spans(docs, k=5, merge_route="bogus")
+
+
+def test_merged_spans_arrow_unit(spark):
+    """Span math of the vectorized merge: positions {0,1,2, 9, 20,21}
+    at k=5 merge to [0,7),[9,14),[20,26) per the gaps-and-islands
+    rule (break when pos > prev + k)."""
+    rem = spark.createDataFrame(
+        [(1, p) for p in (0, 1, 2, 9, 20, 21)], "_id long, pos int"
+    )
+    rows = S._merged_spans_arrow(rem, 5).collect()
+    assert len(rows) == 1
+    spans = sorted(
+        (s["span_start"], s["span_end"]) for s in rows[0]["_spans"]
+    )
+    assert spans == [(0, 7), (9, 14), (20, 26)]

@@ -247,6 +247,53 @@ def _merge_spans(sites: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _merged_spans_arrow(removable: DataFrame, k: int) -> DataFrame:
+    """Sort-free twin of ``_merge_spans`` + the per-doc span collect:
+    returns (``_id``, ``_spans`` array<struct<span_start,span_end>>)
+    — the exact frame ``_strip_with_sites`` joins back to the corpus.
+
+    The window route sorts the ENTIRE removable-site stream inside a
+    WindowExec (partitionBy(_id) orderBy(pos)) — at the salt-corpus
+    1000× point that is a full external sort of ~10⁸ (id, pos) rows.
+    Here the shuffle is a plain hash aggregation
+    (``collect_list(pos)``, map-side partial, no sort) and the
+    gaps-and-islands merge runs vectorized per doc in one Arrow pass
+    (``np.sort`` over the doc's own positions — bounded by doc
+    length, thousands not billions). Output span SETS are identical
+    to the window route (differential-pinned); only the in-array
+    order is canonicalized (sorted by span_start, which the window
+    route also produces)."""
+    import numpy as np
+    import pandas as pd
+
+    def merge_batch(pos_lists: pd.Series) -> pd.Series:
+        out = []
+        for pl in pos_lists:
+            p = np.sort(np.asarray(pl, dtype=np.int64))
+            brk = np.nonzero(p[1:] > p[:-1] + k)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [len(p) - 1]))
+            out.append(
+                [
+                    {"span_start": int(p[s]), "span_end": int(p[e]) + k}
+                    for s, e in zip(starts, ends)
+                ]
+            )
+        return pd.Series(out)
+
+    merge_batch.__annotations__ = {
+        "pos_lists": pd.Series, "return": pd.Series,
+    }
+    merge_udf = F.pandas_udf(
+        merge_batch, "array<struct<span_start:int,span_end:int>>"
+    )
+    return (
+        removable.groupBy("_id")
+        .agg(F.collect_list("pos").alias("_pl"))
+        .select("_id", merge_udf(F.col("_pl")).alias("_spans"))
+    )
+
+
 def _non_canonical(annotated: DataFrame) -> DataFrame:
     """Duplicate sites that are not their content's canonical site.
     Null-safe on purpose: a NULL ``_id`` sorts first in the struct
@@ -271,6 +318,7 @@ def _dup_sites(
     k: int,
     method: str = "window",
     site_route: str = "native",
+    min_parallelism: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(all duplicate sites, removable duplicate sites): sites whose
     window content occurs >= 2 times corpus-wide; removable drops the
@@ -307,10 +355,21 @@ def _dup_sites(
     full-corpus runs)."""
     if method == "auto":
         method = pick_span_method(df, text_col, id_col, k)
+    # ``min_parallelism`` (r14): the site pass inherits the input's
+    # partitioning, and a single-row-group local parquet (or a
+    # 1-partition upstream) serializes the O(len·k) site generation
+    # onto one core — measured 196 s of a 269 s standalone strip at
+    # the 5M-doc salt point. One repartition of the two-column
+    # projection fans it out; generation is per-row, so correctness
+    # is unaffected (the gopher min_parallelism precedent, minus the
+    # optimizer barrier — mapInPandas is not a pushable predicate).
+    src = df.select(id_col, text_col)
+    if min_parallelism:
+        src = src.repartition(min_parallelism)
     if site_route == "arrow":
-        sites = _site_table_arrow(df, text_col, id_col, k)
+        sites = _site_table_arrow(src, text_col, id_col, k)
     elif site_route == "native":
-        sites = _site_table(df, text_col, id_col, k)
+        sites = _site_table(src, text_col, id_col, k)
     else:
         raise ValueError(f"unknown site_route {site_route!r}")
     if method == "window":
@@ -629,22 +688,36 @@ def _strip_with_sites(
     id_col: str,
     k: int,
     keep_all: bool = False,
+    merge_route: str = "window",
 ) -> DataFrame:
     """Shared rebuild tail of the full and incremental strips:
     removable sites → merged spans collected per doc → map-side
     token filter + re-join. One row per input doc. ``keep_all``
     carries every input column through (for pipeline composition —
     plans/curate.py swaps ``text_clean`` in for the text column);
-    the default keeps the original 3-column contract."""
+    the default keeps the original 3-column contract.
+
+    ``merge_route``: ``"window"`` = the SQL-mirrorable
+    gaps-and-islands WindowExec (``_merge_spans``, sorts the full
+    removable stream); ``"arrow"`` = sort-free hash agg + vectorized
+    per-doc merge (``_merged_spans_arrow``) — same span sets,
+    differential-pinned."""
     from wroclaw_bike_stats_spark.operators.text import tokens
 
-    spans = (
-        _merge_spans(removable.select("_id", "pos"), k)
-        .groupBy("_id")
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    if merge_route == "arrow":
+        spans = _merged_spans_arrow(removable.select("_id", "pos"), k)
+    elif merge_route == "window":
+        spans = (
+            _merge_spans(removable.select("_id", "pos"), k)
+            .groupBy("_id")
+            .agg(
+                F.collect_list(
+                    F.struct("span_start", "span_end")
+                ).alias("_spans")
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown merge_route {merge_route!r}")
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     spans_arr = F.coalesce(
         F.col("_spans"),
@@ -682,6 +755,8 @@ def strip_duplicate_spans(
     method: str = "window",
     keep_all: bool = False,
     site_route: str = "native",
+    min_parallelism: int | None = None,
+    merge_route: str = "auto",
 ) -> DataFrame:
     """Remove duplicated spans, keeping the globally first occurrence
     of each window content (canonical = min ``(doc, pos)`` — stable
@@ -709,6 +784,27 @@ def strip_duplicate_spans(
     multi-x faster; the one-shot full-corpus shape
     ``plans/curate.py`` uses). The native default is the
     oracle-differential shape and the only route valid against
-    stored window indexes."""
-    _, removable = _dup_sites(df, text_col, id_col, k, method, site_route)
-    return _strip_with_sites(df, removable, text_col, id_col, k, keep_all)
+    stored window indexes.
+
+    ``min_parallelism`` (r14): repartition the site-generation input
+    first — the escape from single-row-group local parquet
+    serializing the O(len·k) site pass onto one core (see
+    ``_dup_sites``; measured 269 → ~95 s on the standalone 5M-doc
+    salt strip). ``merge_route``: ``"window"`` = the SQL-mirrorable
+    gaps-and-islands WindowExec; ``"arrow"`` = sort-free hash agg +
+    vectorized per-doc merge (``_merged_spans_arrow``) — identical
+    spans, differential-pinned. ``"auto"`` resolves to ``"window"``:
+    four interleaved exclusive runs at the 5M-doc salt point measured
+    the two within host noise of each other (window 87–108 s vs
+    arrow 100–106 s — the h-keyed dup-detection shuffle dominates,
+    not the _id-keyed merge), so auto keeps the one shape the SQL
+    oracles mirror; the arrow route stays available for corpora
+    where the removable stream is the bottleneck."""
+    _, removable = _dup_sites(
+        df, text_col, id_col, k, method, site_route, min_parallelism
+    )
+    if merge_route == "auto":
+        merge_route = "window"
+    return _strip_with_sites(
+        df, removable, text_col, id_col, k, keep_all, merge_route
+    )
