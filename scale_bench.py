@@ -176,6 +176,11 @@ def prepare_stores(spark, sf_dir) -> None:
     SD.window_index(old, k=13).write.mode("overwrite").parquet(
         _p(sf_dir, "window_index")
     )
+    # r14: the arrow-family twin over the FULL corpus — the standing
+    # asset the indexed full strip (span_strip_indexed row) probes.
+    SD.window_index(
+        docs, k=13, site_route="arrow", min_parallelism=64
+    ).write.mode("overwrite").parquet(_p(sf_dir, "window_index_arrow"))
 
     # Round-7 scoring-model standing assets: the DSIR log-ratio table
     # (target = the stored new batch, raw = the corpus) and the NB
@@ -340,6 +345,20 @@ def embedding_incremental(spark, sf_dir):
 
 def span_strip_full(spark, sf_dir):
     return SD.strip_duplicate_spans(_docs(spark, sf_dir), k=13)
+
+
+def span_strip_indexed(spark, sf_dir):
+    """Full-corpus strip against the STANDING arrow-family window
+    index (r14, span_dedup.strip_duplicate_spans_with_index): dup
+    verdicts = a broadcast lookup of the df>=2 contents, so the site
+    stream never shuffles for detection — the resident-corpus shape
+    the r13 VERDICT's df>1-pruning suggestion lands in. Index build
+    cost lives in prepare (a standing asset, like the band tables)."""
+    docs = _docs(spark, sf_dir)
+    idx = spark.read.parquet(_p(sf_dir, "window_index_arrow"))
+    return SD.strip_duplicate_spans_with_index(
+        docs, idx, k=13, min_parallelism=64
+    )
 
 
 def span_strip_incremental(spark, sf_dir):
@@ -1128,6 +1147,7 @@ FAMILY = {
     "embedding_neardup_incremental": embedding_incremental,
     "span_strip_full": span_strip_full,
     "span_strip_incremental": span_strip_incremental,
+    "span_strip_indexed": span_strip_indexed,
     "bigram_lm_corpus": bigram_lm_corpus,
     "bigram_lm_pruned_corpus": bigram_lm_pruned_corpus,
     "bigram_lm_cms_corpus": bigram_lm_cms_corpus,

@@ -481,3 +481,82 @@ def test_merged_spans_arrow_unit(spark):
         (s["span_start"], s["span_end"]) for s in rows[0]["_spans"]
     )
     assert spans == [(0, 7), (9, 14), (20, 26)]
+
+
+def test_strip_with_index_matches_full(spark):
+    """r14 indexed full strip: against an arrow-family window_index
+    built over the same corpus, strip_duplicate_spans_with_index must
+    return exactly strip_duplicate_spans' rows — detection via the
+    broadcast df>=2 verdict set instead of the corpus-wide site
+    shuffle. Family/k mismatches refuse loudly."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(" "),
+            F.substring("text", 1, 60), F.lit(" "),
+            F.expr("substring(text, 61)"),
+        ).alias("text"),
+    )
+    idx = S.window_index(docs, k=5, site_route="arrow")
+    full = sorted(
+        map(tuple, S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow"
+        ).collect())
+    )
+    via_idx = sorted(
+        map(tuple, S.strip_duplicate_spans_with_index(
+            docs, idx, k=5
+        ).collect())
+    )
+    assert via_idx == full
+    assert sum(1 for _, _, n in full if n > 0) > 0
+    # the detection side of the indexed plan has no site-wide shuffle:
+    # no Window at all, and the only joins are the broadcast verdict
+    # lookup + the rebuild join
+    plan = (
+        S.strip_duplicate_spans_with_index(docs, idx, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(h" not in plan, plan
+    # family / k mismatches refuse
+    with pytest.raises(ValueError, match="span_scheme"):
+        S.strip_duplicate_spans_with_index(
+            docs, S.window_index(docs, k=5), k=5  # native-family index
+        )
+    with pytest.raises(ValueError, match="span_k"):
+        S.strip_duplicate_spans_with_index(docs, idx, k=7)
+    # native probe against a native index also round-trips
+    nidx = S.window_index(docs, k=5)
+    via_nat = sorted(
+        map(tuple, S.strip_duplicate_spans_with_index(
+            docs, nidx, k=5, site_route="native"
+        ).collect())
+    )
+    assert via_nat == full
+
+
+def test_merge_window_index_arrow_family(spark):
+    """merge_window_index folds arrow-family indexes (r14): counts
+    add, canonicals min, scheme metadata survives; mixing families
+    refuses."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ia = S.window_index(a, k=5, site_route="arrow")
+    ib = S.window_index(b, k=5, site_route="arrow")
+    merged = S.merge_window_index(ia, ib)
+    assert merged.schema["h"].metadata["span_scheme"] == S.ARROW_SPAN_SCHEME
+    whole = S.window_index(docs, k=5, site_route="arrow")
+    got = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos) for r in merged.collect()
+    }
+    want = {
+        (r.h, r.cnt, r.canon_id, r.canon_pos) for r in whole.collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="parameterizations differ"):
+        S.merge_window_index(ia, S.window_index(b, k=5)).collect()

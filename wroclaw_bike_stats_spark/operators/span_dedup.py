@@ -64,6 +64,12 @@ from pyspark.sql import functions as F
 #: spans would be silently missed).
 SPAN_SCHEME = "ws-token-xxhash64-v1"
 
+#: Scheme tag for indexes built over the ARROW site table
+#: (``_site_table_arrow``'s token-siphash polynomial) — a different
+#: hash FAMILY from ``SPAN_SCHEME``, never mixable with it: the meta
+#: guard refuses a cross-family probe exactly like a ``k`` mismatch.
+ARROW_SPAN_SCHEME = "ws-token-poly-v1"
+
 #: ``method="auto"`` probe knobs: sample this fraction of docs, and
 #: route to ``"agg"`` when the hottest window content's estimated
 #: corpus-wide occurrence count (sampled max / frac) reaches the
@@ -475,6 +481,8 @@ def window_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 13,
+    site_route: str = "native",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """The resident corpus's storable span-dedup asset: one row per
     DISTINCT window content — (``h``, ``cnt``, ``canon_id``,
@@ -490,9 +498,28 @@ def window_index(
     the incremental operators validate compatibility with a zero-job
     schema check (same contract as ``dedup.minhash_band_table``).
     One groupBy(hash) shuffle to build; maintain after each ingest
-    with ``merge_window_index``."""
+    with ``merge_window_index``.
+
+    ``site_route`` (r14): ``"native"`` (default — the scheme the
+    incremental operators probe, ``SPAN_SCHEME``) or ``"arrow"``
+    (the vectorized site pass; stored scheme ``ARROW_SPAN_SCHEME``).
+    The two hash FAMILIES never mix — a stored index answers probes
+    of its own family only, and the metadata guard enforces it.
+    ``min_parallelism``: the single-row-group fan-out escape (see
+    ``_dup_sites``)."""
+    src = df.select(id_col, text_col)
+    if min_parallelism:
+        src = src.repartition(min_parallelism)
+    if site_route == "arrow":
+        sites = _site_table_arrow(src, text_col, id_col, k)
+        scheme = ARROW_SPAN_SCHEME
+    elif site_route == "native":
+        sites = _site_table(src, text_col, id_col, k)
+        scheme = SPAN_SCHEME
+    else:
+        raise ValueError(f"unknown site_route {site_route!r}")
     agg = (
-        _site_table(df, text_col, id_col, k)
+        sites
         .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -501,7 +528,7 @@ def window_index(
     )
     return agg.select(
         F.col("h").alias(
-            "h", metadata={"span_k": k, "span_scheme": SPAN_SCHEME}
+            "h", metadata={"span_k": k, "span_scheme": scheme}
         ),
         "cnt",
         F.col("_canon._id").alias("canon_id"),
@@ -513,11 +540,18 @@ def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
     """Fold a new batch's ``window_index`` into the stored one —
     (count, canonical-site) is a monoid, so maintenance is one
     groupBy over the union: counts add, canonicals take the min.
-    Both sides must carry the same parameterization metadata."""
-    _check_index_meta(old_index, None, what="old_index")
-    _check_index_meta(new_index, None, what="new_index")
-    ma = old_index.schema["h"].metadata
-    mb = new_index.schema["h"].metadata
+    Both sides must carry the same parameterization metadata (either
+    hash family — the merge only requires the two inputs AGREE)."""
+    ma = old_index.schema["h"].metadata if "h" in old_index.columns else {}
+    _check_index_meta(
+        old_index, None, what="old_index",
+        scheme=ma.get("span_scheme") or SPAN_SCHEME,
+    )
+    mb = new_index.schema["h"].metadata if "h" in new_index.columns else {}
+    _check_index_meta(
+        new_index, None, what="new_index",
+        scheme=mb.get("span_scheme") or SPAN_SCHEME,
+    )
     if ma != mb:
         raise ValueError(
             f"window_index parameterizations differ: {ma!r} vs {mb!r}"
@@ -539,20 +573,26 @@ def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
 
 
 def _check_index_meta(
-    index: DataFrame, k: int | None, what: str = "old_index"
+    index: DataFrame,
+    k: int | None,
+    what: str = "old_index",
+    scheme: str = SPAN_SCHEME,
 ) -> None:
     """Refuse a stored index whose parameterization does not match
     this run — a silent mismatch finds ~no collisions and passes
     every duplicate through (same loud-guard contract as the
     minhash/hyperplane band tables). ``what`` names the offending
-    argument in the error (merge validates both of its inputs)."""
+    argument in the error (merge validates both of its inputs);
+    ``scheme`` is the hash family THIS caller's sites use (native
+    xxhash64 by default; ``ARROW_SPAN_SCHEME`` for arrow-site
+    probes)."""
     meta = index.schema["h"].metadata if "h" in index.columns else {}
     if not meta.get("span_scheme"):
         raise ValueError(
             f"{what} has no span_scheme metadata — not a "
             "window_index table (or a legacy rebuild is required)"
         )
-    expected = {"span_scheme": SPAN_SCHEME}
+    expected = {"span_scheme": scheme}
     if k is not None:
         expected["span_k"] = k
     bad = {
@@ -626,6 +666,80 @@ def _incremental_sites(
         "pos",
         (in_old | batch_dup).alias("_dup"),
         (in_old | (batch_dup & non_canon)).alias("_removable"),
+    )
+
+
+def strip_duplicate_spans_with_index(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    keep_all: bool = False,
+    site_route: str = "arrow",
+    min_parallelism: int | None = None,
+    broadcast_dups: bool = True,
+    merge_route: str = "window",
+) -> DataFrame:
+    """Full-corpus strip where the duplicate verdicts come from the
+    STANDING ``window_index`` instead of a corpus-wide shuffle — the
+    resident-corpus shape at 100 TB (r13 VERDICT task 5's df>1
+    pruning, landed where it actually pays):
+
+    - ``strip_duplicate_spans`` moves EVERY site (one per token
+      position) through a hash-keyed shuffle + WindowExec to decide
+      which windows duplicate. Here that decision is a lookup: the
+      monoid index already holds (cnt, canonical) per DISTINCT
+      window content, so the duplicated subset is
+      ``index.filter(cnt >= 2)`` — distinct-content-sized, orders of
+      magnitude below site volume on real corpora.
+    - The site stream then just JOINS that verdict set on ``h``:
+      with ``broadcast_dups`` (default) the join is broadcast and
+      the site table NEVER shuffles — detection is one narrow pass.
+      Set False for boilerplate-heavy corpora whose dup set outgrows
+      the broadcast budget; AQE plans the join from actual sizes.
+    - Canonical-copy semantics are the index's: the spared site per
+      content is the min (doc, pos) ACROSS EVERYTHING THE INDEX HAS
+      SEEN. When ``df`` is exactly the index's corpus this equals
+      ``strip_duplicate_spans`` (differential-pinned); when the index
+      is older/wider, verdicts are with respect to the resident
+      corpus — precisely the incremental-path contract extended to a
+      full re-strip.
+
+    ``index`` must carry the matching hash-family metadata:
+    ``site_route="arrow"`` (default — the fast vectorized site pass)
+    probes an index built with ``window_index(..,
+    site_route="arrow")``; ``"native"`` probes the classic
+    ``SPAN_SCHEME`` index. A family or ``k`` mismatch refuses loudly
+    (``_check_index_meta``)."""
+    scheme = ARROW_SPAN_SCHEME if site_route == "arrow" else SPAN_SCHEME
+    _check_index_meta(index, k, what="index", scheme=scheme)
+    src = df.select(id_col, text_col)
+    if min_parallelism:
+        src = src.repartition(min_parallelism)
+    if site_route == "arrow":
+        sites = _site_table_arrow(src, text_col, id_col, k)
+    elif site_route == "native":
+        sites = _site_table(src, text_col, id_col, k)
+    else:
+        raise ValueError(f"unknown site_route {site_route!r}")
+    dups = index.filter(F.col("cnt") >= 2).select(
+        "h", "canon_id", "canon_pos"
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    removable = (
+        sites.join(dups, "h")
+        .filter(
+            ~(
+                F.col("_id").eqNullSafe(F.col("canon_id"))
+                & F.col("pos").eqNullSafe(F.col("canon_pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    return _strip_with_sites(
+        df, removable, text_col, id_col, k, keep_all, merge_route
     )
 
 
