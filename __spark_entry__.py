@@ -2457,6 +2457,27 @@ def _sem_shared(spark: SparkSession, sf_dir: str):
     return (emb,) + tuple(_shared_persisted(spark, sf_dir, "semdedup", build))
 
 
+def q_pair_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percolation circuit breaker's pre-flight evidence (r14,
+    operators/density_guard.py pair_density_profile): per-cluster
+    ALL-INTEGER density profile — n_vectors, candidate pair mass
+    n(n-1)/2, and the deterministic 64-smallest-ids sample's pair /
+    ≥τ-hit counts (6-dp rounding, the family convention) — the
+    numbers estimate_pair_density scales into pairs-per-node before
+    committing a cluster-scale SemDeDup run. Runs off the shared
+    persisted assignment (family params k=8, τ=0.4); DuckDB
+    reproduces every integer from the same smallest-id centroid
+    scheme."""
+    from wroclaw_bike_stats_spark.operators.density_guard import (
+        pair_density_profile,
+    )
+
+    _, _, assigned, _ = _sem_shared(spark, sf_dir)
+    return pair_density_profile(assigned, threshold=0.4).orderBy(
+        "centroid_id"
+    )
+
+
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within-cluster duplicate pairs (operators/semdedup.py;
     Abbas et al. arXiv:2303.09540): k=8 deterministic sampled
@@ -3094,6 +3115,29 @@ def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(docs, k=13).orderBy("doc_id")
 
 
+def q_span_strip_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus strip through the STANDING-index route (r14,
+    span_dedup.strip_duplicate_spans_with_index): the arrow-family
+    window_index supplies the df>=2 verdict set as a broadcast
+    lookup, so the site stream never shuffles for detection — the
+    resident-corpus shape at 100 TB (measured 269 → 49 s at the
+    5M-doc salt point). With the index built over exactly this
+    corpus the result EQUALS strip_duplicate_spans, so the same SQL
+    oracle attests that the index route returns exactly the direct
+    route's rows (the embedding_topk_ivf_indexed precedent: the
+    index changes the physical read path, not the result)."""
+    from wroclaw_bike_stats_spark.operators.span_dedup import (
+        strip_duplicate_spans_with_index,
+        window_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = window_index(docs, k=13, site_route="arrow")
+    return strip_duplicate_spans_with_index(docs, idx, k=13).orderBy(
+        "doc_id"
+    )
+
+
 def q_span_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-N incremental span removal (span_dedup.strip_duplicate_
     spans_incremental): docs with doc_id % 5 == 0 arrive as the new
@@ -3500,6 +3544,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pca_composed": q_semdedup_pca_composed,
         "ivf_pca_composed": q_ivf_pca_composed,
         "multimodal_decode": q_multimodal_decode,
+        "pair_density_profile": q_pair_density_profile,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_stats": q_semdedup_stats,
         "temperature_mix": q_temperature_mix,
@@ -3525,6 +3570,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_detect": q_span_dup_detect,
         "span_dup_stats": q_span_dup_stats,
         "span_strip": q_span_strip,
+        "span_strip_indexed": q_span_strip_indexed,
         "span_strip_incremental": q_span_strip_incremental,
         "bigram_lm_ppl": q_bigram_lm_ppl,
         "bigram_lm_ppl_column": q_bigram_lm_ppl_column,
@@ -3628,6 +3674,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_ORDER = [
     "ivf_pca_composed",  # NEW r14
     "multimodal_decode",  # NEW r14
+    "span_strip_indexed",  # NEW r14
+    "pair_density_profile",  # NEW r14
     "neardup_dedup_keep",
     "embedding_topk",
     "embedding_neardup",
@@ -5800,6 +5848,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine_sim FROM sd_pairs
             ORDER BY id_a, id_b
         """,
+        "pair_density_profile": f"""
+            WITH {_SEMDEDUP_CTE},
+            samp AS (
+                SELECT vec_id, cid FROM (
+                    SELECT a.vec_id, a.cid,
+                           row_number() OVER (
+                               PARTITION BY a.cid
+                               ORDER BY a.vec_id) AS srn
+                    FROM assign a
+                ) WHERE srn <= 64
+            ),
+            sp AS (
+                SELECT s1.cid,
+                       count(*) AS sampled_pairs,
+                       sum(CASE WHEN round(list_cosine_similarity(
+                               CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])), 6)
+                               >= 0.4 THEN 1 ELSE 0 END)
+                           AS sampled_hits
+                FROM samp s1
+                JOIN samp s2 ON s1.cid = s2.cid
+                            AND s1.vec_id < s2.vec_id
+                JOIN embeddings ea ON ea.vec_id = s1.vec_id
+                JOIN embeddings eb ON eb.vec_id = s2.vec_id
+                GROUP BY s1.cid
+            ),
+            sz AS (
+                SELECT cid, count(*) AS n_vectors
+                FROM assign GROUP BY cid
+            )
+            SELECT sz.cid AS centroid_id,
+                   sz.n_vectors,
+                   CAST(sz.n_vectors * (sz.n_vectors - 1) / 2
+                        AS BIGINT) AS candidate_pairs,
+                   CAST(coalesce(sp.sampled_pairs, 0) AS BIGINT)
+                       AS sampled_pairs,
+                   CAST(coalesce(sp.sampled_hits, 0) AS BIGINT)
+                       AS sampled_hits
+            FROM sz LEFT JOIN sp ON sp.cid = sz.cid
+            ORDER BY centroid_id
+        """,
         "semdedup_keep": f"""
             WITH RECURSIVE {_SEMDEDUP_CTE},
             sd_edges AS (
@@ -6978,4 +7067,8 @@ def oracle_sql() -> dict[str, str]:
     if ivf_pca_sql is not None:
         out["ivf_pca_composed"] = ivf_pca_sql
     out["multimodal_decode"] = _multimodal_decode_oracle()
+    # the indexed strip equals the direct strip when the index covers
+    # exactly this corpus — ONE oracle attests route equivalence (the
+    # embedding_topk_ivf_indexed precedent)
+    out["span_strip_indexed"] = out["span_strip"]
     return out

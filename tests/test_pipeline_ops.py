@@ -300,6 +300,18 @@ def test_word_ngrams_generalizes_bigrams(spark):
     assert got[3].n3 == []
     with pytest.raises(ValueError, match="n must be"):
         T.word_ngrams(F.col("text"), 0)
+    # NULL contract (ADVICE r13): NULL text normalizes to [] for
+    # EVERY n — one semantics across n=1 and n>=2
+    nrow = (
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+        .select(
+            T.word_ngrams(F.col("text"), 1).alias("n1"),
+            T.word_ngrams(F.col("text"), 2).alias("n2"),
+            T.word_ngrams(F.col("text"), 3).alias("n3"),
+        )
+        .collect()[0]
+    )
+    assert nrow.n1 == [] and nrow.n2 == [] and nrow.n3 == []
 
 
 def test_top_ngram_stats_and_char_fraction_signal(spark):

@@ -69,6 +69,7 @@ __all__ = [
     "check_cluster_density",
     "check_component_percolation",
     "estimate_pair_density",
+    "pair_density_profile",
     "check_bucket_sizes",
 ]
 
@@ -298,6 +299,79 @@ def estimate_pair_density(
         "est_pairs": est_pairs,
         "est_pairs_per_node": est_pairs / n_nodes if n_nodes else 0.0,
     }
+
+
+def pair_density_profile(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_per_cluster: int = 64,
+) -> DataFrame:
+    """The pre-flight estimator's evidence as a DataFrame — one row
+    per cluster, ALL-INTEGER columns so the profile is exactly
+    SQL-reproducible (the driver gate's shape):
+
+    (``centroid_id``, ``n_vectors``, ``candidate_pairs`` =
+    n(n-1)/2, ``sampled_pairs``, ``sampled_hits``) where the sample
+    is the deterministic ``sample_per_cluster`` smallest ids per
+    cluster and a hit is a sampled within-cluster pair whose
+    6-dp-rounded cosine clears ``threshold`` (the family rounding
+    convention). ``sampled_hits / sampled_pairs × candidate_pairs``
+    is the cluster's pair estimate — :func:`estimate_pair_density`
+    is the driver-side scalar view of the same numbers. Pure native
+    expressions: one row_number window for the sample, one
+    within-cluster self-join of ≤64 rows per cluster, one agg."""
+    from pyspark.sql import Window
+
+    from wroclaw_bike_stats_spark.operators.similarity import cosine
+
+    w = Window.partitionBy("centroid_id").orderBy(id_col)
+    samp = (
+        assigned.select("centroid_id", id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_cluster)
+        .drop("_rn")
+    )
+    a = samp.select(
+        "centroid_id",
+        F.col(id_col).alias("_ia"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = samp.select(
+        "centroid_id",
+        F.col(id_col).alias("_ib"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sampled = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_pairs"),
+            F.sum(
+                (
+                    F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                    >= threshold
+                ).cast("long")
+            ).alias("sampled_hits"),
+        )
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        sizes.join(sampled, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_vectors",
+            (
+                F.col("n_vectors") * (F.col("n_vectors") - 1) / 2
+            ).cast("long").alias("candidate_pairs"),
+            F.coalesce("sampled_pairs", F.lit(0)).alias("sampled_pairs"),
+            F.coalesce("sampled_hits", F.lit(0)).alias("sampled_hits"),
+        )
+    )
 
 
 def check_bucket_sizes(

@@ -368,7 +368,10 @@ def cosine_topk_ivf(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_probe = (
-        q.crossJoin(centroids)
+        # explicit broadcast at the join site (house style; ivf_assign
+        # already hints its centroid frame, but the sibling indexed
+        # route and every dim join in the engine hint HERE)
+        q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
             "q_vec",
