@@ -266,6 +266,34 @@ def main(path: str) -> int:
         "scan parallelism; compact_curation_store now sizes output",
         "files by BYTES (~128 MB units) first, rows second).",
         "",
+        "ROUND-14: the strip residual re-attributed and cut where it",
+        "actually lives. The r13 VERDICT's plan (prune sites to df>1",
+        "windows before the merge) was measured FALSE on the salt",
+        "corpora — 96.8% of sites are duplicated (20.9M of 21.6M at",
+        "sf10s), so a df>1 filter keeps ~everything. What the probes",
+        "DID find: (1) the standalone strip rows were serialized by",
+        "the single-row-group local parquet — the site pass inherited",
+        "ONE input partition and ran one-core (196.5 s of the 268.9 s",
+        "standalone sf100s strip); strip_duplicate_spans grew the",
+        "gopher-precedent min_parallelism fan-out (269 → ~95 s). (2)",
+        "The merge sort was NOT the bottleneck: a sort-free hash-agg +",
+        "vectorized per-doc merge route (_merged_spans_arrow) measured",
+        "within host noise of the WindowExec route in four interleaved",
+        "exclusive runs (window 87–108 s vs arrow 100–106 s at sf100s),",
+        "so merge_route='auto' keeps the SQL-mirrorable window shape",
+        "and the arrow route stays available. (3) The df>1 idea lands",
+        "where it pays — the RESIDENT-CORPUS full strip: strip_",
+        "duplicate_spans_with_index probes the standing (arrow-family)",
+        "window_index for the cnt>=2 verdict set as a broadcast",
+        "lookup, so the site stream never shuffles for detection.",
+        "Equality with the direct strip pinned at sf0.001 (driver gate",
+        "span_strip_indexed, same SQL oracle) and by crc32-sum at the",
+        "500k-doc salt point; official row: sf100 51.3 s vs",
+        "span_strip_full's 140.7 s (1000× ratio 27.2× vs 102.8×).",
+        "Composed realppl re-measured exclusively cold-once at HEAD:",
+        "sf100s 466.1 s (the 563.5 r13 number included a degraded host",
+        "band; rows identical at every point), sf10s 50.3 s.",
+        "",
         "stream_ingest_day_n (late round 11) is the COMPOSED streaming",
         "ingest — curate_stream.ingest_document_batch over the stored 2%",
         "day-N batch against a pristine resident store (docs/bands/",
