@@ -235,3 +235,36 @@ def test_check_bucket_sizes_reports_worst(spark):
         check_bucket_sizes(banded, ["band_idx", "band_hash"], 50, "t")
     check_bucket_sizes(banded, ["band_idx", "band_hash"], 100, "t")
     check_bucket_sizes(banded, ["band_idx", "band_hash"], None, "t")
+
+
+def test_pair_density_profile_matches_estimator(spark, whitened_sf01):
+    """pair_density_profile's integer evidence must scale into
+    estimate_pair_density's numbers exactly: Σ candidate_pairs, total
+    nodes, and the mass-weighted sampled fraction agree between the
+    DataFrame (gate) form and the driver-side scalar form."""
+    from wroclaw_bike_stats_spark.operators.density_guard import (
+        pair_density_profile,
+    )
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_assign
+
+    _, assigned = semdedup_assign(
+        whitened_sf01, num_clusters=8, vec_col="embedding_pca"
+    )
+    assigned = assigned.cache()
+    prof = pair_density_profile(
+        assigned, threshold=0.8, vec_col="embedding_pca"
+    ).collect()
+    est = estimate_pair_density(
+        assigned, threshold=0.8, vec_col="embedding_pca"
+    )
+    assert sum(r["n_vectors"] for r in prof) == est["n_nodes"] == 2000
+    assert sum(r["candidate_pairs"] for r in prof) == est["candidate_pairs"]
+    hits = sum(
+        (r["sampled_hits"] / r["sampled_pairs"]) * r["candidate_pairs"]
+        for r in prof
+        if r["sampled_pairs"] > 0
+    )
+    mass = sum(
+        r["candidate_pairs"] for r in prof if r["sampled_pairs"] > 0
+    )
+    assert est["sampled_frac"] == pytest.approx(hits / mass)
