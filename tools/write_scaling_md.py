@@ -292,7 +292,13 @@ def main(path: str) -> int:
         "span_strip_full's 140.7 s (1000× ratio 27.2× vs 102.8×).",
         "Composed realppl re-measured exclusively cold-once at HEAD:",
         "sf100s 466.1 s (the 563.5 r13 number included a degraded host",
-        "band; rows identical at every point), sf10s 50.3 s.",
+        "band; rows identical at every point), sf10s 50.3 s. The",
+        "semdedup rows were re-measured with the round's in-task",
+        "percolation breaker in their DEFAULT path (per-cluster",
+        "union-find over emitted pairs): sf100 71.4 s vs 77.1",
+        "pre-guard, incremental 6.4 vs 7.3 — the guard costs nothing",
+        "measurable (pairs per cluster are small in the healthy",
+        "regime; the union-find is O(pairs·α) in-memory).",
         "",
         "stream_ingest_day_n (late round 11) is the COMPOSED streaming",
         "ingest — curate_stream.ingest_document_batch over the stored 2%",
