@@ -104,6 +104,19 @@ ENTRY_POINTS = {
     # the d²-sized tail is constant, so the curve must be linear in
     # the vector count
     "embedding_covariance": ("sf0.1", "sf1", "sf10", "sf100"),
+    # r14: the composed reduced-vector ANN path (PCA fit k=8 →
+    # whitened projection → top-k through the centroid-partitioned
+    # index). The on-disk index is fingerprint-cached, so run 1 pays
+    # the build and run 2 the standing-index read path; min-of-2 =
+    # the resident-corpus probe cost, the same semantics the bench's
+    # indexed gate measures. (multimodal_decode has NO scale row on
+    # purpose: its fixture is 64 constant-size payloads.)
+    "ivf_pca_composed": ("sf0.1", "sf1", "sf10", "sf100"),
+    # r14: the percolation breaker's pre-flight — one row_number
+    # window over the assignment + a ≤64-rows-per-cluster sampled
+    # self-join; must stay ~flat (sample is k-bounded, sizes agg is
+    # the only corpus-linear term)
+    "pair_density_profile": ("sf0.1", "sf1", "sf10", "sf100"),
 }
 
 

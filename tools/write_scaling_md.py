@@ -298,7 +298,17 @@ def main(path: str) -> int:
         "union-find over emitted pairs): sf100 71.4 s vs 77.1",
         "pre-guard, incremental 6.4 vs 7.3 — the guard costs nothing",
         "measurable (pairs per cluster are small in the healthy",
-        "regime; the union-find is O(pairs·α) in-memory).",
+        "regime; the union-find is O(pairs·α) in-memory). Two new",
+        "entry rows carry the round's new gates to 1000×:",
+        "ivf_pca_composed (PCA fit → whitened projection → top-k",
+        "through the fingerprint-cached centroid-partitioned index;",
+        "min-of-2 = the standing-index probe path) at 3.3 → 33.3 s",
+        "(10.0× on 1000× vectors — the moment pass and projection are",
+        "linear, the probe partition-pruned), and pair_density_profile",
+        "(the breaker's pre-flight) at 1.4 → 10.4 s (7.2×: the",
+        "sampled self-join is k-bounded per cluster; only the sizes",
+        "agg is corpus-linear). multimodal_decode has no scale row on",
+        "purpose — its fixture is 64 constant-size payloads.",
         "",
         "stream_ingest_day_n (late round 11) is the COMPOSED streaming",
         "ingest — curate_stream.ingest_document_batch over the stored 2%",
