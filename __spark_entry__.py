@@ -2457,6 +2457,30 @@ def _sem_shared(spark: SparkSession, sf_dir: str):
     return (emb,) + tuple(_shared_persisted(spark, sf_dir, "semdedup", build))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization (r14 — the last §5 operator
+    without its own oracle gate; operators/similarity.py
+    quantize_embeddings): unit-normalize, scale to ±127, round —
+    4× smaller vectors on disk/shuffle, cosine-compatible (recall
+    floor pinned in tests/test_dedup_similarity.py). Output exploded
+    to (vec_id, q_idx, q) integer rows; DuckDB replays
+    normalize→×127→round per component. Rounding-mode caveat,
+    verified empirically green at both driver scales: np.rint is
+    HALF_EVEN and DuckDB round is HALF_AWAY, which can only differ
+    when a quotient×127 lands EXACTLY on a half-integer — measure
+    zero for float inputs with irrational norms."""
+    from wroclaw_bike_stats_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.posexplode("embedding_q").alias("q_idx", "q"),
+    ).orderBy("vec_id", "q_idx")
+
+
 def q_pair_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The percolation circuit breaker's pre-flight evidence (r14,
     operators/density_guard.py pair_density_profile): per-cluster
@@ -3545,6 +3569,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pca_composed": q_ivf_pca_composed,
         "multimodal_decode": q_multimodal_decode,
         "pair_density_profile": q_pair_density_profile,
+        "embedding_quantize": q_embedding_quantize,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_stats": q_semdedup_stats,
         "temperature_mix": q_temperature_mix,
@@ -3676,6 +3701,7 @@ _GATE_ORDER = [
     "multimodal_decode",  # NEW r14
     "span_strip_indexed",  # NEW r14
     "pair_density_profile",  # NEW r14
+    "embedding_quantize",  # NEW r14
     "neardup_dedup_keep",
     "embedding_topk",
     "embedding_neardup",
@@ -5847,6 +5873,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SEMDEDUP_CTE}
             SELECT id_a, id_b, cosine_sim FROM sd_pairs
             ORDER BY id_a, id_b
+        """,
+        "embedding_quantize": """
+            WITH nv AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_inner_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(i - 1 AS INTEGER) AS q_idx,
+                   CAST(CASE WHEN nrm = 0 OR isnan(nrm) THEN 0
+                             ELSE round(e[i] / nrm * 127.0) END
+                        AS TINYINT) AS q
+            FROM nv, unnest(range(1, len(e) + 1)) AS t(i)
+            ORDER BY vec_id, q_idx
         """,
         "pair_density_profile": f"""
             WITH {_SEMDEDUP_CTE},
