@@ -3697,56 +3697,6 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
-    "ivf_pca_composed",  # NEW r14
-    "multimodal_decode",  # NEW r14
-    "span_strip_indexed",  # NEW r14
-    "pair_density_profile",  # NEW r14
-    "embedding_quantize",  # NEW r14
-    "neardup_dedup_keep",
-    "embedding_topk",
-    "embedding_neardup",
-    "multimodal_bytes",
-    "json_props_stats",
-    "explode_token_positions",
-    "unpivot_lineitem_metrics",
-    "user_event_gaps",
-    "acctbal_quartiles",
-    "curate_pipeline",
-    "customers_with_orders",
-    "customers_without_orders",
-    "daily_event_metrics",
-    "date_arith_orders",
-    "decontam_docs",
-    "decontam_ngram",
-    "decontam_shuffle",
-    "dsir_scores",
-    "except_users",
-    "filter_project_part",
-    "global_index",
-    "group_quota_cap",
-    "grouping_sets_revenue",
-    "hash_split",
-    "hourly_histogram",
-    "intersect_users",
-    "large_orders_having",
-    "minhash_recall",
-    "order_count_distribution",
-    "order_priority_late",
-    "user_count_hll",
-    "value_quantiles_approx",
-    "neardup_route_auto",
-    "nb_scheme_consistency",
-    "banded_components_refinement",
-    "cms_heavy_hitters",
-    "corpus_shuffle",
-    "decontam_bloom",
-    "decontam_fuzzy",
-    "dsir_resample",
-    "fuzzy_contam_pairs",
-    "gopher_filter",
-    "gopher_stats",
-    "nb_lang_predict",
-    "ppl_buckets",
     "semdedup_keep",
     "semdedup_pairs",
     "semdedup_stats",
@@ -3833,6 +3783,56 @@ _GATE_ORDER = [
     "simhash_neardup",
     "embedding_topk_ivf",
     "embedding_topk_ivf_indexed",
+    "neardup_route_auto",
+    "nb_scheme_consistency",
+    "banded_components_refinement",
+    "cms_heavy_hitters",
+    "corpus_shuffle",
+    "decontam_bloom",
+    "decontam_fuzzy",
+    "dsir_resample",
+    "fuzzy_contam_pairs",
+    "gopher_filter",
+    "gopher_stats",
+    "nb_lang_predict",
+    "ppl_buckets",
+    "ivf_pca_composed",
+    "multimodal_decode",
+    "pair_density_profile",
+    "embedding_quantize",
+    "span_strip_indexed",
+    "neardup_dedup_keep",
+    "embedding_topk",
+    "embedding_neardup",
+    "multimodal_bytes",
+    "json_props_stats",
+    "explode_token_positions",
+    "unpivot_lineitem_metrics",
+    "user_event_gaps",
+    "acctbal_quartiles",
+    "curate_pipeline",
+    "customers_with_orders",
+    "customers_without_orders",
+    "daily_event_metrics",
+    "date_arith_orders",
+    "decontam_docs",
+    "decontam_ngram",
+    "decontam_shuffle",
+    "dsir_scores",
+    "except_users",
+    "filter_project_part",
+    "global_index",
+    "group_quota_cap",
+    "grouping_sets_revenue",
+    "hash_split",
+    "hourly_histogram",
+    "intersect_users",
+    "large_orders_having",
+    "minhash_recall",
+    "order_count_distribution",
+    "order_priority_late",
+    "user_count_hll",
+    "value_quantiles_approx",
 ]
 # END GATE_ORDER
 # ^ generated — DO NOT edit by hand. Regenerate at every round-open:
