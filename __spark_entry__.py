@@ -2283,6 +2283,17 @@ def _cached_ivf_index(sf_dir: str, tag: str, assigned) -> str:
     stem = f"{sf_name}.{tag or 'raw'}"
     cache_root = "/root/repo/.ivf_index_cache"
     index_path = os.path.join(cache_root, f"{stem}-{fingerprint}")
+    if os.path.isdir(cache_root):
+        # One-time sweep of pre-r14 cache dirs: the stem used to be
+        # '{sf_name}-{fp}' (no family tag), which the tagged prune
+        # prefixes below never match — they'd accumulate as orphans.
+        # New stems always contain '.', so '{sf_name}-' only matches
+        # legacy layouts.
+        import shutil
+
+        for d in os.listdir(cache_root):
+            if d.startswith(f"{sf_name}-"):
+                shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
     if not os.path.isdir(index_path):
         # Prune stale fingerprints of the same corpus before building
         # the new index — each rewrite would otherwise leave its

@@ -358,6 +358,16 @@ def test_ivf_index_cache_invalidated_by_corpus_rewrite(spark, tmp_path):
     assert len(second) == 1
     assert first != second, "stale index served after corpus rewrite"
 
+    # r15 (r14 ADVICE): pre-r14 untagged dirs ('<sf>-<fp>', no family
+    # tag) are never matched by the tagged prune prefixes — the cache
+    # path must sweep them as legacy orphans on any call.
+    legacy = os.path.join(
+        cache_root, os.path.basename(str(sf_dir)) + "-123-456"
+    )
+    os.makedirs(legacy, exist_ok=True)
+    entry_mod.queries()["embedding_topk_ivf_indexed"](spark, str(sf_dir)).collect()
+    assert not os.path.isdir(legacy), "legacy untagged cache dir not pruned"
+
     for d in first | second:  # cleanup
         shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
 

@@ -61,6 +61,48 @@ def test_percolation_small_and_disabled_pass():
     )
 
 
+def test_percolation_incremental_clique_emittable_denominator():
+    """r14 ADVICE (high): an incremental emitter omits old-old edges
+    by design, so an honest 120-old + 10-new duplicate clique emits
+    only m(k-m)+C(m,2) = 1245 of C(130,2) = 8385 edges. With the
+    C(k,2) denominator that is density 0.148 -> a false refusal; with
+    new_ids the denominator is the emittable count -> density 1.0."""
+    old_ids = list(range(120))
+    new_ids = list(range(1000, 1010))
+    a, b = [], []
+    for nid in new_ids:
+        for oid in old_ids:
+            a.append(min(nid, oid))
+            b.append(max(nid, oid))
+    for i, n1 in enumerate(new_ids):
+        for n2 in new_ids[i + 1 :]:
+            a.append(n1)
+            b.append(n2)
+    assert len(a) == 10 * 120 + 45
+    # legacy denominator (no new_ids): the documented false positive
+    with pytest.raises(PairDensityError, match="percolation"):
+        check_component_percolation(a, b, 200, "t")
+    # emittable denominator: honest clique passes
+    check_component_percolation(a, b, 200, "t", new_ids=set(new_ids))
+
+
+def test_percolation_incremental_sparse_chain_still_trips():
+    """new_ids must not blind the breaker: a new batch whose members
+    each touch ONE old node apiece (a sparse star forest chained into
+    one giant component through shared old nodes) stays refused."""
+    # 100 new nodes, each linked to 2 old nodes arranged in a chain:
+    # new_i -- old_i, new_i -- old_{i+1} => one giant sparse component
+    a, b = [], []
+    for i in range(100):
+        nid = 1000 + i
+        a += [min(nid, i), min(nid, i + 1)]
+        b += [max(nid, i), max(nid, i + 1)]
+    with pytest.raises(PairDensityError, match="percolation"):
+        check_component_percolation(
+            a, b, 250, "t", new_ids=set(range(1000, 1100))
+        )
+
+
 def test_percolation_many_small_cliques_pass():
     # heavy-duplication corpus shape: 30 disjoint 10-cliques in a
     # 300-node cluster — 1350 pairs (4.5/node) but NO giant component

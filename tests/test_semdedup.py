@@ -236,6 +236,45 @@ def test_incremental_routes_agree(spark, corpus):
     assert via_vectors == mm
 
 
+def test_incremental_large_old_clique_small_new_batch_passes(spark):
+    """r14 ADVICE (high) regression: a LEGITIMATE duplicate group —
+    120 resident copies + 10 new copies of the same content, all in
+    one cluster spanning >half of it — must NOT trip the percolation
+    breaker on the incremental path. The emitter omits old-old edges
+    by design, so against C(k,2) this honest clique looked 0.148-
+    sparse; the emittable-denominator fix sees density 1.0."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=DIM)
+    w = rng.normal(size=DIM)  # a second direction so k-means has 2 seeds
+    # id 0 -> v-group, id 1 -> w-group: the sampled-centroid path
+    # seeds from the smallest ids, so the two seeds must be the two
+    # distinct planted directions (same trick as _mk_corpus).
+    rows = [(0, [float(x) for x in v])] + [
+        (1 + i, [float(x) for x in v + rng.normal(scale=0.001, size=DIM)])
+        for i in range(1, 120)
+    ]
+    rows += [(1, [float(x) for x in w])] + [
+        (200 + i, [float(x) for x in w + rng.normal(scale=0.001, size=DIM)])
+        for i in range(39)
+    ]
+    old = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new_rows = [
+        (1000 + i, [float(x) for x in v + rng.normal(scale=0.001, size=DIM)])
+        for i in range(10)
+    ]
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    )
+    centroids, old_assigned = SD.semdedup_assign(old, num_clusters=2)
+    got = SD.semdedup_incremental_pairs(
+        new, old_assigned, centroids, threshold=THRESH
+    ).collect()
+    # every emittable pair of the clique: 10*120 new-old + C(10,2)
+    assert len(got) == 10 * 120 + 45
+    new_ids = {1000 + i for i in range(10)}
+    assert all(r.id_a in new_ids or r.id_b in new_ids for r in got)
+
+
 def test_threshold_defaults_shared():
     """Default-argument use must not violate the incremental equality
     contract: every entry point defaults to the SAME module-level

@@ -522,21 +522,30 @@ def test_strip_with_index_matches_full(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "windowspecdefinition(h" not in plan, plan
-    # family / k mismatches refuse
+    # an EXPLICIT family mismatch refuses; k mismatches refuse
+    nidx = S.window_index(docs, k=5)  # native-family index
     with pytest.raises(ValueError, match="span_scheme"):
         S.strip_duplicate_spans_with_index(
-            docs, S.window_index(docs, k=5), k=5  # native-family index
+            docs, nidx, k=5, site_route="arrow"
         )
     with pytest.raises(ValueError, match="span_k"):
         S.strip_duplicate_spans_with_index(docs, idx, k=7)
     # native probe against a native index also round-trips
-    nidx = S.window_index(docs, k=5)
     via_nat = sorted(
         map(tuple, S.strip_duplicate_spans_with_index(
             docs, nidx, k=5, site_route="native"
         ).collect())
     )
     assert via_nat == full
+    # r15 (r14 ADVICE): the NAIVE pairing — default-route window_index
+    # into default-route strip — auto-detects the index's family
+    # instead of refusing on the default mismatch, for BOTH families
+    via_auto_nat = sorted(
+        map(tuple, S.strip_duplicate_spans_with_index(
+            docs, nidx, k=5
+        ).collect())
+    )
+    assert via_auto_nat == full
 
 
 def test_merge_window_index_arrow_family(spark):
@@ -558,5 +567,26 @@ def test_merge_window_index_arrow_family(spark):
         (r.h, r.cnt, r.canon_id, r.canon_pos) for r in whole.collect()
     }
     assert got == want
+
+
+def test_merge_window_index_rejects_unknown_scheme(spark):
+    """r14 ADVICE: an unknown/corrupt span_scheme string must refuse
+    even when both sides agree on it — agreement alone is a tautology
+    against a corrupted store."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = S.window_index(docs, k=5)
+    bad_meta = {"span_k": 5, "span_scheme": "ws-token-corrupt-v9"}
+    bad = idx.select(
+        F.col("h").alias("h", metadata=bad_meta),
+        "cnt", "canon_id", "canon_pos",
+    )
+    with pytest.raises(ValueError, match="known hash family"):
+        S.merge_window_index(bad, bad)
+    # mixing known families still refuses on the agreement check
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
     with pytest.raises(ValueError, match="parameterizations differ"):
-        S.merge_window_index(ia, S.window_index(b, k=5)).collect()
+        S.merge_window_index(
+            S.window_index(a, k=5, site_route="arrow"),
+            S.window_index(b, k=5),
+        ).collect()

@@ -146,6 +146,7 @@ def check_component_percolation(
     n_nodes: int,
     context: str,
     frac: float | None = DEFAULT_PERCOLATION_FRAC,
+    new_ids=None,
 ) -> None:
     """Shape-aware percolation breaker over ONE cluster's finished
     pair set (``id_a``/``id_b``: equal-length sequences of pair
@@ -153,13 +154,25 @@ def check_component_percolation(
 
     Runs an in-memory union-find (O(pairs · α)); flags when the
     largest component spans > ``frac`` of the cluster's ``n_nodes``
-    AND its edge density ``edges / C(k,2)`` is below
-    ``_PERCOLATION_MAX_DENSITY`` — a giant SPARSE component is a
-    percolation chain (threshold below the space's duplicate
-    boundary), while a giant DENSE one is an honest duplicate clique
-    and passes. Valid as a per-cluster check for SemDeDup because its
-    pairs are strictly within-cluster: per-cluster components ARE the
-    global components. ``frac=None`` disables."""
+    AND its edge density is below ``_PERCOLATION_MAX_DENSITY`` — a
+    giant SPARSE component is a percolation chain (threshold below
+    the space's duplicate boundary), while a giant DENSE one is an
+    honest duplicate clique and passes. Valid as a per-cluster check
+    for SemDeDup because its pairs are strictly within-cluster:
+    per-cluster components ARE the global components. ``frac=None``
+    disables.
+
+    ``new_ids``: for INCREMENTAL emitters that BY DESIGN omit
+    old↔old edges (``semdedup_incremental_pairs``), the set of node
+    ids belonging to the new batch. The density denominator is then
+    the EMITTABLE pair count of the component — m·(k−m) + C(m,2)
+    with m = new nodes among the component's k — instead of C(k,2):
+    an honest duplicate clique of 120 resident + 10 new copies emits
+    all 1245 emittable edges (density 1.0, passes) even though it
+    holds only ~15% of C(130,2). Without this, any ≥64-node true
+    duplicate group spanning more than half its cluster would trip
+    the breaker whenever the new batch is a small fraction of it.
+    ``None`` (the full-emitter default) keeps the C(k,2) denominator."""
     if frac is None:
         return
     n_pairs = len(id_a)
@@ -203,7 +216,14 @@ def check_component_percolation(
     if k <= max(_PERCOLATION_MIN_NODES, frac * n_nodes):
         return
     e = final_edges.get(big_root, 0)
-    density = e / (k * (k - 1) / 2)
+    if new_ids is not None:
+        m = sum(1 for x in parent if x in new_ids and find(x) == big_root)
+        emittable = m * (k - m) + m * (m - 1) // 2
+        if emittable == 0:
+            return
+        density = e / emittable
+    else:
+        density = e / (k * (k - 1) / 2)
     if density < _PERCOLATION_MAX_DENSITY:
         raise PairDensityError(
             f"PairDensityError[{context}]: percolation — the largest "

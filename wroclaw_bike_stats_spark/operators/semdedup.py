@@ -471,12 +471,16 @@ def semdedup_incremental_pairs(
         if not out_a:
             return empty
         ia, ib = np.concatenate(out_a), np.concatenate(out_b)
+        # this emitter omits old-old edges by design, so a true
+        # duplicate clique with a small new batch is SPARSE against
+        # C(k,2); normalize by the emittable count instead (new_ids).
         check_component_percolation(
             ia.tolist(),
             ib.tolist(),
             n,
             "semdedup_incremental_pairs",
             percolation_frac,
+            new_ids=set(ids_new.tolist()),
         )
         return pd.DataFrame(
             {

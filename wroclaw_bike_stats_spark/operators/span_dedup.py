@@ -540,14 +540,25 @@ def merge_window_index(old_index: DataFrame, new_index: DataFrame) -> DataFrame:
     """Fold a new batch's ``window_index`` into the stored one —
     (count, canonical-site) is a monoid, so maintenance is one
     groupBy over the union: counts add, canonicals take the min.
-    Both sides must carry the same parameterization metadata (either
-    hash family — the merge only requires the two inputs AGREE)."""
+    Both sides must carry the same parameterization metadata from a
+    KNOWN hash family (either one — the merge additionally requires
+    the two inputs AGREE; an unknown/corrupt scheme string refuses
+    even when both sides carry it, r14 ADVICE)."""
+    known = {SPAN_SCHEME, ARROW_SPAN_SCHEME}
     ma = old_index.schema["h"].metadata if "h" in old_index.columns else {}
+    mb = new_index.schema["h"].metadata if "h" in new_index.columns else {}
+    for what, m in (("old_index", ma), ("new_index", mb)):
+        scheme = m.get("span_scheme")
+        if scheme is not None and scheme not in known:
+            raise ValueError(
+                f"{what} span_scheme {scheme!r} is not a known hash "
+                f"family ({sorted(known)}) — corrupt or from a newer "
+                "writer; refusing to merge."
+            )
     _check_index_meta(
         old_index, None, what="old_index",
         scheme=ma.get("span_scheme") or SPAN_SCHEME,
     )
-    mb = new_index.schema["h"].metadata if "h" in new_index.columns else {}
     _check_index_meta(
         new_index, None, what="new_index",
         scheme=mb.get("span_scheme") or SPAN_SCHEME,
@@ -676,7 +687,7 @@ def strip_duplicate_spans_with_index(
     id_col: str = "doc_id",
     k: int = 13,
     keep_all: bool = False,
-    site_route: str = "arrow",
+    site_route: str = "auto",
     min_parallelism: int | None = None,
     broadcast_dups: bool = True,
     merge_route: str = "window",
@@ -706,12 +717,21 @@ def strip_duplicate_spans_with_index(
       corpus — precisely the incremental-path contract extended to a
       full re-strip.
 
-    ``index`` must carry the matching hash-family metadata:
-    ``site_route="arrow"`` (default — the fast vectorized site pass)
-    probes an index built with ``window_index(..,
-    site_route="arrow")``; ``"native"`` probes the classic
-    ``SPAN_SCHEME`` index. A family or ``k`` mismatch refuses loudly
+    ``index`` must carry the hash-family metadata.
+    ``site_route="auto"`` (default) reads the index's ``span_scheme``
+    and probes with the SAME family — ``window_index(docs)`` →
+    ``strip_duplicate_spans_with_index(docs, idx)`` pairs correctly
+    whichever family built the index (the r14 default mismatch:
+    window_index defaulted native while this defaulted arrow, so the
+    naive pairing always refused). Passing ``"arrow"``/``"native"``
+    explicitly still guards loudly on a family or ``k`` mismatch
     (``_check_index_meta``)."""
+    if site_route == "auto":
+        meta = index.schema["h"].metadata if "h" in index.columns else {}
+        site_route = (
+            "arrow" if meta.get("span_scheme") == ARROW_SPAN_SCHEME
+            else "native"
+        )
     scheme = ARROW_SPAN_SCHEME if site_route == "arrow" else SPAN_SCHEME
     _check_index_meta(index, k, what="index", scheme=scheme)
     src = df.select(id_col, text_col)
