@@ -2211,6 +2211,53 @@ def q_embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_evr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 explained-variance contract gate (r14 VERDICT task 2): the
+    signal that PREDICTS reduced-vector ANN recall before a 100 TB
+    index build. One full-spectrum fit (fit_pca k=d — shared moment
+    pass) emits, per candidate k, the cumulative explained-variance
+    ratio, whether the engine's low-EVR warning fires (evr < 0.5,
+    embedding_stats.LOW_EVR_WARN_BOUND), and the smallest k capturing
+    half the variance. Oracle: an INDEPENDENT duckdb+numpy refit over
+    the raw parquet (the _pca_proj_cte precedent — third-party stack,
+    fingerprint-keyed literals) recomputes the same spectrum; the
+    EVR→recall tie is pinned in
+    tests/test_dedup_similarity.py::test_evr_predicts_end_to_end_recall
+    (k=8 evr<0.5 → e2e recall 0.17; min_evr=0.5 auto-k → 0.315)."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        LOW_EVR_WARN_BOUND,
+        fit_pca,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=64, moments=_emb_moments_shared(spark, sf_dir))
+    curve = model["evr_curve"]
+    min_k_half = 1 + next(
+        i for i, v in enumerate(curve) if v >= LOW_EVR_WARN_BOUND
+    )
+    rows = [
+        (
+            k,
+            float(curve[k - 1]),
+            bool(curve[k - 1] < LOW_EVR_WARN_BOUND),
+            int(min_k_half),
+        )
+        for k in (2, 8, 32, 64)
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "k int, evr double, warn_fired boolean, min_k_evr05 int"
+        )
+        .select(
+            "k",
+            (F.round("evr", 6) + F.lit(0.0)).alias("evr"),
+            "warn_fired",
+            "min_k_evr05",
+        )
+        .orderBy("k")
+    )
+
+
 def q_semdedup_pca_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB reduced-vector path END TO END (r12 VERDICT task 3):
     fit PCA at k=8 on the embeddings (one mapInPandas moment pass),
@@ -3635,6 +3682,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca_invariants": q_embedding_pca_invariants,
+        "pca_evr_bound": q_pca_evr_bound,
         "multimodal_bytes": q_multimodal_bytes,
         "json_props_stats": q_json_props_stats,
         "explode_token_positions": q_explode_token_positions,
@@ -3708,6 +3756,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # BEGIN GATE_ORDER
 _GATE_ORDER = [
+    "pca_evr_bound",
     "semdedup_keep",
     "semdedup_pairs",
     "semdedup_stats",
@@ -4258,6 +4307,73 @@ def _semdedup_pca_oracle() -> str | None:
         ORDER BY vec_id
     """
     _PCA_ORACLE_CACHE["sql"] = sql
+    return sql
+
+
+def _pca_evr_oracle() -> str | None:
+    """Oracle SQL for ``pca_evr_bound``: an INDEPENDENT duckdb+numpy
+    full-spectrum refit (the ``_pca_proj_cte`` precedent — covariance
+    from the raw parquet through a different stack, numpy eigvalsh)
+    computes the cumulative explained-variance curve for both test
+    corpora; the static SQL selects the right one by the same md5
+    fingerprint of the first vector and derives the per-k rows in
+    SQL. Returns None (gate degrades to rows-only) if the testdata
+    dirs are unavailable at build time."""
+    if "evr_sql" in _PCA_ORACLE_CACHE:
+        return _PCA_ORACLE_CACHE["evr_sql"]
+
+    def fit(sf_dir: str):
+        import duckdb
+        import numpy as np
+
+        con = duckdb.connect()
+        src = f"read_parquet('{sf_dir}/embeddings.parquet')"
+        rows = con.execute(
+            f"SELECT embedding FROM {src} ORDER BY vec_id"
+        ).fetchall()
+        fp = con.execute(
+            f"SELECT md5(CAST(embedding AS VARCHAR)) FROM {src} "
+            f"WHERE vec_id = (SELECT min(vec_id) FROM {src})"
+        ).fetchone()[0]
+        M = np.array([np.asarray(r[0], np.float64) for r in rows])
+        mu = M.mean(axis=0)
+        cov = (M - mu).T @ (M - mu) / len(M)
+        vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        curve = np.clip(
+            np.cumsum(np.clip(vals, 0, None)) / np.trace(cov), 0.0, 1.0
+        )
+        return fp, curve
+
+    def lit1(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    try:
+        fpa, ca = fit("/root/testdata/sf0.001")
+        fpb, cb = fit("/root/testdata/sf0.01")
+    except Exception:
+        _PCA_ORACLE_CACHE["evr_sql"] = None
+        return None
+    sql = f"""
+        WITH fpq AS (
+            SELECT md5(CAST(embedding AS VARCHAR)) AS fp FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        curve AS (
+            SELECT CASE WHEN fp = '{fpa}' THEN {lit1(ca)}
+                        ELSE {lit1(cb)} END AS c
+            FROM fpq
+        ),
+        ks(k) AS (VALUES (2), (8), (32), (64))
+        SELECT CAST(ks.k AS INT) AS k,
+               round(curve.c[ks.k], 6) + 0.0 AS evr,
+               curve.c[ks.k] < 0.5 AS warn_fired,
+               CAST((SELECT min(t.i)
+                     FROM (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) t
+                     WHERE curve.c[t.i] >= 0.5) AS INT) AS min_k_evr05
+        FROM ks CROSS JOIN curve
+        ORDER BY k
+    """
+    _PCA_ORACLE_CACHE["evr_sql"] = sql
     return sql
 
 
@@ -7120,6 +7236,9 @@ def oracle_sql() -> dict[str, str]:
     ivf_pca_sql = _ivf_pca_oracle()
     if ivf_pca_sql is not None:
         out["ivf_pca_composed"] = ivf_pca_sql
+    evr_sql = _pca_evr_oracle()
+    if evr_sql is not None:
+        out["pca_evr_bound"] = evr_sql
     out["multimodal_decode"] = _multimodal_decode_oracle()
     # the indexed strip equals the direct strip when the index covers
     # exactly this corpus — ONE oracle attests route equivalence (the

