@@ -133,13 +133,25 @@ def whitened_sf01(spark):
     )
 
 
-def test_tau08_whitened_percolation_trips(spark, whitened_sf01):
-    """THE episode: τ=0.8 on whitened 8-dim vectors percolates; the
-    breaker must refuse before materializing the pair graph."""
+def test_tau08_whitened_refused_at_preflight(spark, whitened_sf01):
+    """THE episode: τ=0.8 on whitened 8-dim vectors percolates. r15
+    (r14 VERDICT task 4): the default-on pre-flight refuses at PLAN
+    CONSTRUCTION — the Gram stage is never scheduled."""
+    from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
+
+    with pytest.raises(PairDensityError, match="pre-flight"):
+        semdedup_pairs(whitened_sf01, threshold=0.8, vec_col="embedding_pca")
+
+
+def test_tau08_whitened_in_task_backstop_still_trips(spark, whitened_sf01):
+    """With the pre-flight acknowledged away (preflight=False), the
+    in-task breaker remains the backstop and still refuses inside the
+    matmul tasks."""
     from wroclaw_bike_stats_spark.operators.semdedup import semdedup_pairs
 
     pairs = semdedup_pairs(
-        whitened_sf01, threshold=0.8, vec_col="embedding_pca"
+        whitened_sf01, threshold=0.8, vec_col="embedding_pca",
+        preflight=False,
     )
     with pytest.raises(Exception, match="PairDensityError"):
         pairs.count()

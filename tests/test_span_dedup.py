@@ -569,6 +569,46 @@ def test_merge_window_index_arrow_family(spark):
     assert got == want
 
 
+def test_broadcast_dups_auto_routes_both_ways(spark):
+    """r15 (r14 VERDICT task 3): broadcast_dups='auto' asks the
+    standing index for the cnt>=2 verdict-set size — a generous
+    budget routes to the broadcast join (hint present), a zero budget
+    to the shuffle join (no hint), and BOTH produce the direct
+    strip's exact rows."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(" "),
+            F.substring("text", 1, 60), F.lit(" "),
+            F.expr("substring(text, 61)"),
+        ).alias("text"),
+    )
+    idx = S.window_index(docs, k=5, site_route="arrow")
+    assert S.pick_dups_route(idx) == "broadcast"
+    assert S.pick_dups_route(idx, max_bytes=0) == "shuffle"
+
+    full = sorted(
+        map(tuple, S.strip_duplicate_spans(
+            docs, k=5, site_route="arrow"
+        ).collect())
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    bc = S.strip_duplicate_spans_with_index(docs, idx, k=5)  # auto
+    assert "ResolvedHint" in analyzed(bc)
+    assert sorted(map(tuple, bc.collect())) == full
+
+    sh = S.strip_duplicate_spans_with_index(
+        docs, idx, k=5, broadcast_dups_max_bytes=0
+    )
+    assert "ResolvedHint" not in analyzed(sh)
+    assert sorted(map(tuple, sh.collect())) == full
+
+
 def test_merge_window_index_rejects_unknown_scheme(spark):
     """r14 ADVICE: an unknown/corrupt span_scheme string must refuse
     even when both sides agree on it — agreement alone is a tautology

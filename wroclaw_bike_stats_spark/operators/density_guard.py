@@ -66,9 +66,11 @@ __all__ = [
     "PairDensityError",
     "DEFAULT_MAX_PAIRS_PER_NODE",
     "DEFAULT_PERCOLATION_FRAC",
+    "PREFLIGHT_GIANT_DEGREE",
     "check_cluster_density",
     "check_component_percolation",
     "estimate_pair_density",
+    "maybe_refuse_pair_density",
     "pair_density_profile",
     "check_bucket_sizes",
 ]
@@ -319,6 +321,71 @@ def estimate_pair_density(
         "est_pairs": est_pairs,
         "est_pairs_per_node": est_pairs / n_nodes if n_nodes else 0.0,
     }
+
+
+#: Pre-flight refusal threshold: estimated pairs per node at/above
+#: which the FULL composed SemDeDup path refuses before scheduling
+#: the Gram stage. 0.5 pairs/node = average degree 1, the classic
+#: random-graph giant-component threshold; the healthy gated regimes
+#: measure 0.04–0.3, the τ=0.8 percolation episode 2.8.
+PREFLIGHT_GIANT_DEGREE = 0.5
+
+#: Corpora below this node count skip the pre-flight entirely — the
+#: in-task breaker handles them at negligible cost, and the sampled
+#: estimator is noisy at tiny n (the driver gate corpora are 50–500
+#: vectors and must stay byte-identical).
+_PREFLIGHT_MIN_NODES = 1024
+
+
+def maybe_refuse_pair_density(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_est_pairs_per_node: float = PREFLIGHT_GIANT_DEGREE,
+    context: str = "semdedup_pairs",
+) -> dict | None:
+    """Default-on pre-flight for the composed SemDeDup plans (r14
+    VERDICT task 4): run :func:`estimate_pair_density`'s two small
+    jobs against the materialized assignment and raise
+    :class:`PairDensityError` when the estimated pairs-per-node
+    reaches ``max_est_pairs_per_node`` — BEFORE the matmul stage is
+    ever scheduled. The in-task breaker (density cap + percolation
+    shape check) remains the backstop for what a cluster-size-and-
+    sample estimate cannot see.
+
+    Returns the estimate dict, or None when the corpus is under
+    ``_PREFLIGHT_MIN_NODES`` (skipped — tiny corpora are the in-task
+    breaker's job, and the driver-gate corpora stay untouched).
+
+    Deliberately NOT wired into ``semdedup_incremental_pairs``: a
+    density-only signal cannot tell a legitimate resident duplicate
+    group (whose old-old edges the increment omits by design) from a
+    percolation chain — exactly the r14-ADVICE false positive the
+    emittable-denominator percolation fix removed. The incremental
+    path's protection is the in-task shape check with ``new_ids``.
+    Dense-but-honest corpora on the FULL path acknowledge by passing
+    ``preflight=False`` (the guard module's standing contract)."""
+    est = estimate_pair_density(
+        assigned, threshold, id_col=id_col, vec_col=vec_col
+    )
+    if est["n_nodes"] < _PREFLIGHT_MIN_NODES:
+        return None
+    if est["est_pairs_per_node"] >= max_est_pairs_per_node:
+        raise PairDensityError(
+            f"PairDensityError[{context}]: pre-flight — estimated "
+            f"{est['est_pairs']} similarity pairs over "
+            f"{est['n_nodes']} nodes ({est['est_pairs_per_node']:.2f} "
+            f"pairs/node >= {max_est_pairs_per_node}, the giant-"
+            f"component degree threshold; sampled above-threshold "
+            f"fraction {est['sampled_frac']:.4f}). The threshold "
+            f"{threshold} is likely below this vector space's "
+            f"duplicate boundary — the pair stage was NOT scheduled. "
+            f"Raise the threshold, or pass preflight=False if the "
+            f"corpus genuinely is this duplicated (the in-task shape "
+            f"breaker still protects the run)."
+        )
+    return est
 
 
 def pair_density_profile(

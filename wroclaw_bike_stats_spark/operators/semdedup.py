@@ -59,6 +59,7 @@ from wroclaw_bike_stats_spark.operators.density_guard import (
     DEFAULT_PERCOLATION_FRAC,
     check_cluster_density,
     check_component_percolation,
+    maybe_refuse_pair_density,
 )
 from wroclaw_bike_stats_spark.operators.similarity import (
     _cosine_verify,
@@ -212,22 +213,38 @@ def semdedup_pairs(
     assigned: DataFrame | None = None,
     max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
     percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
+    preflight: bool = True,
 ) -> DataFrame:
     """All within-cluster (a<b) pairs with cosine ≥ threshold:
     (id_a, id_b, cosine_sim). Pass a precomputed ``assigned`` (from
     ``semdedup_assign``) to reuse the cluster stage across calls.
 
+    ``preflight`` (default ON, r15): before ANY pair stage is
+    scheduled, ``density_guard.maybe_refuse_pair_density`` runs two
+    small jobs on the assignment (cluster sizes + a bounded sample)
+    and refuses when the estimated pairs-per-node reaches the
+    giant-component degree threshold — the τ=0.8-on-whitened-vectors
+    percolation now dies here, not in the matmul tasks. Corpora under
+    the estimator's node floor skip it; dense-but-honest corpora
+    acknowledge with ``preflight=False``. Note this makes plan
+    construction EAGER (two small jobs) for large corpora.
+
     ``max_pairs_per_node`` / ``percolation_frac``: the matmul route's
-    circuit breakers (see ``_cluster_pairs_matmul`` /
+    in-task circuit breakers (see ``_cluster_pairs_matmul`` /
     ``density_guard``) — refuse in-task, pre-materialization, when a
     cluster emits near-quadratically or its pair graph percolates
     into a giant sparse component; ``None`` disables. The relational
-    ``pair_method="join"`` differential route is unguarded (its
-    candidate table is already explicit); use
-    ``density_guard.estimate_pair_density`` for a pre-flight there."""
+    ``pair_method="join"`` differential route has no in-task breaker
+    (its candidate table is already explicit) — the pre-flight is its
+    only guard."""
     if assigned is None:
         _, assigned = semdedup_assign(
             corpus, num_clusters, refine_iters, id_col, vec_col
+        )
+    if preflight:
+        maybe_refuse_pair_density(
+            assigned, threshold, id_col=id_col, vec_col=vec_col,
+            context="semdedup_pairs.preflight",
         )
     if pair_method == "cluster_matmul":
         return _cluster_pairs_matmul(
@@ -262,6 +279,7 @@ def semdedup_keep(
     pairs: DataFrame | None = None,
     max_pairs_per_node: float | None = DEFAULT_MAX_PAIRS_PER_NODE,
     percolation_frac: float | None = DEFAULT_PERCOLATION_FRAC,
+    preflight: bool = True,
 ) -> DataFrame:
     """SemDeDup closure: the corpus with every duplicate group
     collapsed to one representative (rows absent from the pair graph
@@ -294,6 +312,7 @@ def semdedup_keep(
             assigned=assigned,
             max_pairs_per_node=max_pairs_per_node,
             percolation_frac=percolation_frac,
+            preflight=preflight,
         )
     comps = connected_components(
         pairs, src="id_a", dst="id_b", rebalance_edges=True
