@@ -84,6 +84,37 @@ def test_rebalance_edges_matches_and_spreads(spark):
     assert got == want
 
 
+def test_driver_resolve_matches_fixpoint(spark):
+    """r15: the contracted boundary graph is resolved with DRIVER-side
+    union-find when it fits ``driver_links_max``; forcing the bound to
+    0 (fixpoint) and to a huge value (driver) must give identical
+    components on a multi-partition graph whose boundary is non-empty,
+    and both must match plain hashmin."""
+    edges = (
+        [(i, i + 1) for i in range(1, 20)]                      # long chain
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(500, 501), (600, 601), (600, 602), (601, 603)]
+    )
+    want = _comp_map(
+        connected_components(_pairs(spark, edges), method="hashmin")
+    )
+    df = _pairs(spark, edges).repartition(16)
+    got_driver = _comp_map(connected_components(df, driver_links_max=10**6))
+    got_fix = _comp_map(connected_components(df, driver_links_max=0))
+    assert got_driver == want
+    assert got_fix == want
+
+
+def test_driver_resolve_overflow_falls_back(spark):
+    """A driver_links_max smaller than the boundary-link count must
+    fall back to the distributed fixpoint and still be correct."""
+    edges = [(i, i + 1) for i in range(1, 20)]
+    df = _pairs(spark, edges).repartition(16)
+    want = _comp_map(connected_components(_pairs(spark, edges), method="hashmin"))
+    got = _comp_map(connected_components(df, driver_links_max=2))
+    assert got == want
+
+
 def test_unknown_method_raises(spark):
     with pytest.raises(ValueError, match="unknown method"):
         connected_components(_pairs(spark, [(1, 2)]), method="bfs")

