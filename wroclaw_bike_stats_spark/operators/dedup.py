@@ -759,8 +759,15 @@ def minhash_dedup_pairs(
         )
         sigs = signatures
     else:
-        sigs = minhash_signatures(
-            df, text_col, id_col, num_hashes, shingle_n, base_hash
+        # r15: the signature frame feeds BOTH sides of the band-bucket
+        # self-join (two distinct exchanges — no ReusedExchange), so
+        # without persistence the shingle+hash UDF pass runs twice per
+        # execution (measured as two ~0.5 s single-task jobs at the
+        # bench sf). Scratch-persist it: one pass, plan-keyed reuse.
+        sigs = _scratch_persist(
+            minhash_signatures(
+                df, text_col, id_col, num_hashes, shingle_n, base_hash
+            )
         )
     # The candidate set feeds three downstream consumers (the two id
     # projections and the pair join); without persistence the whole
@@ -1205,11 +1212,18 @@ def simhash_neardup_pairs(
         # Callers that already fingerprinted the corpus (e.g. a
         # verification query comparing banded vs brute-force) pass
         # ``sims`` — (_id, simhash) — so the UDF pass runs once.
-        sims = df.select(
-            F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), shingle_n, base_hash).alias(
-                "simhash"
-            ),
+        # r15: ``sims`` feeds THREE consumers below (the banded
+        # explode and both verify projections) and each plans its own
+        # subtree — without persistence the fingerprint UDF pass ran
+        # 3× per execution (measured as three 0.6–1.1 s single-task
+        # jobs at the bench sf). Scratch-persist: one pass.
+        sims = _scratch_persist(
+            df.select(
+                F.col(id_col).alias("_id"),
+                simhash64(F.col(text_col), shingle_n, base_hash).alias(
+                    "simhash"
+                ),
+            )
         )
     chunks = F.array(
         *[

@@ -433,9 +433,16 @@ def decontaminate_ngram_bloom(
                 yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[doc_hit]})
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    suspects = corpus.select(id_col, text_col).mapInPandas(
-        probe, f"{id_col} {id_type}"
-    )
+    # r15: the probe is the operator's dominant corpus-side cost (per-
+    # doc shingle hashing + k bitset probes per gram — measured 2.0 s
+    # on ONE task at the bench sf, where the single-file input plans a
+    # one-task scan); fan the probe input up to the session
+    # parallelism when the scan is under-parallel (no-op at scale).
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    suspects = ensure_parallelism(
+        corpus.select(id_col, text_col)
+    ).mapInPandas(probe, f"{id_col} {id_type}")
     if not verify:
         return corpus.join(suspects, id_col, "left_anti")
     suspect_docs = corpus.join(F.broadcast(suspects), id_col, "left_semi")
