@@ -169,7 +169,15 @@ def nb_predict(
                 f"this run buckets with {want!r} — refit or pass "
                 "matching num_buckets/portable_hash"
             )
-    grams = df.select(
+    # r15: the gram explode + hash + per-doc sum is predict's whole
+    # corpus cost and runs at the scan's parallelism — one task on a
+    # single-file input (measured 1.07 s at the bench sf). Fan up when
+    # under-parallel. Bit-identical under repartition: a doc's rows
+    # move as a unit, so its grams stay contiguous in one partition
+    # and the per-doc partial sums keep their sequential gram order.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(_grams(F.col(text_col))).alias("_g"),
     ).select(

@@ -94,6 +94,16 @@ def decontaminate(
     fp = F.md5(norm_text(F.col(text_col)))
     eval_fps = eval_set.select(fp.alias("_fp")).distinct()
     if broadcast is None:
+        # r15: the auto route's sizing count already materializes the
+        # distinct fingerprints — scratch-persist them so the anti-join
+        # reads the cache instead of re-fingerprinting + re-distincting
+        # the whole blocklist (measured ~1 s of the decontam_shuffle
+        # gate's 2.2 s at the 1.2M-entry blocklist; at a billion-key
+        # blocklist it halves the exclusion-side work). Dropped at
+        # release_shared()/scratch.release().
+        from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
+
+        eval_fps = _sp(eval_fps)
         broadcast = eval_fps.count() <= broadcast_max_fps
     if broadcast:
         eval_fps = F.broadcast(eval_fps)

@@ -255,9 +255,17 @@ def _site_table_arrow(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        emit, out_schema
-    )
+    # r15: per-doc tokenize + hash_array is the pass's whole cost and
+    # runs at the scan's parallelism — one task on a single-file input
+    # (measured 0.4–0.6 s at the bench sf). Fan the input up when
+    # under-parallel (fanout.ensure_parallelism is a no-op for
+    # already-split inputs); output is per-row, so partitioning cannot
+    # change results.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    return ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(emit, out_schema)
 
 
 def _merge_spans(sites: DataFrame, k: int) -> DataFrame:

@@ -626,7 +626,13 @@ def repetition_2gram_struct(col: Column) -> Column:
     # `from __future__ import annotations`, which would break
     # pandas_udf's Series→DataFrame eval-type inference)
     _rep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
-    rep_udf = F.pandas_udf(_rep, "struct<top2_count:long,total_2grams:long>")
+    # r15: nondeterministic per guide §4.4 — an expensive UDF
+    # referenced by a filter must not be pushed below a parallelism
+    # fan-out exchange (plans/curate.py) or duplicated around the
+    # filter; never scan-pushable anyway, so nothing is lost.
+    rep_udf = F.pandas_udf(
+        _rep, "struct<top2_count:long,total_2grams:long>"
+    ).asNondeterministic()
     return rep_udf(col)
 
 
@@ -667,7 +673,11 @@ def top_ngram_stats(
     and the total n-gram count — ``repetition_stats``' native 2-gram
     route generalized (explode → two keyed aggregations with map-side
     partial combine → join back; linear, SQL-mirrorable)."""
-    grams = df.select(
+    # r15: same parallelism floor as repetition_stats' native route
+    # (see there) — integer counts, partitioning-invariant.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
     )
@@ -787,10 +797,12 @@ def gopher_repetition_signals(
         )
 
     _batch.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    # r15: nondeterministic — same §4.4 rationale as
+    # repetition_2gram_struct (expensive, never scan-pushable).
     return F.pandas_udf(
         _batch,
         "struct<top_shares:array<double>,dup_char_fracs:array<double>>",
-    )(col)
+    ).asNondeterministic()(col)
 
 
 def dup_ngram_char_fracs(col: Column, ns: tuple = (5, 6, 7, 8, 9, 10)) -> Column:
@@ -957,9 +969,11 @@ def gopher_repetition_filter(
             return pd.Series([_keep(t) for t in s])
 
         _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        keep_udf = F.pandas_udf(_batch, "boolean")
+        # r15: always nondeterministic (previously only under
+        # min_parallelism) — the same §4.4 barrier so the predicate
+        # cannot sink below an upstream fan-out exchange either.
+        keep_udf = F.pandas_udf(_batch, "boolean").asNondeterministic()
         if min_parallelism:
-            keep_udf = keep_udf.asNondeterministic()
             df = df.repartition(min_parallelism)
         return df.filter(keep_udf(F.col(text_col)))
 
@@ -1133,7 +1147,14 @@ def repetition_stats(
         )
     if impl != "native":
         raise ValueError(f"unknown impl {impl!r}")
-    grams = df.select(
+    # r15: the explode + (doc, gram) partial aggregation is this
+    # route's dominant cost and runs at the scan's parallelism — one
+    # task on a single-file input (measured 0.66 s at the bench sf).
+    # Fan up when under-parallel (no-op for split inputs); counts are
+    # integers, so results are partitioning-invariant.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("_g")
     )
     per_gram = grams.groupBy(id_col, "_g").agg(
@@ -1657,7 +1678,10 @@ def bigram_lm_ppl_column(
         return pd.Series(ppl)
 
     _ppl.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_ppl, "double")(col)
+    # r15: nondeterministic — the ppl band filter references this
+    # column; §4.4 keeps the scoring above fan-out exchanges and
+    # single-evaluated under the band predicate.
+    return F.pandas_udf(_ppl, "double").asNondeterministic()(col)
 
 
 def apply_ppl_band(

@@ -167,7 +167,17 @@ def curate_corpus(
     SQL-oracle differential checks."""
     if persist_stages:
         from wroclaw_bike_stats_spark.operators import scratch
-    out = docs
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    # r15: the plan's narrow head — decontam probe, quality/repetition
+    # Arrow passes, ppl scoring — executes at the SCAN's parallelism;
+    # a single-file input runs the whole chain on one task (measured
+    # 1.9 s of a 2.9 s wall for the rep-rules variant at the bench
+    # sf). Fan the corpus up when under-parallel; a no-op for
+    # already-split inputs, so production scans are unchanged. The
+    # probe compiles the plan but runs no job — the lazy contract
+    # below is preserved.
+    out = ensure_parallelism(docs)
     if eval_set is not None:
         # broadcast pinned, not auto: auto mode counts the exclusion
         # set eagerly to pick a route, which would break this plan's
