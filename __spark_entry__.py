@@ -1426,10 +1426,13 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One distributed plan: full-outer join of exact vs LSH pair sets,
     single aggregate — no driver-side set math. Capless exact side
-    (df_cap=None) because the LSH verify stage is capless too.
+    (df_cap=None) because the LSH verify stage is capless too; the
+    capless pair set is the shared persisted stage
+    (_ngram_pairs_capless_shared) the incremental recall gate also
+    reads.
     """
     docs = _t(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+    exact = _ngram_pairs_capless_shared(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("_e")
     )
     lsh = D.minhash_dedup_pairs(docs, threshold=0.5).select(
@@ -1442,6 +1445,21 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)) == 0)
         .alias("lsh_subset_of_exact"),
         (both / F.greatest(F.count("_e"), F.lit(1)) >= 0.9).alias("recall_ge_090"),
+    )
+
+
+def _ngram_pairs_capless_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPLESS exact Jaccard pair set (df_cap=None — distinct from
+    _ngram_pairs_shared's df_cap=100 graph, whose cap changes the
+    result contract) — r15: persisted once per (session, sf). It is
+    the exact baseline of BOTH LSH recall gates (minhash_recall,
+    incremental_neardup_recall), each of which previously re-ran the
+    full inverted-index self-join."""
+    return _shared_persisted(
+        spark, sf_dir, "exact_pairs_capless",
+        lambda: D.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        ),
     )
 
 
@@ -1567,8 +1585,11 @@ def q_incremental_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         old_banded=D.minhash_band_table(D.minhash_signatures(old)),
     ).select("id_a", "id_b", F.lit(1).alias("_l"))
+    # r15: the capless exact pair set comes from the shared persisted
+    # stage (built once per session/sf, also the minhash_recall exact
+    # side) — the capless shingle CTE was this gate's dominant cost.
     exact = (
-        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        _ngram_pairs_capless_shared(spark, sf_dir)
         .filter((F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0))
         .select("id_a", "id_b", F.lit(1).alias("_e"))
     )
@@ -1636,26 +1657,44 @@ def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    # r15: the pair report is the shared persisted stage (also the
+    # fuzzy_contam_pairs gate's result) fed through the operator's
+    # precomputed-stage hook — the corpus shingle join runs once per
+    # (session, sf) instead of once per consumer.
     return (
-        decontaminate_fuzzy(docs, eval_set, n=3, threshold=0.5)
+        decontaminate_fuzzy(
+            docs, eval_set, n=3, threshold=0.5,
+            pairs=_fuzzy_pairs_shared(spark, sf_dir),
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )
 
 
-def q_fuzzy_contam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The contamination REPORT behind decontam_fuzzy: per
-    (corpus doc, eval doc) Jaccard ≥ 0.5 with the score — what an
-    operator audits before deleting training docs."""
+def _fuzzy_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (corpus doc, eval doc, jaccard ≥ 0.5) contamination report
+    — r15: persisted once per (session, sf); it IS the
+    fuzzy_contam_pairs result and the decontam_fuzzy drop list."""
     from wroclaw_bike_stats_spark.operators.pipeline import (
         fuzzy_contaminated_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
-    return fuzzy_contaminated_pairs(docs, eval_set, n=3, threshold=0.5).orderBy(
-        "doc_id", "eval_id"
+    return _shared_persisted(
+        spark, sf_dir, "fuzzy_pairs",
+        lambda: fuzzy_contaminated_pairs(
+            docs, eval_set, n=3, threshold=0.5
+        ),
     )
+
+
+def q_fuzzy_contam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination REPORT behind decontam_fuzzy: per
+    (corpus doc, eval doc) Jaccard ≥ 0.5 with the score — what an
+    operator audits before deleting training docs. Served from the
+    shared persisted stage (_fuzzy_pairs_shared)."""
+    return _fuzzy_pairs_shared(spark, sf_dir).orderBy("doc_id", "eval_id")
 
 
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,28 +1857,63 @@ def _ref_lm_shared(spark: SparkSession, sf_dir: str):
     )
 
 
+def _dsir_scores_shared(spark: SparkSession, sf_dir: str, portable: bool):
+    """Per-scheme shared DSIR score frame (r15, guide §1.2/§5): the
+    gram explode + broadcast model join + per-doc sum is the family's
+    whole corpus cost and was executed SIX times per bench pass (md5:
+    scores gate + resample gate + scheme gate's rank arm + its
+    resample arm; xxhash64: the scheme gate's two arms — resample
+    re-scores internally). One persisted (doc_id, n_grams, logw)
+    frame per scheme cuts that to once each; every consumer reads the
+    same rows it computed before (the resample key derives from the
+    frame's own logw). Dropped at release_shared()."""
+    from wroclaw_bike_stats_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+    )
+
+    docs, m_md5 = _dsir_model(spark, sf_dir)
+
+    def build():
+        model = (
+            m_md5
+            if portable
+            else dsir_logratio(
+                docs.filter(F.col("doc_id") % 9 == 1),
+                docs,
+                portable_hash=False,
+            )
+        )
+        return dsir_scores(docs, model, portable_hash=portable)
+
+    name = "dsir_scores_md5" if portable else "dsir_scores_xx"
+    return docs, _shared_persisted(spark, sf_dir, name, build)
+
+
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (operators/dsir.py; Xie et al.
     NeurIPS 2023): hashed unigram+bigram features over 4096 buckets,
     add-0.5-smoothed target/raw distributions, per-doc
     Σ cnt·(ln p̂ − ln q̂). The whole fit+score is one lazy plan —
-    two B-row count tables broadcast into one corpus shuffle."""
-    from wroclaw_bike_stats_spark.operators.dsir import dsir_scores
-
-    docs, model = _dsir_model(spark, sf_dir)
-    return dsir_scores(docs, model, portable_hash=True).orderBy("doc_id")
+    two B-row count tables broadcast into one corpus shuffle; the
+    scored frame is the shared persisted stage its sibling gates
+    read (_dsir_scores_shared)."""
+    _, scores = _dsir_scores_shared(spark, sf_dir, True)
+    return scores.orderBy("doc_id")
 
 
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling: 100 docs sampled without
     replacement with inclusion probability ∝ exp(logw), noise seeded
     by the portable id hash so the draw is deterministic and
-    SQL-reproducible."""
+    SQL-reproducible. Reads the shared persisted score frame through
+    the operator's precomputed-stage hook (r15) instead of re-running
+    the scoring pass."""
     from wroclaw_bike_stats_spark.operators.dsir import importance_resample
 
-    docs, model = _dsir_model(spark, sf_dir)
+    docs, scores = _dsir_scores_shared(spark, sf_dir, True)
     return importance_resample(
-        docs, model, k=100, portable_hash=True
+        docs, None, k=100, portable_hash=True, scores=scores
     ).orderBy("doc_id")
 
 
@@ -1873,19 +1947,18 @@ def q_dsir_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification-grade at gate scale, not a production operator."""
     from pyspark.sql import Window
 
-    from wroclaw_bike_stats_spark.operators.dsir import (
-        dsir_logratio,
-        dsir_scores,
-        importance_resample,
-    )
+    from wroclaw_bike_stats_spark.operators.dsir import importance_resample
 
-    docs, m_md5 = _dsir_model(spark, sf_dir)  # shared persisted fit
-    target = docs.filter(F.col("doc_id") % 9 == 1)
-    m_xx = dsir_logratio(target, docs, portable_hash=False)
-    s_md5 = dsir_scores(docs, m_md5, portable_hash=True).select(
+    # r15: both schemes' scored frames come from the shared persisted
+    # stage (_dsir_scores_shared) — before, this gate alone ran the
+    # corpus scoring pass four times (two schemes × rank + resample
+    # arms, resample re-scoring internally).
+    docs, sc_md5 = _dsir_scores_shared(spark, sf_dir, True)
+    _, sc_xx = _dsir_scores_shared(spark, sf_dir, False)
+    s_md5 = sc_md5.select(
         "doc_id", "n_grams", F.col("logw").alias("_w1")
     )
-    s_xx = dsir_scores(docs, m_xx, portable_hash=False).select(
+    s_xx = sc_xx.select(
         "doc_id",
         F.col("n_grams").alias("_ng2"),
         F.col("logw").alias("_w2"),
@@ -1912,12 +1985,12 @@ def q_dsir_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_ge_095"
         ),
     )
-    k1 = importance_resample(docs, m_md5, k=100, portable_hash=True).select(
-        F.col("doc_id").alias("_id"), F.lit(1).alias("_a")
-    )
-    k2 = importance_resample(docs, m_xx, k=100, portable_hash=False).select(
-        F.col("doc_id").alias("_id"), F.lit(1).alias("_b")
-    )
+    k1 = importance_resample(
+        docs, None, k=100, portable_hash=True, scores=sc_md5
+    ).select(F.col("doc_id").alias("_id"), F.lit(1).alias("_a"))
+    k2 = importance_resample(
+        docs, None, k=100, portable_hash=False, scores=sc_xx
+    ).select(F.col("doc_id").alias("_id"), F.lit(1).alias("_b"))
     overlap = (
         k1.join(k2, "_id", "full_outer")
         .agg(
@@ -1949,24 +2022,19 @@ def q_nb_scheme_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.filter(F.col("doc_id") % 3 != 0)
-    preds = []
-    for portable in (True, False):
-        if portable:
-            w, p = _nb_model_shared(spark, sf_dir)  # shared fit
-        else:
-            w, p = nb_train(
-                labeled, _NB_CLASSES, label_col="lang",
-                portable_hash=portable,
-            )
-        preds.append(
-            nb_predict(
-                docs, w, p, _NB_CLASSES, portable_hash=portable
-            ).select(
-                "doc_id",
-                F.col("pred").alias("_p1" if portable else "_p2"),
-            )
-        )
-    j = preds[0].join(preds[1], "doc_id")
+    # r15: the md5 arm reads the shared persisted prediction frame
+    # (built once per session/sf, also served to nb_lang_predict)
+    # instead of re-running the gram explode + per-doc posterior sum.
+    p1 = _nb_pred_shared(spark, sf_dir).select(
+        "doc_id", F.col("pred").alias("_p1")
+    )
+    w, p = nb_train(
+        labeled, _NB_CLASSES, label_col="lang", portable_hash=False
+    )
+    p2 = nb_predict(
+        docs, w, p, _NB_CLASSES, portable_hash=False
+    ).select("doc_id", F.col("pred").alias("_p2"))
+    j = p1.join(p2, "doc_id")
     return j.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -1983,15 +2051,29 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ppl, doc_id) — the exact, SQL-mirrorable mode; the approx
     (sketch-threshold, no-global-sort) mode is the production path
     and its agreement with exact is pinned in tests/test_lm.py."""
-    from wroclaw_bike_stats_spark.operators.text import (
-        bigram_lm_score,
-        ppl_bucket_assign,
-    )
+    from wroclaw_bike_stats_spark.operators.text import ppl_bucket_assign
+
+    scores = _lm_scores_shared(spark, sf_dir)
+    return ppl_bucket_assign(scores, mode="exact").orderBy("doc_id")
+
+
+def _lm_scores_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scores under the %7==3 reference LM via the DEFAULT
+    (auto→arrow) route — r15: persisted once per (session, sf).
+    ppl_buckets and ppl_cms_bound's exact arm issue the IDENTICAL
+    ``bigram_lm_score(docs, uni, bi, alpha=0.1)`` call; before, each
+    paid the full Arrow scoring pass itself. The route-pinned gates
+    (bigram_lm_ppl impl="native", bigram_lm_ppl_column, ppl_pruned's
+    thinned model) deliberately do NOT read this frame — their
+    contract is the route, not just the rows."""
+    from wroclaw_bike_stats_spark.operators.text import bigram_lm_score
 
     docs = _t(spark, sf_dir, "documents")
     uni, bi = _ref_lm_shared(spark, sf_dir)
-    scores = bigram_lm_score(docs, uni, bi)
-    return ppl_bucket_assign(scores, mode="exact").orderBy("doc_id")
+    return _shared_persisted(
+        spark, sf_dir, "ref_lm_scores",
+        lambda: bigram_lm_score(docs, uni, bi, alpha=0.1),
+    )
 
 
 _NB_CLASSES = ["de", "en", "es", "fr", "zh"]
@@ -2014,6 +2096,25 @@ def _nb_model_shared(spark: SparkSession, sf_dir: str):
     )
 
 
+def _nb_pred_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-scheme prediction frame (nb_predict over the
+    shared fit) — r15: persisted once per (session, sf) because BOTH
+    nb_lang_predict and nb_scheme_consistency's md5 arm need exactly
+    these rows; the predict pass (gram explode + posterior sum) was
+    the family's dominant repeated cost."""
+    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build():
+        weights, priors = _nb_model_shared(spark, sf_dir)
+        return nb_predict(
+            docs, weights, priors, _NB_CLASSES, portable_hash=True
+        )
+
+    return _shared_persisted(spark, sf_dir, "nb_pred_md5", build)
+
+
 def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised hashed-feature classifier gate
     (operators/classifier.py; the CCNet §4 fastText-filter shape as
@@ -2022,14 +2123,9 @@ def q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     score EVERY doc — per-class posteriors rounded 4 dp and the
     argmax prediction, tie-broken to the first class. Train+predict
     is one lazy plan; the md5-prefix portable bucket scheme keeps
-    DuckDB bit-identical."""
-    from wroclaw_bike_stats_spark.operators.classifier import nb_predict
-
-    docs = _t(spark, sf_dir, "documents")
-    weights, priors = _nb_model_shared(spark, sf_dir)
-    return nb_predict(
-        docs, weights, priors, _NB_CLASSES, portable_hash=True
-    ).orderBy("doc_id")
+    DuckDB bit-identical. The prediction frame is the shared
+    persisted stage (_nb_pred_shared) the scheme gate also reads."""
+    return _nb_pred_shared(spark, sf_dir).orderBy("doc_id")
 
 
 def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3315,16 +3411,17 @@ def q_ppl_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     real oracle SQL; the invariant is the deterministic boolean the
     Spark side must reproduce — the hll_bounds gate pattern."""
     from wroclaw_bike_stats_spark.operators.text import (
-        bigram_lm_score,
         bigram_lm_score_cms,
         cms_bigram_sketch,
     )
 
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 7 == 3)
-    uni, bi = _ref_lm_shared(spark, sf_dir)
+    uni, _ = _ref_lm_shared(spark, sf_dir)
     sk = cms_bigram_sketch(ref, depth=4, width=16384)
-    exact = bigram_lm_score(docs, uni, bi, alpha=0.1)
+    # r15: the exact arm is the shared persisted score frame — the
+    # same call ppl_buckets makes (identical rows by construction).
+    exact = _lm_scores_shared(spark, sf_dir)
     cms = bigram_lm_score_cms(docs, uni, sk, alpha=0.1).select(
         "doc_id", F.col("ppl").alias("_cp")
     )

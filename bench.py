@@ -116,6 +116,12 @@ SHARED_WARM = frozenset(
         "semdedup_pairs",
         "semdedup_keep",
         "semdedup_stats",
+        # r15: new shared persisted stages — the fuzzy contamination
+        # pair report (fuzzy_contam_pairs result = decontam_fuzzy drop
+        # list); the capless exact pair set / LM score frame / NB+DSIR
+        # score frames warm gates already in this list.
+        "decontam_fuzzy",
+        "fuzzy_contam_pairs",
         # r12: the embedding moments memo (_shared_value) — rep 1
         # would pay the corpus sweep and reps 2-3 the memo hit, so
         # min-of-reps silently measured the memo anyway; listing them

@@ -54,6 +54,30 @@ def test_resample_prefers_high_weight_and_is_deterministic(spark, corpus):
     assert sum(1 for i in a if i % 2 == 0) >= 15
 
 
+def test_resample_precomputed_scores_hook_is_identical(spark, corpus):
+    """r15 precomputed-stage hook: passing a materialized
+    ``dsir_scores`` frame must reproduce the direct call row-for-row
+    (the shared-persist route the entry gates use)."""
+    target = corpus.filter(F.col("doc_id").isin(0, 2, 4, 6))
+    model = DS.dsir_logratio(target, corpus)
+    direct = sorted(
+        map(tuple, DS.importance_resample(corpus, model, k=20).collect())
+    )
+    scores = DS.dsir_scores(corpus, model).persist()
+    try:
+        hooked = sorted(
+            map(
+                tuple,
+                DS.importance_resample(
+                    corpus, None, k=20, scores=scores
+                ).collect(),
+            )
+        )
+    finally:
+        scores.unpersist()
+    assert hooked == direct
+
+
 def test_null_and_empty_text_still_score(spark, corpus):
     """NULL/empty text coalesces to the single empty-token gram —
     every doc gets a score row (the module's NULL contract; a NULL

@@ -64,6 +64,32 @@ def test_pairs_report_values(spark):
     assert set(rows) == {(1, 100), (4, 101)}
 
 
+def test_decontaminate_precomputed_pairs_hook_is_identical(spark):
+    """r15 precomputed-stage hook: passing the materialized pair
+    report must reproduce the direct call row-for-row (the
+    shared-persist route the entry gates use)."""
+    corpus, eval_set = _frames(spark)
+    direct = {
+        r.doc_id
+        for r in P.decontaminate_fuzzy(
+            corpus, eval_set, n=3, threshold=0.5
+        ).collect()
+    }
+    pairs = P.fuzzy_contaminated_pairs(
+        corpus, eval_set, n=3, threshold=0.5
+    ).persist()
+    try:
+        hooked = {
+            r.doc_id
+            for r in P.decontaminate_fuzzy(
+                corpus, eval_set, n=3, threshold=0.5, pairs=pairs
+            ).collect()
+        }
+    finally:
+        pairs.unpersist()
+    assert hooked == direct == {2, 3}
+
+
 def test_minhash_route_matches_exact_here(spark):
     """At 128 hashes / 16 bands a >=0.5-Jaccard pair collides in some
     band with probability ~1 for these near-verbatim docs — the

@@ -223,12 +223,13 @@ def _gumbel(id_col: str) -> Column:
 
 def importance_resample(
     df: DataFrame,
-    model: DataFrame,
+    model: DataFrame | None,
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 4096,
     portable_hash: bool = False,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling: the ``k`` docs with the
     largest ``logw + Gumbel(id)`` — a without-replacement sample with
@@ -236,10 +237,20 @@ def importance_resample(
     Returns (``id_col``, ``logw``, ``key``) with key rounded 4 dp,
     SELECTION done on unrounded keys. Global top-k is the two-stage
     shape: AQE prunes per partition, the final sort sees ≤ k·parts
-    rows — never a full-corpus global sort to the driver."""
-    scored = dsir_scores(
-        df, model, text_col, id_col, num_buckets, portable_hash
-    ).withColumn("_key", F.col("logw") + _gumbel(id_col))
+    rows — never a full-corpus global sort to the driver.
+
+    ``scores``: a precomputed ``dsir_scores(df, model, ...)`` frame —
+    the precomputed-stage hook (the ``semdedup_keep`` precedent). A
+    caller that scores AND resamples the same corpus under one model
+    passes the (persisted) scores once instead of paying the gram
+    explode + model join + per-doc sum a second time; ``model`` may
+    then be ``None``. Same result by construction — the resample key
+    is derived from the scores frame's own ``logw``."""
+    if scores is None:
+        scores = dsir_scores(
+            df, model, text_col, id_col, num_buckets, portable_hash
+        )
+    scored = scores.withColumn("_key", F.col("logw") + _gumbel(id_col))
     return (
         scored.orderBy(F.col("_key").desc(), F.col(id_col).asc())
         .limit(k)

@@ -265,17 +265,27 @@ def decontaminate_fuzzy(
     method: str = "exact",
     num_hashes: int = 128,
     bands: int = 16,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop corpus documents whose ``n``-gram Jaccard against ANY eval
     document reaches ``threshold`` — fuzzy decontamination. Sits
     between ``decontaminate`` (exact normalized text) and
     ``decontaminate_ngram`` (any single shared gram): it catches
     paraphrase-level overlap without nuking every doc that quotes one
-    common phrase. See ``fuzzy_contaminated_pairs`` for shapes."""
-    hits = fuzzy_contaminated_pairs(
-        corpus, eval_set, text_col, id_col, eval_id_col, n, threshold,
-        method, num_hashes, bands,
-    ).select(id_col).distinct()
+    common phrase. See ``fuzzy_contaminated_pairs`` for shapes.
+
+    ``pairs``: a precomputed ``fuzzy_contaminated_pairs`` frame for
+    the same corpus/eval/params — the precomputed-stage hook (the
+    ``semdedup_keep`` precedent): an auditor that reports the pair
+    list AND drops the hits pays the shingle join once (pass the
+    persisted report). Same result by construction — the anti-join
+    keys off the frame's ``id_col``."""
+    if pairs is None:
+        pairs = fuzzy_contaminated_pairs(
+            corpus, eval_set, text_col, id_col, eval_id_col, n, threshold,
+            method, num_hashes, bands,
+        )
+    hits = pairs.select(id_col).distinct()
     return corpus.join(hits, id_col, "left_anti")
 
 
