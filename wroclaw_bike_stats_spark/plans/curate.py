@@ -167,17 +167,17 @@ def curate_corpus(
     SQL-oracle differential checks."""
     if persist_stages:
         from wroclaw_bike_stats_spark.operators import scratch
-    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
-
-    # r15: the plan's narrow head — decontam probe, quality/repetition
-    # Arrow passes, ppl scoring — executes at the SCAN's parallelism;
-    # a single-file input runs the whole chain on one task (measured
-    # 1.9 s of a 2.9 s wall for the rep-rules variant at the bench
-    # sf). Fan the corpus up when under-parallel; a no-op for
-    # already-split inputs, so production scans are unchanged. The
-    # probe compiles the plan but runs no job — the lazy contract
-    # below is preserved.
-    out = ensure_parallelism(docs)
+    # r15 (revised): NO parallelism fan-out at the plan head. A
+    # round-robin exchange here was measured 2.7× SLOWER end-to-end
+    # for the composed plan (curate_pipeline_full 4.3 → 11.6 s at the
+    # bench sf, same host A/B) — the exchange feeds every downstream
+    # reference of the survivor chain and inflates the Arrow-stage
+    # CPU far past the single-task cost it was meant to hide, while
+    # the rep-rules variant gained only ~1.2 s. Callers that need
+    # per-stage parallelism on a single-file corpus have the
+    # stage-level knobs (gopher_repetition_filter's min_parallelism,
+    # the span family's fan-out) whose wins ARE measured.
+    out = docs
     if eval_set is not None:
         # broadcast pinned, not auto: auto mode counts the exclusion
         # set eagerly to pick a route, which would break this plan's
