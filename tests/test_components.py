@@ -115,6 +115,41 @@ def test_driver_resolve_overflow_falls_back(spark):
     assert got == want
 
 
+def test_persisted_small_edges_resolve_on_driver(spark):
+    """r15: a PERSISTED edge list under ``driver_links_max`` is
+    resolved entirely driver-side and returned as a LocalRelation —
+    no phase-1 pass, no boundary shuffle — with labels identical to
+    both distributed routes. Un-persisted inputs must NOT take the
+    fast path (the probe could recompute an expensive upstream), and
+    an over-bound persisted list must fall back, both still correct."""
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]
+        + [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
+        + [(70, 71)]
+    )
+    want = _comp_map(
+        connected_components(_pairs(spark, edges), method="hashmin")
+    )
+
+    persisted = _pairs(spark, edges).persist()
+    try:
+        got = connected_components(persisted, rebalance_edges=True)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan  # driver-resolved fast path
+        assert _comp_map(got) == want
+
+        # bound smaller than the edge count: distributed route, same labels
+        got_over = connected_components(persisted, driver_links_max=3)
+        assert _comp_map(got_over) == want
+    finally:
+        persisted.unpersist()
+
+    cold = connected_components(_pairs(spark, edges))
+    cold_plan = cold._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in cold_plan  # no probe on un-persisted input
+    assert _comp_map(cold) == want
+
+
 def test_unknown_method_raises(spark):
     with pytest.raises(ValueError, match="unknown method"):
         connected_components(_pairs(spark, [(1, 2)]), method="bfs")

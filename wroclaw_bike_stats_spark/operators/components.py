@@ -152,6 +152,31 @@ def _hashmin_fixpoint(
 #: this is not a "fits-in-driver" assumption about the corpus.
 DRIVER_LINKS_MAX = 200_000
 
+#: Bound on the number of RAW edges resolved driver-side when the
+#: pair frame is already persisted (the whole-graph fast path below).
+#: Deliberately much smaller than ``DRIVER_LINKS_MAX``: the result
+#: comes back as a plan-embedded LocalRelation, which is only a win
+#: while it stays broadcast-trivial — measured at the bench sf, a
+#: multi-hundred-k-row LocalRelation cached by the shared-CC gates
+#: inflated every consumer's plan (single-task 2 s scan stages) and
+#: made the banded gate 4× slower, while a few-hundred-row one cut
+#: semdedup_keep 2.6×. 10k edges → ≤20k nodes ≈ ~320 KB.
+DRIVER_EDGES_MAX = 10_000
+
+
+def _storage_backed(df: DataFrame) -> bool:
+    """True when the frame was ``persist()``-ed (any storage level
+    that holds blocks) — i.e. a bounded ``limit`` probe on it reads
+    (or fills) cache blocks instead of scheduling an unbounded
+    recomputation of an expensive upstream (a shuffle-fed pair join's
+    map stages would otherwise run just for the probe). Zero jobs —
+    a driver-side property check only."""
+    try:
+        sl = df.storageLevel
+        return bool(sl.useMemory or sl.useDisk)
+    except Exception:  # noqa: BLE001 - conservative: no fast path
+        return False
+
 
 def _driver_union_find(rows) -> dict:
     """Union-find (union-by-min + path compression) over collected
@@ -257,6 +282,15 @@ def connected_components(
     Identical output: union-by-min union-find and hash-min both label
     a component with its minimum member id. ``None``/0 disables;
     larger boundary graphs use the distributed fixpoint unchanged.
+    Additionally, when ``pairs`` is itself persisted (shared/scratch
+    pair graphs) and the FULL edge list fits the smaller
+    ``DRIVER_EDGES_MAX`` bound, the whole graph is resolved
+    driver-side from one bounded collect and returned as a
+    LocalRelation — no phase-1 pass, no boundary shuffle, no
+    checkpoint (same labels by the same argument). The probe is gated
+    on the persist so it can never trigger an unbounded recomputation
+    of an un-materialized pair join, and the tighter bound keeps the
+    plan-embedded result broadcast-trivial (see ``DRIVER_EDGES_MAX``).
 
     ``max_iter`` bounds the fixpoint rounds (over the contracted
     graph under ``twophase``); exceeding it raises rather than
@@ -283,6 +317,38 @@ def connected_components(
         raise ValueError(f"unknown method {method!r}")
 
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+
+    # r15 (extension of the contracted-graph driver resolve): when the
+    # EDGE LIST itself is already materialized (persisted pair frames —
+    # the engine's shared/scratch pair graphs) AND fits the same
+    # ``driver_links_max`` bound, resolve the whole graph with one
+    # bounded collect + driver union-find and return a LocalRelation.
+    # This skips phase 1 entirely — the mapInPandas pass, its persist/
+    # unpersist lifecycle, the boundary groupBy and the checkpoint are
+    # ~10 scheduler barriers that dominate CC cost on small graphs
+    # (the semdedup gate's 262-pair graph paid ~1.5 s of pure barrier
+    # latency per call). Gated on ``_storage_backed`` so the probe can
+    # never schedule an unbounded recomputation of an un-persisted
+    # shuffle-fed pair join at scale, and on ``DRIVER_EDGES_MAX`` so
+    # the LocalRelation result stays broadcast-trivial; larger or
+    # non-materialized edge lists take the unchanged two-phase route.
+    edge_bound = min(driver_links_max or 0, DRIVER_EDGES_MAX)
+    if edge_bound and _storage_backed(pairs):
+        head = edges.limit(edge_bound + 1).collect()
+        if len(head) <= edge_bound:
+            import pandas as pd
+
+            comp = _driver_union_find((r["u"], r["v"]) for r in head)
+            t = edges.schema["u"].dataType.simpleString()
+            # via pandas: the Arrow path plans a LocalRelation (no
+            # parallelize job; AQE broadcasts it in downstream joins)
+            pdf = pd.DataFrame(
+                {"node": list(comp), "component_id": list(comp.values())}
+            )
+            return pairs.sparkSession.createDataFrame(
+                pdf, schema=f"node {t}, component_id {t}"
+            )
+
     if rebalance_edges:
         edges = edges.repartition(
             int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
