@@ -232,6 +232,8 @@ def main() -> None:
          "/root/repo/BENCH_ANCHOR_r12.json", "vs_r12"),
         ("SPARK_GRAFT_BENCH_ANCHOR_R13",
          "/root/repo/BENCH_ANCHOR_r13.json", "vs_r13"),
+        ("SPARK_GRAFT_BENCH_ANCHOR_R15",
+         "/root/repo/BENCH_ANCHOR_r15.json", "vs_r15"),
     ):
         anchor = _load_anchor(os.environ.get(env, path))
         if anchor:
