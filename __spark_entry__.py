@@ -2612,6 +2612,12 @@ def _sem_shared(spark: SparkSession, sf_dir: str):
 
     def build():
         centroids, assigned = semdedup_assign(emb, num_clusters=8)
+        # persist BEFORE semdedup_pairs: its default-on pre-flight
+        # runs two bounded jobs against the assignment eagerly — un-
+        # persisted, each re-ran the full assignment matmul from the
+        # parquet (r15; _shared_persisted's own persist() below is a
+        # no-op on the already-marked frame)
+        assigned.persist()
         pairs = semdedup_pairs(emb, threshold=0.4, assigned=assigned)
         return centroids, assigned, pairs
 

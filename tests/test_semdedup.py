@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from wroclaw_bike_stats_spark.operators import scratch
 from wroclaw_bike_stats_spark.operators import semdedup as SD
 
 DIM = 16
@@ -286,3 +287,42 @@ def test_threshold_defaults_shared():
             inspect.signature(fn).parameters["threshold"].default
             == SD.DEFAULT_THRESHOLD
         ), fn.__name__
+
+
+def test_keep_small_graph_routes_cc_to_driver(spark, corpus):
+    """r15: with the pre-flight on and the density estimate bounding
+    the pair graph under ``DRIVER_EDGES_MAX``, ``semdedup_keep``
+    scratch-persists the internally-built pair graph so
+    ``connected_components`` resolves it driver-side (LocalTableScan
+    in the executed plan — no two-phase machinery). An
+    acknowledged-dense corpus (``preflight=False``) must NOT take the
+    persist (unknown density → two-phase route), and both routes must
+    return identical rows."""
+    df, _ = corpus
+    # drop pair graphs persisted by earlier tests in this module —
+    # Spark's cache is plan-keyed, so an identical plan persisted by
+    # a previous semdedup_keep call would alias into this test
+    scratch.release()
+
+    # unguarded FIRST: same reason, within this test, for why the
+    # guarded call must come second — once it persists the pair
+    # graph, an identical unguarded plan would read the same cache
+    # entry and take the fast path too
+    unguarded = SD.semdedup_keep(
+        df, num_clusters=6, threshold=THRESH, preflight=False
+    )
+    cold_plan = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD[node#" in cold_plan  # two-phase checkpointed route
+
+    guarded = SD.semdedup_keep(df, num_clusters=6, threshold=THRESH)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # driver-resolved components: a LocalTableScan and NO checkpointed
+    # two-phase result (which would plan as a Scan ExistingRDD over
+    # the (node, component_id) labels; the corpus's own createDataFrame
+    # ExistingRDD is named [vec_id, embedding] and doesn't match)
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD[node#" not in plan
+
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )

@@ -50,7 +50,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wroclaw_bike_stats_spark.operators import scratch
 from wroclaw_bike_stats_spark.operators.components import (
+    DRIVER_EDGES_MAX,
     connected_components,
     keep_canonical,
 )
@@ -241,6 +243,16 @@ def semdedup_pairs(
         _, assigned = semdedup_assign(
             corpus, num_clusters, refine_iters, id_col, vec_col
         )
+        if preflight:
+            # r15 (guide §5): with the pre-flight on, the assignment
+            # built HERE (no caller holds it) is consumed by the
+            # pre-flight's two bounded jobs AND the pair stage —
+            # un-persisted, each consumer re-runs the full
+            # scan+assignment matmul. Scratch-persist so the chain
+            # runs once; ``scratch.release()`` (via the engine's
+            # ``release_shared``) frees it. Caller-provided
+            # assignments keep the caller's persistence policy.
+            assigned = scratch.persist(assigned)
     if preflight:
         maybe_refuse_pair_density(
             assigned, threshold, id_col=id_col, vec_col=vec_col,
@@ -298,11 +310,38 @@ def semdedup_keep(
     piece is built here. ``keep="min_id"`` with ``pairs`` touches no
     assignment at all."""
     need_assign = pairs is None or keep == "far_from_centroid"
+    built_assigned = False
     if need_assign and (centroids is None or assigned is None):
         centroids, assigned = semdedup_assign(
             corpus, num_clusters, refine_iters, id_col, vec_col
         )
+        built_assigned = True
     if pairs is None:
+        # r15 (guide §1.2/§5): run the pre-flight HERE, not inside
+        # semdedup_pairs, so its density estimate can also route the
+        # pair graph: a graph the estimator bounds under
+        # ``DRIVER_EDGES_MAX`` is scratch-persisted, which lets
+        # ``connected_components`` resolve it with one bounded collect
+        # + driver union-find (the persisted-small-edges fast path)
+        # instead of ~10 scheduler barriers of two-phase machinery.
+        # An estimated-large graph (or an acknowledged-dense
+        # ``preflight=False`` corpus) is NOT persisted — the two-phase
+        # route consumes the edge list exactly once, so storing it
+        # would be pure overhead at scale. Same refusal semantics:
+        # the estimate raises before any pair stage is scheduled.
+        small_graph = False
+        if preflight:
+            if built_assigned:
+                # the pre-flight's two jobs + the pair matmul each
+                # consume the assignment — materialize it once
+                assigned = scratch.persist(assigned)
+            est = maybe_refuse_pair_density(
+                assigned, threshold, id_col=id_col, vec_col=vec_col,
+                context="semdedup_keep.preflight",
+            )
+            small_graph = est is None or (
+                est["est_pairs"] <= DRIVER_EDGES_MAX
+            )
         pairs = semdedup_pairs(
             corpus,
             threshold=threshold,
@@ -312,8 +351,10 @@ def semdedup_keep(
             assigned=assigned,
             max_pairs_per_node=max_pairs_per_node,
             percolation_frac=percolation_frac,
-            preflight=preflight,
+            preflight=False,
         )
+        if small_graph:
+            pairs = scratch.persist(pairs)
     comps = connected_components(
         pairs, src="id_a", dst="id_b", rebalance_edges=True
     )
