@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wroclaw_bike_stats_spark.operators import dedup as D
+from wroclaw_bike_stats_spark.operators import fanout as FAN
 from wroclaw_bike_stats_spark.operators import similarity as SIM
 from wroclaw_bike_stats_spark.operators import text as T
 
@@ -1640,10 +1641,40 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
     return (
-        decontaminate_ngram_bloom(docs, eval_set, n=5)
+        decontaminate_ngram_bloom(
+            docs, eval_set, n=5, bloom=_bloom_shared(spark, sf_dir)
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def _bloom_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    """The eval-set Bloom bitset (n=5) — a STANDING ASSET (the
+    operator docstring's "at scale build it once outside the plan"),
+    built once per (session, sf) through the same hashed-shingle
+    table the operator uses internally, fed back via the r15
+    ``bloom=`` precomputed-stage hook. Without this, every call re-ran
+    the eager build jobs (gram count + map/treeReduce) at
+    plan-construction time."""
+    from wroclaw_bike_stats_spark.operators.dedup import _shingle_table
+    from wroclaw_bike_stats_spark.operators.pipeline import (
+        build_ngram_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+
+    def build():
+        ev = (
+            _shingle_table(eval_set, "text", "doc_id", 5, hashed=True)
+            .select("shingle")
+            .distinct()
+        )
+        bitset, m, k = build_ngram_bloom(None, "text", 5, grams=ev)
+        return bitset.tobytes(), m, k
+
+    return _shared_value(spark, sf_dir, "bloom_n5", build)
 
 
 def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,8 +1848,17 @@ def q_curate_pipeline_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     eval_set = staged.filter(F.col("doc_id") % 50 == 0)
+    # r15: fan out the CORPUS side only — this plan is one linear
+    # single-reference chain (unlike curate_pipeline_full, whose
+    # multiply-referenced survivor chain made a head fan-out 2.7×
+    # slower), so a single-row-group testdata scan otherwise runs the
+    # whole staged quality/repetition Arrow chain on one task. The
+    # eval side stays un-exchanged (it only feeds a broadcast build).
+    # ensure_parallelism is a no-op when the scan is already parallel
+    # (production layout).
     curated = curate_corpus(
-        staged, eval_set, scrub=False, repetition_rules={}
+        FAN.ensure_parallelism(staged), eval_set, scrub=False,
+        repetition_rules={},
     )
     return curated.select("doc_id", "split").orderBy("doc_id")
 

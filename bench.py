@@ -122,6 +122,12 @@ SHARED_WARM = frozenset(
         # score frames warm gates already in this list.
         "decontam_fuzzy",
         "fuzzy_contam_pairs",
+        # r15: the eval-set Bloom bitset (a standing asset — the
+        # operator docs always said "build it once outside the plan")
+        # is now built once per (session, sf) via _shared_value and
+        # fed through the bloom= hook, so reps 2+ skip its eager
+        # build jobs.
+        "decontam_bloom",
         # r12: the embedding moments memo (_shared_value) — rep 1
         # would pay the corpus sweep and reps 2-3 the memo hit, so
         # min-of-reps silently measured the memo anyway; listing them

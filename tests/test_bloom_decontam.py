@@ -86,3 +86,36 @@ def test_bloom_sizing_params():
     assert 1 <= k <= 30
     m1, k1 = P._bloom_bitset_params(0, 16)
     assert m1 >= 64 and k1 >= 1
+
+
+def test_precomputed_bloom_hook_equals_internal_build(spark):
+    """r15 ``bloom=`` hook: a bitset prebuilt by ``build_ngram_bloom``
+    over the operator's own hashed-shingle gram table (the standing-
+    asset shape) must give the same result as the internal build —
+    both as the raw uint64 array and as its ``tobytes()`` form."""
+    from wroclaw_bike_stats_spark.operators.dedup import _shingle_table
+
+    corpus = _corpus(spark)
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    eval_set = spark.createDataFrame(
+        [(100, texts[5]), (102, "totally fresh eval only content")],
+        "doc_id long, text string",
+    )
+    internal = {
+        r.doc_id
+        for r in P.decontaminate_ngram_bloom(corpus, eval_set, n=3).collect()
+    }
+    ev = (
+        _shingle_table(eval_set, "text", "doc_id", 3, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    bitset, m, k = P.build_ngram_bloom(None, "text", 3, grams=ev)
+    for asset in ((bitset, m, k), (bitset.tobytes(), m, k)):
+        hooked = {
+            r.doc_id
+            for r in P.decontaminate_ngram_bloom(
+                corpus, eval_set, n=3, bloom=asset
+            ).collect()
+        }
+        assert hooked == internal

@@ -385,11 +385,25 @@ def decontaminate_ngram_bloom(
     n: int = 13,
     bits_per_key: int = 16,
     verify: bool = True,
+    bloom: tuple | None = None,
 ) -> DataFrame:
     """``decontaminate_ngram`` semantics through a Bloom prefilter —
     the route for eval/blocklist sides too large to broadcast as a
     hash relation (where the auto mode above falls back to shuffling
     the ENTIRE corpus gram table).
+
+    ``bloom`` (r15, the precomputed-stage hook pattern): a prebuilt
+    ``(bitset, m, k)`` from :func:`build_ngram_bloom` — ``bitset`` as
+    the uint64 array or its ``tobytes()``. The bitset is a STANDING
+    ASSET (the blocklist changes rarely; the docstring below always
+    said "at scale build it once outside the plan") — without the
+    hook every call re-ran the eager build jobs (gram count +
+    map/treeReduce) at plan-construction time. MUST be built over the
+    same ``(eval_set, n)``; the verify join still runs against
+    ``eval_set``, so a stale bitset can only over-suspect (false
+    positives are verified away), never under-drop... unless grams
+    were REMOVED from the eval set, which invalidates the asset like
+    any standing index.
 
     1. Bloom bitset over hashed eval grams (``build_ngram_bloom``) —
        ~10–20 bits/gram, broadcast once.
@@ -426,10 +440,19 @@ def decontaminate_ngram_bloom(
         .select("shingle")
         .distinct()
     )
-    bitset, m, k = build_ngram_bloom(
-        None, text_col, n, bits_per_key, grams=ev_grams
-    )
-    bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
+    if bloom is None:
+        bitset, m, k = build_ngram_bloom(
+            None, text_col, n, bits_per_key, grams=ev_grams
+        )
+        raw = bitset.tobytes()
+    else:
+        bitset, m, k = bloom
+        raw = (
+            bitset
+            if isinstance(bitset, (bytes, bytearray))
+            else bitset.tobytes()
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast(raw)
 
     def probe(pdf_iter):
         import pandas as pd

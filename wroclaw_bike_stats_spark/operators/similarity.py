@@ -327,10 +327,16 @@ def cosine_topk_ivf_indexed(
     )
 
     # collect the (tiny: ≤ queries × nprobe) probe set so the centroid
-    # predicate is a LITERAL IN-list the scan can prune partitions with
-    probe_ids = sorted(
-        {r["centroid_id"] for r in q_probe.select("centroid_id").collect()}
-    )
+    # predicate is a LITERAL IN-list the scan can prune partitions
+    # with. Collected ONCE (r15): the probe set is consumed twice —
+    # the pruning literal here AND the broadcast join side below —
+    # and its upstream can be a full projection pass (the PCA-composed
+    # route), so the second evaluation re-ran that pass. Rebuilding it
+    # as a LocalRelation costs zero jobs downstream; the float32
+    # vectors round-trip exactly (float64 represents every float32).
+    probe_rows = q_probe.collect()
+    probe_ids = sorted({r["centroid_id"] for r in probe_rows})
+    q_probe = spark.createDataFrame(probe_rows, q_probe.schema)
     pruned = assigned.filter(F.col("centroid_id").isin(probe_ids))
 
     scored = (
