@@ -935,11 +935,13 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_gopher_quality.py. Word floor lowered for
     the short synthetic docs; same bounds in the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        T.gopher_quality_filter(docs, min_words=5, min_mean_word_len=1.0)
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
+    kept = T.gopher_quality_filter(
+        docs, min_words=5, min_mean_word_len=1.0
+    ).select("doc_id")
+    # r15: orderBy range-sample double-compute (the multimodal_decode
+    # pattern) — the sample job re-ran the Arrow rule pass (~0.37 s
+    # single-task ×2 per collect). One pass per execution.
+    return kept.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,10 +2684,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb)
-    return q.select(
+    exploded = q.select(
         "vec_id",
         F.posexplode("embedding_q").alias("q_idx", "q"),
-    ).orderBy("vec_id", "q_idx")
+    )
+    # r15: same orderBy range-sample double-compute as
+    # multimodal_decode — the sample job re-ran the quantize Arrow
+    # pass (profile: two single-task jobs of ~0.3 s each). The lazy
+    # localCheckpoint runs it once per execution; nothing is shared
+    # across executions.
+    return exploded.localCheckpoint(eager=False).orderBy(
+        "vec_id", "q_idx"
+    )
 
 
 def q_pair_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,7 +2943,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return decode_audio_real(bytes(b))
 
     feats = extract_features(assets, decode_fn=_decode)
-    return feats.select(
+    exploded = feats.select(
         "asset_id",
         "media_type",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -2941,7 +2951,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform("feature", lambda x: F.round(x, 9))
         ).alias("f_idx", "f_val"),
-    ).orderBy("asset_id", "f_idx")
+    )
+    # r15: the final orderBy's range-partitioner SAMPLE job re-ran the
+    # whole real-decoder mapInArrow pass (profile: two identical
+    # 32-task jobs per collect). A lazy localCheckpoint makes the
+    # sample job materialize the tiny exploded frame (64 assets × 8
+    # features) and the sort read those blocks — decode runs ONCE per
+    # execution, and unlike a plan-keyed persist nothing is shared
+    # across executions (every run still pays one full decode).
+    return exploded.localCheckpoint(eager=False).orderBy(
+        "asset_id", "f_idx"
+    )
 
 
 def _multimodal_decode_oracle() -> str:
@@ -3303,7 +3323,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wroclaw_bike_stats_spark.operators.pipeline import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, max_tokens=32, overlap=8).orderBy(
+    chunks = chunk_documents(docs, max_tokens=32, overlap=8)
+    # r15: orderBy range-sample double-compute (the multimodal_decode
+    # pattern) — the sample job re-ran the tokenize+assemble+explode
+    # chain (~0.6 s single-task at the bench sf). One pass per
+    # execution via lazy localCheckpoint.
+    return chunks.localCheckpoint(eager=False).orderBy(
         "doc_id", "chunk_id"
     )
 
@@ -3423,12 +3448,15 @@ def q_bigram_lm_ppl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     uni, bi = _ref_lm_shared(spark, sf_dir)
-    return docs.select(
+    scored = docs.select(
         "doc_id",
         bigram_lm_ppl_column(
             F.col("text"), uni, bi, spark=spark, alpha=0.1
         ).alias("ppl"),
-    ).orderBy("doc_id")
+    )
+    # r15: orderBy range-sample double-compute (the multimodal_decode
+    # pattern) — one Arrow scoring pass per execution.
+    return scored.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_ppl_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3526,11 +3554,14 @@ def q_repetition_2gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     st = repetition_2gram_struct(F.col("text"))
-    return docs.select(
+    cols = docs.select(
         "doc_id",
         st.getField("top2_count").alias("top2_count"),
         st.getField("total_2grams").alias("total_2grams"),
-    ).orderBy("doc_id")
+    )
+    # r15: orderBy range-sample double-compute (the multimodal_decode
+    # pattern) — one Arrow gram pass per execution.
+    return cols.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_top_3gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3563,11 +3594,12 @@ def q_segment_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, 81)"),
         ).alias("text"),
     )
-    return (
-        T.segment_repetition_stats(staged)
-        .withColumn("n_segments", F.col("n_segments").cast("long"))
-        .orderBy("doc_id")
+    stats = T.segment_repetition_stats(staged).withColumn(
+        "n_segments", F.col("n_segments").cast("long")
     )
+    # r15: orderBy range-sample double-compute (the multimodal_decode
+    # pattern) — one segment-stats pass per execution.
+    return stats.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3587,17 +3619,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".1 tel +48 600-700-"),
         F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
     )
-    return (
-        docs.select("doc_id", pii_text.alias("_t"))
-        .select(
-            "doc_id",
-            P.pii_count(F.col("_t"), "email").cast("long").alias("n_email"),
-            P.pii_count(F.col("_t"), "ipv4").cast("long").alias("n_ip"),
-            P.pii_count(F.col("_t"), "phone").cast("long").alias("n_phone"),
-            F.md5(P.scrub_pii(F.col("_t"))).alias("redacted_md5"),
-        )
-        .orderBy("doc_id")
+    scrubbed = docs.select("doc_id", pii_text.alias("_t")).select(
+        "doc_id",
+        P.pii_count(F.col("_t"), "email").cast("long").alias("n_email"),
+        P.pii_count(F.col("_t"), "ipv4").cast("long").alias("n_ip"),
+        P.pii_count(F.col("_t"), "phone").cast("long").alias("n_phone"),
+        F.md5(P.scrub_pii(F.col("_t"))).alias("redacted_md5"),
     )
+    # r15: the final orderBy's range-sample job re-ran the whole regex
+    # chain (profile: two ~0.5 s single-task jobs per collect). Lazy
+    # localCheckpoint = one scrub pass per execution, nothing shared
+    # across executions (the multimodal_decode pattern).
+    return scrubbed.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
