@@ -1088,10 +1088,23 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _PAIR_GRAPH_CACHE.pop(k).unpersist()
             except Exception:  # noqa: BLE001
                 pass
+        import time as _time
+
+        t0 = _time.perf_counter()
         docs = _t(spark, sf_dir, "documents")
         df = D.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, df_cap=100
         ).persist()
+        # materialize + time, same accounting as _shared_persisted
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - consumers still fill lazily
+            pass
+        _SHARED_BUILD_SEC["ngram_pair_graph"] = (
+            _SHARED_BUILD_SEC.get("ngram_pair_graph", 0.0)
+            + _time.perf_counter()
+            - t0
+        )
         _PAIR_GRAPH_CACHE[key] = df
     return df
 
@@ -1104,8 +1117,24 @@ def _ngram_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup assignment+pair stages; release_shared() drops them all.
 _SHARED_FRAMES: dict = {}
 
+# r16 (bench-accounting honesty, VERDICT task 6): wall seconds spent
+# building each shared asset — plan construction PLUS the eager
+# materialization below. One-time builds land inside rep 1 of their
+# first consumer, which min-of-reps discards, so without this record
+# the build cost appears in NO reported number. The bench emits it as
+# "shared_build_sec"; cleared with everything else at release_shared().
+_SHARED_BUILD_SEC: dict = {}
+
+
+def shared_build_sec() -> dict:
+    """name → measured build seconds for every shared asset built so
+    far in this session (see ``_SHARED_BUILD_SEC``)."""
+    return {k: round(v, 3) for k, v in _SHARED_BUILD_SEC.items()}
+
 
 def _shared_persisted(spark: SparkSession, sf_dir: str, name: str, build):
+    import time as _time
+
     key = (spark.sparkContext.applicationId, sf_dir, name)
     got = _SHARED_FRAMES.get(key)
     if got is None:
@@ -1117,9 +1146,23 @@ def _shared_persisted(spark: SparkSession, sf_dir: str, name: str, build):
                     df.unpersist()
                 except Exception:  # noqa: BLE001
                     pass
+        t0 = _time.perf_counter()
         got = build()
         for df in got if isinstance(got, tuple) else (got,):
             df.persist()
+            # Materialize NOW (noop sink: every column, result
+            # discarded) so the asset's one-time cost is attributable
+            # to the build — it was always paid at first-consumer time
+            # anyway (persist fills on first action); timing it here
+            # makes it reportable instead of vanishing into a
+            # discarded rep-1 number.
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - consumers still fill lazily
+                pass
+        _SHARED_BUILD_SEC[name] = (
+            _SHARED_BUILD_SEC.get(name, 0.0) + _time.perf_counter() - t0
+        )
         _SHARED_FRAMES[key] = got
     return got
 
@@ -1133,11 +1176,17 @@ def _shared_value(spark: SparkSession, sf_dir: str, name: str, build):
     gates: the corpus-wide pass runs once per (session, sf), the
     constant-size result is memoized, and `release_shared` drops it
     with everything else."""
+    import time as _time
+
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _SHARED_VALUES:
         for k in [k for k in _SHARED_VALUES if k[2] == name and k != key]:
             _SHARED_VALUES.pop(k)
+        t0 = _time.perf_counter()
         _SHARED_VALUES[key] = build()
+        _SHARED_BUILD_SEC[name] = (
+            _SHARED_BUILD_SEC.get(name, 0.0) + _time.perf_counter() - t0
+        )
     return _SHARED_VALUES[key]
 
 
@@ -1159,6 +1208,7 @@ def release_shared() -> None:
     _PAIR_GRAPH_CACHE.clear()
     _SHARED_FRAMES.clear()
     _SHARED_VALUES.clear()
+    _SHARED_BUILD_SEC.clear()
     # CC results are checkpoint-backed: dropping the references lets
     # ContextCleaner reclaim the blocks (DataFrame.unpersist would be
     # a no-op for them — see operators/scratch.py).
@@ -1225,11 +1275,22 @@ def q_banded_components_refinement(spark: SparkSession, sf_dir: str) -> DataFram
         connected_components,
     )
 
+    from wroclaw_bike_stats_spark.operators import scratch
+
     docs = _t(spark, sf_dir, "documents")
     exact = _ngram_pairs_shared(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("_e")
     )
-    banded_pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    # r16: the banded pair set feeds BOTH the subset/recall full-outer
+    # join AND the banded-CC arm below — un-persisted, the band-bucket
+    # self-join + verify ran once per consumer, and the un-materialized
+    # edge list forced connected_components onto the two-phase fixpoint
+    # (~15 scheduler-barrier jobs for a few-hundred-edge graph at the
+    # bench sf). Scratch-persist it: one pair-join computation per
+    # session, and CC takes the bounded driver resolve for small
+    # persisted edge lists (components.py — larger graphs route to the
+    # unchanged two-phase machinery). Profiled 30 → 11 warm jobs.
+    banded_pairs = scratch.persist(D.minhash_dedup_pairs(docs, threshold=0.5))
     lsh = banded_pairs.select("id_a", "id_b", F.lit(1).alias("_l"))
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     both = F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
@@ -1797,7 +1858,16 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine rounding."""
     from wroclaw_bike_stats_spark.plans.curate import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    # r16: project to the two columns the pipeline (and the final
+    # select) actually uses BEFORE handing docs to curate_corpus —
+    # persist_stages materializes the survivor frame as-is, and the
+    # un-projected frame carried lang/source/n_chars through the
+    # scratch cache and the dedup shuffle (Catalyst cannot prune
+    # columns below an explicit persist boundary). Same rows/columns
+    # out (the query's final select is doc_id/text/split either way);
+    # guide §5 (prune the persisted footprint) + §2.3 (project before
+    # the exchange).
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
     lm = _ref_lm_shared(spark, sf_dir)
     curated = curate_corpus(
@@ -1809,13 +1879,26 @@ def q_curate_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_ppl=23.0,
         strip_spans=True,
         span_k=13,
-        # r15: the span strip references the survivor plan twice (site
-        # generation + rebuild join); persist_stages scratch-persists
-        # the survivors so the upstream chain executes once per action
-        # instead of twice — the documented production switch, same
-        # rows (measured identical; 6.6 s → 3.7 s cold at sf0.1).
-        # Scratch is dropped at release_shared().
-        persist_stages=True,
+        # r16: the reference model as session-shared COLLECTED assets
+        # (collect_lm_assets hook) — the arrow lm stage otherwise
+        # re-collects + re-broadcasts the model tables at every plan
+        # construction (two jobs/execution for a constant model).
+        lm_assets=_ref_lm_assets_shared(spark, sf_dir),
+        # r16: persist_stages back to False (the fully lazy plan). The
+        # r15 switch to True traded cold 6.6→3.7 s but regressed the
+        # warm number ~+0.9 s/run (the VERDICT's one code-attributable
+        # regression): the strip's two survivor references share the
+        # dedup exchange via exchange reuse, so the lazy plan's
+        # "double compute" only duplicates post-shuffle narrow work,
+        # while the scratch persist pays a fresh materialization every
+        # run (the nondeterministic Arrow UDF columns defeat
+        # plan-keyed cache matching across executions). Measured this
+        # round, same session, min-of-4 with the doc_id/text
+        # projection in place: persist=True 4.06 s vs False 3.48 s
+        # warm; cold rep0 ~10.1 s under both. At 100 TB the documented
+        # production switch remains available to callers; the gate
+        # measures the lazy shape.
+        persist_stages=False,
     )
     return curated.select("doc_id", "text", "split").orderBy("doc_id")
 
@@ -1896,6 +1979,25 @@ def _ref_lm_shared(spark: SparkSession, sf_dir: str):
     return _shared_persisted(
         spark, sf_dir, "ref_lm",
         lambda: train_bigram_lm(docs.filter(F.col("doc_id") % 7 == 3)),
+    )
+
+
+def _ref_lm_assets_shared(spark: SparkSession, sf_dir: str):
+    """The %7==3 reference LM as COLLECTED broadcast assets
+    (text.collect_lm_assets — the operator's own standing-model reuse
+    hook, built for exactly this): the arrow scorer callers
+    (bigram_lm_ppl_column, curate_corpus's lm stage) otherwise
+    re-collect + re-broadcast the model tables at EVERY plan
+    construction — two jobs plus broadcast setup per execution for a
+    model that never changes within a (session, sf). r16: collected
+    once and memoized; release_shared() drops the memo (the broadcast
+    blocks go to ContextCleaner with the session)."""
+    from wroclaw_bike_stats_spark.operators.text import collect_lm_assets
+
+    uni, bi = _ref_lm_shared(spark, sf_dir)
+    return _shared_value(
+        spark, sf_dir, "ref_lm_assets",
+        lambda: collect_lm_assets(spark, uni, bi),
     )
 
 
@@ -3388,7 +3490,21 @@ def q_span_strip_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    idx = window_index(docs, k=13, site_route="arrow")
+    # r16: the index IS the route's standing asset (stored parquet on a
+    # resident corpus — this operator's whole point), but the query
+    # rebuilt it from scratch THREE times per execution: once for
+    # pick_dups_route's cnt≥2 count, once under the verdict join, and
+    # the un-materialized agg re-ran the full arrow site pass each
+    # time (profiled: 3 × ~0.5 s 33-task site stages per run).
+    # Session-share the built index (distinct-content-sized — orders
+    # of magnitude below site volume) exactly like the Bloom bitset
+    # standing asset; the strip's probe site pass over the corpus
+    # still runs in full every execution. Listed in bench SHARED_WARM;
+    # build cost reported in shared_build_sec.
+    idx = _shared_persisted(
+        spark, sf_dir, "span_index_arrow",
+        lambda: window_index(docs, k=13, site_route="arrow"),
+    )
     return strip_duplicate_spans_with_index(docs, idx, k=13).orderBy(
         "doc_id"
     )
@@ -3451,7 +3567,10 @@ def q_bigram_lm_ppl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         bigram_lm_ppl_column(
-            F.col("text"), uni, bi, spark=spark, alpha=0.1
+            F.col("text"), uni, bi, spark=spark, alpha=0.1,
+            # r16: session-shared collected model assets — skips the
+            # per-execution model collect + broadcast (two jobs).
+            model_assets=_ref_lm_assets_shared(spark, sf_dir),
         ).alias("ppl"),
     )
     # r15: orderBy range-sample double-compute (the multimodal_decode
@@ -3492,7 +3611,20 @@ def q_ppl_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 7 == 3)
     uni, _ = _ref_lm_shared(spark, sf_dir)
-    sk = cms_bigram_sketch(ref, depth=4, width=16384)
+    # r16: the densified reference sketch as a session-shared standing
+    # asset (sketch.cms_dense_local — one bounded ≤d·w collect), the
+    # bloom-bitset pattern: the sketch build + lazy densify subplan
+    # (~8 scheduler barriers) otherwise re-ran at every execution for
+    # a constant reference model. The scoring pass and the exact-arm
+    # comparison below are unchanged and still run per execution.
+    from wroclaw_bike_stats_spark.operators.sketch import cms_dense_local
+
+    sk = _shared_value(
+        spark, sf_dir, "cms_ref_dense",
+        lambda: cms_dense_local(
+            cms_bigram_sketch(ref, depth=4, width=16384)
+        ),
+    )
     # r15: the exact arm is the shared persisted score frame — the
     # same call ppl_buckets makes (identical rows by construction).
     exact = _lm_scores_shared(spark, sf_dir)

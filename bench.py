@@ -12,7 +12,21 @@ deliberately recompute exact baselines — audit cost, not engine
 speed); regression comparisons should use ``engine_total``.
 ``shared_warm`` lists queries whose per-query number is warmed by a
 shared persisted intermediate built earlier in the same run — their
-values are not standalone cold latencies (the totals are genuine).
+values are not standalone cold latencies. NOTE (r16, honesty fix):
+because each one-time shared build is paid inside rep 1 of its first
+consumer and min-of-reps discards rep 1, the build cost appears in NO
+per-query number — the totals are genuine only up to those builds.
+``shared_build_sec`` (r16) therefore reports each shared asset's
+measured build+materialization seconds, and ``shared_build_total``
+their sum: ``value + shared_build_total`` is the true
+everything-included cost of one cold run.
+
+Output layout (r16): the driver captures only the TAIL of stdout, so
+per-query timings are ALSO emitted as small self-contained
+``{"queries_rounded": ..., "part": i, "parts": n}`` lines just before
+the final summary line (each fits a tail window individually), and
+the full result object is written to ``BENCH_SELF.json`` next to this
+file. The final one-line summary is unchanged from r15.
 
 Each query is timed end-to-end (plan build + execution + collect).
 A warmup query first absorbs one-time JVM/session startup so the
@@ -128,6 +142,20 @@ SHARED_WARM = frozenset(
         # fed through the bloom= hook, so reps 2+ skip its eager
         # build jobs.
         "decontam_bloom",
+        # r16: the arrow-family window_index standing asset (the span
+        # family's stored resident-corpus table) is built once per
+        # (session, sf); the probe site pass still runs per execution.
+        # Build cost reported in shared_build_sec.
+        "span_strip_indexed",
+        # r16: the banded (minhash) pair set is scratch-persisted —
+        # shared by this gate's subset/recall join and its CC arm, and
+        # plan-keyed-warm across reps like the rest of the pair-graph
+        # family.
+        "banded_components_refinement",
+        # r16: the %7==3 reference-LM COLLECTED broadcast assets
+        # (collect_lm_assets) are memoized per (session, sf) — the
+        # arrow scorer callers skip the per-plan model collect.
+        "bigram_lm_ppl_column",
         # r12: the embedding moments memo (_shared_value) — rep 1
         # would pay the corpus sweep and reps 2-3 the memo hit, so
         # min-of-reps silently measured the memo anyway; listing them
@@ -197,6 +225,15 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 3)
 
+    # Shared-asset build accounting (r16, VERDICT task 6): the entry
+    # times every `_shared_persisted` / `_shared_value` build (plan
+    # construction + eager materialization). Collected BEFORE
+    # release_shared() clears the registry.
+    try:
+        shared_build = dict(entry_mod.shared_build_sec())
+    except Exception:  # noqa: BLE001 - accounting must not kill the bench
+        shared_build = {}
+
     # Drop session-shared persisted intermediates (pair graph, dedup
     # scratch) — no persisted RDDs should outlive the bench run.
     try:
@@ -249,6 +286,8 @@ def main() -> None:
                 if name in anchor and anchor[name] > 0
             }
     out["shared_warm"] = sorted(SHARED_WARM & set(timings))
+    out["shared_build_sec"] = shared_build
+    out["shared_build_total"] = round(sum(shared_build.values()), 3)
     if errors:
         out["errors"] = errors
     out.update(
@@ -262,6 +301,36 @@ def main() -> None:
         }
     )
     print(json.dumps(out))
+    # r16 (VERDICT task 2): the driver's tail window truncates the long
+    # line above, which left PERF_r15 with per_query={} / n_common=0.
+    # Re-emit the per-query timings as SMALL self-contained JSON lines
+    # (each well under any plausible tail window) immediately before
+    # the final summary, and write the full object to BENCH_SELF.json
+    # so the judge/driver can always recover every number from disk.
+    try:
+        self_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        with open(self_path, "w") as f:
+            json.dump(out, f)
+    except Exception:  # noqa: BLE001 - reporting must not kill the bench
+        pass
+    names = sorted(timings)
+    chunk = 34  # ~1 KB/line at 2-dp compact encoding
+    parts = [names[i : i + chunk] for i in range(0, len(names), chunk)]
+    for i, part in enumerate(parts):
+        print(
+            json.dumps(
+                {
+                    "queries_rounded": {
+                        n: round(timings[n], 2) for n in part
+                    },
+                    "part": i + 1,
+                    "parts": len(parts),
+                },
+                separators=(",", ":"),
+            )
+        )
     # Short summary line LAST: guaranteed to fit whole inside any tail
     # window, so the driver's `tail.find('{"metric"')` always lands on a
     # complete JSON object even if the full line above is truncated.
@@ -294,15 +363,29 @@ def _load_anchor(path: str) -> dict[str, float] | None:
         tail = doc.get("tail", "")
         # Round-4+ bench output leads with {"queries": ...} and ends
         # with a short {"metric": ...} summary line that has NO
-        # queries map — prefer the full object, fall back to the old
-        # (pre-r4) metric-first format.
-        for marker in ('{"queries"', '{"metric"'):
+        # queries map — prefer the full object. r16 output additionally
+        # carries small {"queries_rounded": ..., "part": i} lines;
+        # assemble those when the long line was truncated away. Finally
+        # fall back to the old (pre-r4) metric-first format.
+        rounded: dict[str, float] = {}
+        for marker in ('{"queries":', '{"metric"'):
             start = tail.find(marker)
             if start >= 0:
-                obj = json.loads(tail[start:].splitlines()[0])
+                try:
+                    obj = json.loads(tail[start:].splitlines()[0])
+                except ValueError:
+                    continue
                 if "queries" in obj:
                     return obj["queries"]
-        return None
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith('{"queries_rounded"'):
+                continue
+            try:
+                rounded.update(json.loads(line)["queries_rounded"])
+            except Exception:  # noqa: BLE001 - a truncated first line
+                continue
+        return rounded or None
     except Exception:
         return None
 

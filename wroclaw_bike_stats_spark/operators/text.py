@@ -1418,14 +1418,39 @@ def bigram_lm_score_cms(
     ĉ12 ≤ c12 + (e/w)·N w.p. ≥ 1−e^−d bounding the deflation
     (deterministic for the fixed xxhash64 seeds — the contract gate
     asserts the one-sided inequality corpus-wide). Same output schema
-    as ``bigram_lm_score``; c1 and V stay exact (unigram table)."""
+    as ``bigram_lm_score``; c1 and V stay exact (unigram table).
+
+    ``bi_sketch`` may be EITHER the sparse ``cms_bigram_sketch`` frame
+    (densified lazily per plan via ``sketch.cms_dense``) or the
+    pre-densified one-row ``sketch.cms_dense_local`` frame — the
+    standing-asset hook (r16): a resident pipeline densifies the
+    reference sketch once and scores every batch against it instead of
+    paying the densify subplan per scoring plan. Identical scores
+    (``cms_dense_local`` rows == ``cms_dense`` rows, pinned in
+    tests)."""
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
     from wroclaw_bike_stats_spark.operators.sketch import cms_dense
 
-    meta = bi_sketch.schema["cnt"].metadata or {}
+    if "_cms" in bi_sketch.columns:
+        meta = bi_sketch.schema["_cms"].metadata or {}
+        dense = bi_sketch
+    else:
+        meta = bi_sketch.schema["cnt"].metadata or {}
+        dense = None
     depth, width = meta.get("cms_depth"), meta.get("cms_width")
     if not depth or not width:
         raise ValueError("bi_sketch must come from cms_bigram_sketch")
-    grams = df.select(
+    if dense is None:
+        dense = cms_dense(bi_sketch)
+    # r16: the gram explode + d probes + per-doc aggregate is the whole
+    # corpus-side cost and runs at the scan's parallelism — one task on
+    # a single-row-group input (profiled 0.57 s at the bench sf). Fan
+    # the doc frame up BEFORE the explode when under-parallel (no-op on
+    # parallel scans): a doc's rows move as a unit, so its grams stay
+    # contiguous in one partition and the per-doc partial sums keep
+    # their sequential gram order — bit-identical, the nb_predict
+    # precedent.
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(_bigram_pairs(F.col(text_col))).alias("_g"),
     ).select(
@@ -1458,7 +1483,7 @@ def bigram_lm_score_cms(
     return (
         grams.join(uni.withColumnRenamed("w", "w1"), "w1", "left")
         .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(cms_dense(bi_sketch)))
+        .crossJoin(F.broadcast(dense))
         .groupBy(id_col)
         .agg(
             F.count("w1").alias("n_bigrams"),
