@@ -156,6 +156,10 @@ SHARED_WARM = frozenset(
         # (collect_lm_assets) are memoized per (session, sf) — the
         # arrow scorer callers skip the per-plan model collect.
         "bigram_lm_ppl_column",
+        # r16: the resident corpus's (centroids, assignment) standing
+        # asset is session-shared; the new-batch assignment + pair
+        # pass still runs per execution.
+        "semdedup_incremental",
         # r12: the embedding moments memo (_shared_value) — rep 1
         # would pay the corpus sweep and reps 2-3 the memo hit, so
         # min-of-reps silently measured the memo anyway; listing them

@@ -88,7 +88,19 @@ def nb_train(
     to parquet and it is the standing model (scheme tag in column
     metadata, validated by ``nb_predict``)."""
     _check_labels(classes)
-    grams = labeled.filter(F.col(label_col).isin(classes)).select(
+    # r16: the gram explode + hash + partial count is the fit's whole
+    # corpus cost and runs at the scan's parallelism — one task on a
+    # single-row-group input (profiled 0.4 s per aggregate consumer at
+    # the bench sf). Fan the (label, text) projection up when
+    # under-parallel (a no-op on parallel scans); counts are integers,
+    # so partitioning cannot change results.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    grams = ensure_parallelism(
+        labeled.filter(F.col(label_col).isin(classes)).select(
+            label_col, text_col
+        )
+    ).select(
         F.col(label_col).alias("_cls"),
         F.explode(_grams(F.col(text_col))).alias("_g"),
     ).select(

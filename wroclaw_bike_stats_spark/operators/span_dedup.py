@@ -411,6 +411,15 @@ def _dup_sites(
     src = df.select(id_col, text_col)
     if min_parallelism:
         src = src.repartition(min_parallelism)
+    # r16 NOTE (attempted and REVERTED, twice now counting r15): a
+    # data-adaptive ensure_parallelism fan-out of the site-generation
+    # input measured within host noise and trending NEGATIVE across
+    # alternating A/B windows (change {1.94, 2.15} vs base
+    # {1.90, 1.83} s for span_strip; identical-code control windows
+    # put the noise floor at ±20%). At this sf the h-keyed duplicate
+    # shuffle and scheduler barriers dominate, not the single-task
+    # site pass; at scale the scan parallelizes by itself. Callers
+    # with a genuinely serialized big corpus keep `min_parallelism`.
     if site_route == "arrow":
         sites = _site_table_arrow(src, text_col, id_col, k)
     elif site_route == "native":
@@ -549,6 +558,11 @@ def window_index(
     src = df.select(id_col, text_col)
     if min_parallelism:
         src = src.repartition(min_parallelism)
+    # r16 NOTE: no adaptive fan-out here (unlike _dup_sites) — the
+    # per-execution index builds in the incremental gates measured
+    # slower with the extra exchange (the arrow route already fans
+    # inside _site_table_arrow; the native index build feeds one
+    # groupBy whose map side is the site pass itself).
     if site_route == "arrow":
         sites = _site_table_arrow(src, text_col, id_col, k)
         scheme = ARROW_SPAN_SCHEME
@@ -691,6 +705,11 @@ def _incremental_sites(
     computation rule applied to the full path but not here)."""
     from wroclaw_bike_stats_spark.operators.scratch import persist as _sp
 
+    # r16 NOTE (attempted and REVERTED): fanning the batch site pass up
+    # like _dup_sites measured no win (a daily batch is far smaller
+    # than the corpus; the exchange overhead ate the parallelism gain
+    # in alternating A/B windows). The batch pass stays on its scan's
+    # parallelism.
     new_sites = _sp(_site_table(new, text_col, id_col, k))
     w = Window.partitionBy("h")
     new_marked = new_sites.withColumn(

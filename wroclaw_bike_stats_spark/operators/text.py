@@ -166,6 +166,13 @@ def tfidf_top_terms(
     identical (tf, df) pairs produce bit-identical scores."""
     from pyspark.sql import Window
 
+    # r16 NOTE (attempted and REVERTED): fanning the explode input up
+    # (`ensure_parallelism`) to parallelize the twice-computed tf map
+    # pass measured a consistent REGRESSION in alternating A/B windows
+    # (change {4.28, 2.05} vs base {1.52, 1.39} s min-of-3) — the
+    # extra round-robin exchange + its sort-before-repartition cost
+    # more than the duplicated single-task explode it hides. Left on
+    # the scan's natural parallelism.
     toks = tokens(F.lower(F.col(text_col)))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -1132,7 +1139,18 @@ def repetition_stats(
     """
     if impl == "auto":
         impl = "arrow"
-    base = df.select(
+    # r16: dup_word_frac is an interpreted HOF over the token array —
+    # the per-row cost of `base` — and runs at the scan's parallelism
+    # (one ~0.5 s task on a single-row-group input, computed TWICE by
+    # a downstream total-order sort's range-sample + shuffle-map pass).
+    # Fan the (id, text) projection up once when under-parallel (no-op
+    # on parallel scans); both routes and the native gram explode
+    # share the one exchange. Per-row outputs (rounded fraction,
+    # integer counts) are partitioning-invariant.
+    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    base = src.select(
         F.col(id_col),
         F.round(dup_word_frac(F.col(text_col)), 4).alias("dup_word_frac"),
         F.col(text_col).alias("_rep_text"),
@@ -1150,11 +1168,8 @@ def repetition_stats(
     # r15: the explode + (doc, gram) partial aggregation is this
     # route's dominant cost and runs at the scan's parallelism — one
     # task on a single-file input (measured 0.66 s at the bench sf).
-    # Fan up when under-parallel (no-op for split inputs); counts are
-    # integers, so results are partitioning-invariant.
-    from wroclaw_bike_stats_spark.operators.fanout import ensure_parallelism
-
-    grams = ensure_parallelism(df.select(id_col, text_col)).select(
+    # r16: reads the same fanned `src` as `base` (one shared exchange).
+    grams = src.select(
         F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("_g")
     )
     per_gram = grams.groupBy(id_col, "_g").agg(
