@@ -73,4 +73,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Deployment config layer (r16): a JSON dict of spark confs in
+    # $SPARK_GRAFT_EXTRA_CONF is applied LAST, so a cluster deployment
+    # (or an A/B harness) can override any default above without code
+    # edits — the "scale-dependent settings stay parameterised" rule.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
